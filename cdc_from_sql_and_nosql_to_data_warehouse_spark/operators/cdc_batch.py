@@ -1,0 +1,269 @@
+"""Tier A operators — the data operators the reference literally
+implements (SURVEY.md §2.1), re-expressed as batch DataFrame queries over
+the driver testdata so the DuckDB oracle can check them.
+
+Reference anchors are cited per function.  The streaming versions of the
+same semantics live in ``streaming/cdc.py``; these batch forms share the
+transformation logic, which is the Structured Streaming model (same
+DataFrame function applied in foreachBatch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+
+@register("q_csv_scan", oracle="SELECT COUNT(*) AS n_rows FROM lineitem")
+def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 CSV scan analog: scan + count (reference parses txns.csv and
+    materializes all rows, source/load_data_to_rds_lambda/handler.py:22-28).
+    The CSV reader itself is sources.read_csv_normalized, golden-tested on
+    a txns.csv replica in tests/."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "q_rename_project",
+    oracle="""
+    SELECT c_custkey AS customer_key, c_name AS customer_name,
+           c_mktsegment AS market_segment
+    FROM customer
+    """,
+)
+def q_rename_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 header normalization: projection + rename, the reference's
+    `replace(' ','_').lower()` (source/load_data_to_rds_lambda/handler.py:25-27)."""
+    df = load_table(spark, sf_dir, "customer")
+    renamed = df.toDF(
+        *[{"c_custkey": "customer_key", "c_name": "customer_name", "c_mktsegment": "market_segment"}.get(c, c) for c in df.columns]
+    )
+    return renamed.select("customer_key", "customer_name", "market_segment")
+
+
+@register(
+    "q_typed_parse",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+      CAST(CAST(TRIM(REPLACE(money_str, ',', '')) AS DECIMAL(12,2)) AS DOUBLE) AS price_parsed,
+      CAST(strptime(date_str, '%d-%b-%Y') AS DATE) AS ship_date_parsed,
+      CAST(bool_str AS BOOLEAN) AS chip_used
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+        '  ' || CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) || ' ' AS money_str,
+        strftime(CAST(l_shipdate AS DATE), '%-d-%b-%Y') AS date_str,
+        CASE WHEN l_linenumber % 2 = 0 THEN 'TRUE' ELSE 'FALSE' END AS bool_str
+      FROM lineitem
+    )
+    """,
+)
+def q_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 inverse: typed parse of the reference's stringly dialect —
+    padded money strings, d-MMM-yyyy dates, TRUE/FALSE booleans
+    (txns.csv shapes; every RDS column is varchar(40),
+    configure_rds_lambda/handler.py:46).  Builds the strings from
+    lineitem, then parses them back with functions.normalize."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import normalize as N
+
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(
+            F.lit("  "), F.col("l_extendedprice").cast("decimal(12,2)").cast("string"), F.lit(" ")
+        ).alias("money_str"),
+        F.date_format(F.col("l_shipdate").cast("date"), "d-MMM-yyyy").alias("date_str"),
+        F.when(F.col("l_linenumber") % 2 == 0, "TRUE").otherwise("FALSE").alias("bool_str"),
+    )
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        N.parse_money("money_str", 12, 2).cast("double").alias("price_parsed"),
+        N.parse_date_dmmm("date_str", "d-MMM-yyyy").alias("ship_date_parsed"),
+        N.parse_bool("bool_str").alias("chip_used"),
+    )
+
+
+@register(
+    "q_append_count",
+    oracle="""
+    SELECT COUNT(*) AS n_rows FROM (
+      SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem
+    )
+    """,
+)
+def q_append_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 append sink semantics: the reference re-INSERTs the same 24 CSV
+    rows every 5-minute tick into a PK-less table, so rows accumulate
+    (load_data_to_rds_lambda/handler.py:29-40; README.md:11).  Two ticks
+    = exact duplication; count doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unionAll(li).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "q_json_scan",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS prop_k, event_type
+    FROM events
+    """,
+)
+def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 JSON document scan: schema-on-read of a JSON payload column
+    (reference loads trades.json documents,
+    load_data_to_dynamodb_lambda/handler.py:12-14)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return ev.select("event_id", parsed["k"].alias("prop_k"), "event_type")
+
+
+@register(
+    "q_upsert_latest_wins",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type, value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 keyed upsert: DynamoDB put_item keyed on id — re-running
+    replaces, latest image wins (load_data_to_dynamodb_lambda/handler.py:12-15).
+    Spark-native: one shuffle on the key, row_number desc, keep rn=1.
+    At scale this is the standard MERGE-free dedup-on-read."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "q_event_filter",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('click', 'purchase') AND value > 50.0
+    """,
+)
+def q_event_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 change-event filter: keep INSERT/MODIFY, drop REMOVE
+    (write_dynamodb_stream_to_s3_lambda/handler.py:27-38) — an isin
+    predicate that Catalyst pushes into the parquet scan.  The
+    unknown-event error channel is unit-tested in tests/test_cdc.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type").isin("click", "purchase") & (F.col("value") > 50.0)).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "q_json_extract_cast",
+    oracle="""
+    SELECT event_id,
+      CAST(props->>'$.k' AS DOUBLE) AS k_as_double,
+      props->>'$.k' AS k_as_string
+    FROM events
+    """,
+)
+def q_json_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 wire-format deserialization + decimal→float projection:
+    TypeDeserializer + DecimalEncoder
+    (write_dynamodb_stream_to_s3_lambda/handler.py:30,16-20) — extract a
+    JSON field and cast it to double (the reference's lossy policy)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("double").alias("k_as_double"),
+        F.get_json_object("props", "$.k").alias("k_as_string"),
+    )
+
+
+@register(
+    "q_append_by_name",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    """,
+)
+def q_append_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 COPY json 'auto' semantics: by-NAME column matching into the
+    target schema, blind append, duplicates accumulate
+    (load_s3_files…_lambda/handler.py:54-71; UNIQUE unenforced per DDL
+    at configure_redshift…/handler.py:24)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    # incoming batch arrives with a different column order; align by name
+    b = o.select("o_orderstatus", "o_orderkey", "o_totalprice")
+    return a.unionByName(b.select(*a.columns))
+
+
+@register(
+    "q_snapshot_union_cdc",
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS seq FROM orders
+    ), cdc AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice, 2 AS seq
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    ), unioned AS (
+      SELECT * FROM snap UNION ALL SELECT * FROM cdc
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      FROM unioned
+    ) WHERE rn = 1
+    """,
+)
+def q_snapshot_union_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 full-load-and-cdc: initial snapshot ∪ continuous change apply
+    (DMS migration_type='full-load-and-cdc',
+    cdk_infrastructure/__init__.py:260).  Later change images override
+    snapshot rows by sequence — one shuffle on the key."""
+    o = load_table(spark, sf_dir, "orders")
+    snap = o.select("o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("seq"))
+    cdc = (
+        o.filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", F.lit("U").alias("o_orderstatus"), "o_totalprice", F.lit(2).alias("seq"))
+    )
+    unioned = snap.unionByName(cdc)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@register(
+    "q_count_star",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM orders) AS source_rows,
+      (SELECT COUNT(*) FROM customer) AS target_rows,
+      (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM customer) AS row_lag
+    """,
+)
+def q_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 COUNT(*) parity validation, source vs target — implemented as
+    intended, not as the reference's bug (target count executed but never
+    fetched, start_dms_replication_task_lambda/handler.py:52-57)."""
+    src = load_table(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("source_rows"))
+    tgt = load_table(spark, sf_dir, "customer").agg(F.count(F.lit(1)).alias("target_rows"))
+    return src.crossJoin(tgt).select(
+        "source_rows",
+        "target_rows",
+        (F.col("source_rows") - F.col("target_rows")).alias("row_lag"),
+    )

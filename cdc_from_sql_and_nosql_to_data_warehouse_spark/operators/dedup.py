@@ -1,0 +1,261 @@
+"""Tier C deduplication operators (driver north star; SURVEY.md §2.3
+C1/C2): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Scale design: near-dup never compares all pairs.  MinHash/SimHash band
+signatures turn the candidate search into an equi-join on a bucket key
+(one shuffle, skew-safe under AQE); exact Jaccard/cosine verification
+runs only on bucket-mates.  The small-SF oracle queries for the exact
+variants verify semantics; the hash-based variants are deterministic but
+engine-specific (murmur3/xxhash64), so the driver records rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import vectors as V
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+      MIN(doc_id) AS keep_doc_id,
+      COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 exact dedup by canonical-text hash: one hash-groupBy shuffle,
+    deterministic survivor (min doc_id) — never dropDuplicates, whose
+    survivor is partitioning-dependent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", X.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "q_dedup_exact_rows",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+        ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 exact dedup, surviving-rows form (row_number over the
+    fingerprint partition — the latest-wins pattern with a min-wins
+    ordering)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(X.fingerprint("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def minhash_signature(toks_col: F.Column, n_hashes: int = 16) -> F.Column:
+    """Deterministic MinHash signature: min over shingles of
+    murmur3(seed_i, shingle) for each of n_hashes seeds.  Pure column
+    expressions — the signature is computed in the scan stage, no
+    shuffle."""
+    def one_hash(i: int) -> F.Column:
+        # NB: single-arg lambda — a 2-arg lambda would make transform()
+        # pass the element index as the second argument
+        return F.array_min(F.transform(toks_col, lambda s: F.hash(F.lit(i), s)))
+
+    return F.array(*[one_hash(i) for i in range(n_hashes)])
+
+
+def minhash_candidates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle → minhash → band → bucket
+    equi-join (SURVEY.md north star).  Returns (a, b, jaccard) for
+    bucket-mates with exact Jaccard computed on distinct shingle sets."""
+    rows = n_hashes // bands
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(X.word_shingles(text_col, shingle_n)).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+    banded = sh.select(
+        "id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "shingles", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["a", "b"])  # same pair can collide in several bands
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return pairs.select(
+        "a", "b", (inter / union).alias("jaccard")
+    )
+
+
+@register("q_dedup_near_minhash")  # murmur3-based — rows-only check
+def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 MinHash+LSH near-dup candidates with exact Jaccard verify,
+    thresholded at 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidates(docs).filter(F.col("jaccard") >= 0.5)
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+        list_distinct(list_transform(
+          generate_series(1, greatest(length(toks) - 2, 0)),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM (
+        SELECT doc_id, source,
+          list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+        FROM documents
+      )
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+      CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / length(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE length(list_intersect(a.shingles, b.shingles)) * 4
+          >= length(list_distinct(list_concat(a.shingles, b.shingles)))
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 word-3-gram Jaccard similarity, blocked by ``source`` (the
+    blocking key stands in for an LSH bucket so the join is equi, not a
+    full cross product).  Keeps pairs with jaccard >= 0.25 via an
+    integer cross-multiplication (no float threshold ambiguity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(X.word_shingles("text", 3)).alias("shingles"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
+    union = F.size(F.array_union("a.shingles", "b.shingles"))
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(inter * 4 >= union)
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(toks_col: F.Column, n_bits: int = 16) -> F.Column:
+    """SimHash: per-document signed bit-count over xxhash64 of tokens,
+    packed to a BIGINT.  n_bits kept small so the expression tree stays
+    codegen-friendly; the real spread comes from the 64-bit token hash."""
+    def bit_sum(i: int) -> F.Column:
+        mask = F.lit(1 << i)
+        return F.aggregate(
+            toks_col,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.when(F.xxhash64(t).bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("bigint")
+    for i in range(n_bits):
+        out = out + F.when(bit_sum(i) > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
+    return out
+
+
+@register("q_dedup_simhash")  # xxhash64-based — rows-only check
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 SimHash near-dup: signature per doc, candidates = equal
+    signature (bucket join), no pairwise scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select("doc_id", simhash64(X.tokens("text")).alias("simhash"))
+    a, b = sig.alias("a"), sig.alias("b")
+    return a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"), F.col("a.simhash").alias("simhash")
+    )
+
+
+_SQL_DOT_FOLD = """
+  list_reduce(
+    list_prepend(CAST(0 AS DOUBLE),
+      list_transform(generate_series(1, length({a})),
+        i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),
+    (x, y) -> x + y)
+"""
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot = _SQL_DOT_FOLD.format(a=a, b=b)
+    na = _SQL_DOT_FOLD.format(a=a, b=a)
+    nb = _SQL_DOT_FOLD.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@register(
+    "q_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+      {_sql_cosine('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.35
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 embedding-cosine near-dup, blocked by ``label`` (the cluster
+    id acts as the IVF cell — at scale the blocking key comes from the
+    LSH signature in similarity.hyperplane_signature).  Cosine is a
+    left-fold in doubles on both sides, so the 0.35 threshold compares
+    bit-identical values."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = V.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )

@@ -1,0 +1,117 @@
+"""Tier C multimodal columns (driver north star): image/audio/video as
+opaque ``binary`` columns with typed metadata, decoded / feature-
+extracted via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode kernel is a
+clearly-marked deterministic fake (``_fake_decode``) behind the same
+plumbing a real libjpeg/ffmpeg kernel would use: binary column in, typed
+struct-ish columns out, partition-wise batches, schema declared up
+front.  Swapping in a real decoder changes one function, not the plan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+
+@register(
+    "q_multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+      CAST(length(e.embedding) AS BIGINT) AS dim
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    """,
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 multimodal row: text + embedding side-by-side via key join
+    (doc_id = vec_id in the testdata)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return d.join(e, d["doc_id"] == e["vec_id"]).select(
+        "doc_id", "lang", "n_chars", "label", F.size("embedding").cast("bigint").alias("dim")
+    )
+
+
+@register(
+    "q_binary_meta",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS media_type,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary column + typed metadata: the storage model for
+    multimodal payloads (binary blob, media_type tag, size).  Here the
+    blob is the utf-8 encoding of the text column."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("media_type"),
+        F.octet_length(blob).cast("bigint").alias("n_bytes"),
+    )
+
+
+def _fake_decode(blob: bytes) -> tuple[int, int, int]:
+    """DETERMINISTIC FAKE decode standing in for an image codec (real
+    decoders aren't in this container).  Produces (width, height,
+    checksum) purely from the bytes so the oracle can replicate it."""
+    n = len(blob)
+    width = n % 64 + 1
+    height = n % 37 + 1
+    checksum = (blob[0] if n else 0) + n
+    return width, height, checksum
+
+
+def _decode_batches(it):
+    for pdf in it:
+        feats = [_fake_decode(b) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": [f[0] for f in feats],
+                "height": [f[1] for f in feats],
+                "checksum": [f[2] for f in feats],
+            }
+        )
+
+
+@register(
+    "q_multimodal_decode",
+    oracle="""
+    WITH b AS (SELECT doc_id, encode(text) AS payload FROM documents)
+    SELECT doc_id,
+      CAST(octet_length(payload) % 64 + 1 AS BIGINT) AS width,
+      CAST(octet_length(payload) % 37 + 1 AS BIGINT) AS height,
+      CAST(ascii(substr(CAST(payload AS VARCHAR), 1, 1)) + octet_length(payload) AS BIGINT)
+        AS checksum
+    FROM b
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload → mapInPandas decode
+    kernel → typed feature columns.  The kernel is the deterministic
+    fake above; the Spark-side schema, batching, and partitioning are
+    exactly what a real codec kernel needs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return docs.mapInPandas(
+        _decode_batches, schema="doc_id long, width long, height long, checksum long"
+    )
+
+
+def decode_stub_real(blob: bytes):  # pragma: no cover - documentation stub
+    """The slot where a real decoder goes (PIL/libjpeg, ffmpeg audio
+    frames, video frame sampling).  Not available in this container."""
+    raise NotImplementedError(
+        "real image/audio/video decoding requires codec libraries not "
+        "present in this environment; use _fake_decode for plumbing tests"
+    )

@@ -1,0 +1,1090 @@
+"""Tier B — the warehouse analytics surface (SURVEY.md §2.2).
+
+The reference ships rows into MySQL/Redshift precisely so they can be
+queried (reference README.md:3,44); this module provides that query
+surface natively on Spark.  Every operator is a Catalyst built-in — the
+engine's optimizer work (pushdown, pruning, join selection, AQE) is free
+because the plans are declared, not hand-scheduled.
+
+Numeric policy: money aggregates go through DECIMAL (exact, order
+insensitive) and cast to DOUBLE at the end — see functions/exact.py.
+Window orderings always carry a unique tie-break key so results are
+deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.exact import (
+    davg,
+    dec,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# exact decimal forms of the classic revenue expressions
+def _disc_price() -> F.Column:
+    one = F.lit(1).cast("decimal(3,2)")
+    return dec("l_extendedprice") * (one - dec("l_discount", 3, 2))
+
+
+def _charge() -> F.Column:
+    one = F.lit(1).cast("decimal(3,2)")
+    return _disc_price() * (one + dec("l_tax", 3, 2))
+
+
+_SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+_SQL_CHARGE = f"{_SQL_DISC_PRICE} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+
+
+# ---------------------------------------------------------------- flagship
+
+
+@register(
+    "q_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+      {sql_dsum('l_quantity')} AS sum_qty,
+      {sql_dsum('l_extendedprice')} AS sum_base_price,
+      CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM({_SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+      {sql_davg('l_quantity')} AS avg_qty,
+      {sql_davg('l_extendedprice')} AS avg_price,
+      {sql_davg('l_discount', '3,2')} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pricing-summary (TPC-H Q1 shape, SURVEY.md §7.1): scan →
+    pushed filter → hash agg with partial aggregation → exact decimal
+    sums.  One shuffle total; no UDFs; fully codegen'd."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(_charge()).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", 3, 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------- scans / projections / filters
+
+
+@register(
+    "q_scan_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+)
+def q_scan_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 parquet scan with column pruning + predicate pushdown (the
+    physical plan shows ReadSchema with 5 columns and PushedFilters on
+    l_shipdate — asserted in tests/test_plans.py)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "q_project_expr",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+      CAST({_SQL_DISC_PRICE} AS DOUBLE) AS net_price,
+      l_returnflag || '/' || l_linestatus AS flag_status,
+      l_quantity * 2 AS double_qty
+    FROM lineitem
+    """,
+)
+def q_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 projection / aliasing / computed columns."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        _disc_price().cast("double").alias("net_price"),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+        (F.col("l_quantity") * 2).alias("double_qty"),
+    )
+
+
+@register(
+    "q_filter_between",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+      AND l_quantity BETWEEN 10 AND 20
+    """,
+)
+def q_filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 BETWEEN range predicates (both pushed to the scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").between("1996-01-01 00:00:00", "1996-12-31 00:00:00")
+        & F.col("l_quantity").between(10, 20)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+@register(
+    "q_filter_in_like",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+      AND c_name LIKE '%9'
+    """,
+)
+def q_filter_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 IN-list + LIKE predicates."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY")
+        & F.col("c_name").like("%9")
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------- joins
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 inner equi-join; Catalyst/AQE picks broadcast vs sort-merge by
+    runtime size (customer is the small build side at test SF; at 100 TB
+    AQE re-plans from actual shuffle stats)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o["o_custkey"] == c["c_custkey"], "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, big.o_orderkey, big.o_totalprice
+    FROM customer LEFT JOIN
+      (SELECT * FROM orders WHERE o_totalprice > 400000) big
+    ON big.o_custkey = c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 left outer join (unmatched → nulls)."""
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(big, big["o_custkey"] == c["c_custkey"], "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_right",
+    oracle="""
+    SELECT c_custkey, n_name
+    FROM nation RIGHT JOIN customer ON n_nationkey = c_nationkey
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 right outer join."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return n.join(c, n["n_nationkey"] == c["c_nationkey"], "right").select(
+        "c_custkey", "n_name"
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    WITH rich AS (
+      SELECT c_custkey AS key, c_acctbal FROM customer WHERE c_acctbal > 9000
+    ), big AS (
+      SELECT o_custkey AS key, COUNT(*) AS n_big_orders
+      FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey
+    )
+    SELECT coalesce(rich.key, big.key) AS custkey, c_acctbal, n_big_orders
+    FROM rich FULL OUTER JOIN big ON rich.key = big.key
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 full outer join with non-overlapping sides."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("rkey"), "c_acctbal"
+    )
+    big = (
+        o.filter(F.col("o_totalprice") > 300000)
+        .groupBy(F.col("o_custkey").alias("bkey"))
+        .agg(F.count(F.lit(1)).alias("n_big_orders"))
+    )
+    return rich.join(big, rich["rkey"] == big["bkey"], "outer").select(
+        F.coalesce("rkey", "bkey").alias("custkey"), "c_acctbal", "n_big_orders"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 left semi join (EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000
+    )
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 left anti join (NOT EXISTS): customers with no very large
+    order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_theta",
+    oracle="""
+    SELECT n_name, r_name FROM nation JOIN region ON n_regionkey < r_regionkey
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 theta (non-equi) join — physically a broadcast nested loop on
+    the 5-row region side, which is exactly right at any scale."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n["n_regionkey"] < r["r_regionkey"]).select(
+        "n_name", "r_name"
+    )
+
+
+@register(
+    "q_star_join",
+    oracle=f"""
+    SELECT n_name,
+      CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM region
+      JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 multi-way star join (TPC-H Q5 shape): dimensions are explicitly
+    broadcast (region/nation are tiny at every scale factor); the
+    fact-side joins shuffle on their keys and AQE handles skew."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- aggregation
+
+
+@register(
+    "q_group_agg",
+    oracle=f"""
+    SELECT o_orderpriority,
+      COUNT(*) AS n_orders,
+      {sql_dsum('o_totalprice', '14,2')} AS sum_price,
+      MIN(o_totalprice) AS min_price,
+      MAX(o_totalprice) AS max_price,
+      {sql_davg('o_totalprice', '14,2')} AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 hash aggregation with sum/avg/min/max/count (partial + final
+    aggregation automatic — map-side combine before the shuffle)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 14, 2).alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            davg("o_totalprice", 14, 2).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "q_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 DISTINCT."""
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "q_count_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(DISTINCT l_partkey) AS n_part
+    FROM lineitem
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 exact count(distinct) — Catalyst expands to a two-stage
+    aggregate automatically."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+@register("q_approx_count_distinct")  # HLL sketch — no exact SQL oracle
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 approx_count_distinct (HyperLogLog++): the 100 TB answer to
+    count(distinct) — single pass, no expansion, bounded memory."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_n_supp"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_n_part"),
+    )
+
+
+@register(
+    "q_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 ROLLUP (hierarchical grouping sets + grand total)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "q_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 CUBE (all grouping-set combinations)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "q_having",
+    oracle=f"""
+    SELECT c_nationkey, COUNT(*) AS n_cust, {sql_dsum('c_acctbal', '12,2')} AS sum_bal
+    FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 5
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 HAVING — a post-aggregation filter."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal", 12, 2).alias("sum_bal"))
+        .filter(F.col("n_cust") >= 5)
+    )
+
+
+# ---------------------------------------------------------------- windows
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+      row_number() OVER w AS rn,
+      rank() OVER w AS rnk,
+      dense_rank() OVER w AS drnk,
+      ntile(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 ranking window functions (unique tie-break on c_custkey)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "q_window_lag",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+      lag(o_totalprice) OVER w AS prev_price,
+      lead(o_totalprice) OVER w AS next_price,
+      first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14 analytic window functions (lag/lead/first)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+    )
+
+
+@register(
+    "q_window_running_sum",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM events
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 running sum — the banking running balance_amt in the
+    reference's txns.csv is exactly this shape (FIXTURES.md §1.1).
+    DECIMAL accumulation keeps it exact in any execution order."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum(dec("value")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "q_window_moving_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE)
+        / COUNT(*) OVER w AS moving_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 moving average over a 3-row frame (exact sum / frame count)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (F.sum(dec("o_totalprice", 14, 2)).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "moving_avg"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- sort / limit / set ops
+
+
+@register(
+    "q_sort_multi",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+      row_number() OVER (ORDER BY c_nationkey ASC, c_acctbal DESC NULLS LAST, c_custkey) AS sort_pos
+    FROM customer
+    """,
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 multi-key sort with explicit null ordering; the global
+    row_number makes the order checkable under the driver's
+    order-insensitive hash."""
+    w = Window.orderBy(
+        F.col("c_nationkey").asc(), F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey").asc()
+    )
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal", F.row_number().over(w).alias("sort_pos"))
+        .orderBy("sort_pos")
+    )
+
+
+@register(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17 top-k: orderBy().limit(k) compiles to TakeOrderedAndProject —
+    a per-partition heap + driver merge, no global sort (the right plan
+    at 100 TB)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_union",
+    oracle="""
+    SELECT c_custkey AS key FROM customer
+    UNION
+    SELECT o_custkey AS key FROM orders
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 UNION (distinct)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return c.union(o).distinct()
+
+
+@register(
+    "q_intersect",
+    oracle="""
+    SELECT c_custkey AS key FROM customer
+    INTERSECT
+    SELECT o_custkey AS key FROM orders
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 INTERSECT."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return c.intersect(o)
+
+
+@register(
+    "q_except",
+    oracle="""
+    SELECT c_custkey AS key FROM customer
+    EXCEPT
+    SELECT o_custkey AS key FROM orders WHERE o_totalprice > 250000
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 EXCEPT: customers minus customers with large orders."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("key"))
+    )
+    return c.subtract(o)
+
+
+# ---------------------------------------------------------------- subqueries
+
+
+@register(
+    "q_subquery_in",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 IN-subquery (Catalyst rewrites to a semi join)."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        """
+    )
+
+
+@register(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) FROM orders
+    )
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 scalar subquery (above-average filter; exact-decimal average
+    so the threshold is bit-identical to the oracle's)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) FROM orders
+        )
+        """
+    )
+
+
+@register(
+    "q_subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c.c_custkey AND o_totalprice > c.c_acctbal * 20
+    )
+    """,
+)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 correlated EXISTS (Catalyst decorrelates into a join)."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c.c_custkey AND o_totalprice > c.c_acctbal * 20
+        )
+        """
+    )
+
+
+# ---------------------------------------------------------------- scalar function families
+
+
+@register(
+    "q_case_when",
+    oracle="""
+    SELECT o_orderkey,
+      CASE WHEN o_totalprice < 50000 THEN 'small'
+           WHEN o_totalprice < 200000 THEN 'mid'
+           ELSE 'large' END AS size_bucket,
+      CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+           THEN true ELSE false END AS is_urgent
+    FROM orders
+    """,
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20 CASE WHEN / conditional expressions."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "mid")
+        .otherwise("large")
+        .alias("size_bucket"),
+        (F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%")).alias(
+            "is_urgent"
+        ),
+    )
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+      upper(trim(c_name)) AS name_upper,
+      lower(c_mktsegment) AS seg_lower,
+      CAST(length(c_name) AS BIGINT) AS name_len,
+      substring(c_name, 10, 9) AS cust_digits,
+      replace(c_name, 'Customer#', 'C#') AS short_name,
+      lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+      regexp_extract(c_name, '([0-9]+)', 1) AS digits_re,
+      string_split(c_name, '#')[2] AS after_hash,
+      concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation
+    FROM customer
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21 string function family."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.trim(F.col("c_name"))).alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 10, 9).alias("cust_digits"),
+        F.regexp_replace("c_name", "Customer#", "C#").alias("short_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits_re"),
+        F.split("c_name", "#").getItem(1).alias("after_hash"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(year(d) AS INTEGER) AS o_year,
+      CAST(month(d) AS INTEGER) AS o_month,
+      CAST(day(d) AS INTEGER) AS o_day,
+      CAST(quarter(d) AS INTEGER) AS o_quarter,
+      CAST(dayofweek(d) + 1 AS INTEGER) AS o_dow,
+      CAST(date_diff('day', d, DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+      CAST(d + INTERVAL 30 DAY AS DATE) AS plus_30,
+      last_day(d) AS month_end
+    FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22 date/time function family (Spark dayofweek is 1=Sunday; the
+    oracle aligns DuckDB's 0=Sunday by +1)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    return o.select(
+        "o_orderkey",
+        F.year("d").alias("o_year"),
+        F.month("d").alias("o_month"),
+        F.dayofmonth("d").alias("o_day"),
+        F.quarter("d").alias("o_quarter"),
+        F.dayofweek("d").alias("o_dow"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("d")).alias("days_to_y2k"),
+        F.date_add("d", 30).alias("plus_30"),
+        F.last_day("d").alias("month_end"),
+    )
+
+
+@register(
+    "q_date_trunc_agg",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      COUNT(*) AS n_orders,
+      {sql_dsum('o_totalprice', '14,2')} AS monthly_sales
+    FROM orders GROUP BY date_trunc('month', o_orderdate)
+    """,
+)
+def q_date_trunc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22 date_trunc rollup to month — the hypertable-style time
+    bucketing pattern."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 14, 2).alias("monthly_sales"),
+        )
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+      round(l_extendedprice * 0.1, 3) AS tithe,
+      abs(l_discount - 0.05) AS disc_dev,
+      CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+      CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      sqrt(l_quantity) AS qty_sqrt,
+      CAST(l_linenumber % 3 AS BIGINT) AS line_mod,
+      round(ln(l_extendedprice), 6) AS price_ln
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 math/numeric family (sqrt is IEEE-exact; ln rounded to 6dp to
+    absorb libm ulp differences)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 0.1, 3).alias("tithe"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_linenumber") % 3).cast("bigint").alias("line_mod"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+    )
+
+
+@register(
+    "q_money_parse",
+    oracle="""
+    WITH cents_t AS (
+      SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ), s AS (
+      SELECT o_orderkey,
+        '  ' ||
+        CASE WHEN cents // 100 >= 1000
+             THEN CAST((cents // 100) // 1000 AS VARCHAR) || ',' ||
+                  lpad(CAST((cents // 100) % 1000 AS VARCHAR), 3, '0')
+             ELSE CAST(cents // 100 AS VARCHAR) END
+        || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') || ' ' AS money_str
+      FROM cents_t
+    )
+    SELECT o_orderkey, money_str,
+      CAST(CAST(TRIM(REPLACE(money_str, ',', '')) AS DECIMAL(18,2)) AS DOUBLE) AS price_parsed
+    FROM s
+    """,
+)
+def q_money_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23/A3-inverse: parse the reference's padded comma-grouped money
+    strings (txns.csv values like ``"  1,000,000.00 "``) back to numbers.
+    The strings are synthesized with exact integer arithmetic so both
+    engines build byte-identical inputs."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import normalize as N
+
+    _views(spark, sf_dir, "orders")
+    s = spark.sql(
+        """
+        WITH cents_t AS (
+          SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM orders
+        )
+        SELECT o_orderkey,
+          concat('  ',
+            CASE WHEN cents DIV 100 >= 1000
+                 THEN concat(CAST((cents DIV 100) DIV 1000 AS STRING), ',',
+                             lpad(CAST((cents DIV 100) % 1000 AS STRING), 3, '0'))
+                 ELSE CAST(cents DIV 100 AS STRING) END,
+            '.', lpad(CAST(cents % 100 AS STRING), 2, '0'), ' ') AS money_str
+        FROM cents_t
+        """
+    )
+    return s.select(
+        "o_orderkey", "money_str", N.parse_money("money_str").cast("double").alias("price_parsed")
+    )
+
+
+# ---------------------------------------------------------------- arrays / maps / json
+
+
+@register(
+    "q_array_explode",
+    oracle="SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings",
+)
+def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 explode an array column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.explode("embedding").alias("v")).select(
+        "vec_id", F.col("v").cast("double").alias("val")
+    )
+
+
+@register(
+    "q_array_lambda",
+    oracle="""
+    SELECT vec_id,
+      CAST(length(embedding) AS BIGINT) AS dim,
+      CAST(length(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+      CAST(embedding[1] AS DOUBLE) AS first_val,
+      list_reduce(
+        list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))),
+        (a, b) -> a + b) AS sum_all
+    FROM embeddings
+    """,
+)
+def q_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 higher-order array functions: size / filter / element_at /
+    aggregate (left fold in doubles — bit-deterministic)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("sum_all"),
+    )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+      map_keys(map(['price', 'qty'], [l_extendedprice, l_quantity])) AS mkeys,
+      map_values(map(['price', 'qty'], [l_extendedprice, l_quantity])) AS mvals
+    FROM lineitem
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25 map functions (construct, keys, values)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = F.map_from_arrays(
+        F.array(F.lit("price"), F.lit("qty")),
+        F.array(F.col("l_extendedprice"), F.col("l_quantity")),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(m).alias("mvals"),
+    )
+
+
+@register(
+    "q_json_get",
+    oracle="SELECT event_id, props->>'$.k' AS k_str FROM events",
+)
+def q_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26 JSON path access on a raw JSON string column (the SUPER-column
+    navigation analog, SURVEY.md §1.2)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_str")
+    )
+
+
+@register(
+    "q_json_from_schema",
+    oracle="""
+    SELECT event_id,
+      CAST(props->>'$.k' AS INTEGER) AS k_int,
+      CAST(to_json(struct_pack(k := CAST(props->>'$.k' AS INTEGER))) AS VARCHAR) AS rebuilt
+    FROM events
+    """,
+)
+def q_json_from_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26 from_json with an explicit schema + to_json round trip."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k_int"),
+        F.to_json(F.struct(parsed["k"].alias("k"))).alias("rebuilt"),
+    )
+
+
+@register(
+    "q_null_handling",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+      coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_default,
+      (nullif(l_discount, 0.0) IS NOT DISTINCT FROM nullif(l_tax, 0.0)) AS nullsafe_eq,
+      CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 'no_disc' ELSE 'disc' END AS disc_flag
+    FROM lineitem
+    """,
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27 null semantics: coalesce / nullif / null-safe equality."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+          coalesce(nullif(l_discount, 0.0D), -1.0D) AS disc_or_default,
+          (nullif(l_discount, 0.0D) <=> nullif(l_tax, 0.0D)) AS nullsafe_eq,
+          CASE WHEN nullif(l_discount, 0.0D) IS NULL THEN 'no_disc' ELSE 'disc' END AS disc_flag
+        FROM lineitem
+        """
+    )
+
+
+@register(
+    "q_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+      CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
+      CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28 pivot with explicit pivot values (explicit values avoid the
+    extra distinct-values job — required practice at scale)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+    )
+
+
+@register("q_sample")  # non-deterministic across engines — rows-only check
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29 sampling (seeded Bernoulli sample; deterministic within Spark
+    but not replicable in the oracle)."""
+    return load_table(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber"
+    )

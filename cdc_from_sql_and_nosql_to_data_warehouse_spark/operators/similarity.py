@@ -1,0 +1,121 @@
+"""Tier C similarity search over the ``embeddings`` table (SURVEY.md
+§2.3 C3; REPOSE/top-k papers in repo:PAPERS.md are the scale pattern).
+
+Two paths:
+- brute-force cosine top-k (the correctness baseline): queries ×
+  candidates join → window top-k.  Fine when Q is small; O(N·Q) scans.
+- LSH-bucketed ANN (the 100 TB path): random-hyperplane signatures give
+  each vector a bucket key; candidate set = same bucket (+ the query's
+  neighbor buckets would be the recall knob).  The expensive cosine runs
+  on a tiny fraction of pairs, and the join is an equi-join Catalyst can
+  shuffle-partition or broadcast.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import vectors as V
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import _sql_cosine
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+
+@register(
+    "q_sim_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        {_sql_cosine('q.embedding', 'c.embedding')} AS cosine
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, cand_id, cosine, rn AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 brute-force cosine top-k (k=10) for query vectors vec_id<5.
+    The query side is broadcast (tiny), so the scan over candidates is
+    embarrassingly parallel — no shuffle until the per-query top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", V.cosine("q_emb", "c_emb").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def _planes(dim: int = 64, n: int = 12, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+@register("q_sim_topk_lsh")  # bucket recall differs from exact — rows-only
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 ANN: random-hyperplane LSH buckets (12 bits, seeded planes as
+    literal constants — computed in the scan, no fit step), cosine only
+    within the query's bucket, per-query top-k.  This is the plan shape
+    that survives 100× scale: signature scan + equi-join + windowed
+    top-k."""
+    planes = _planes()
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", V.hyperplane_signature("embedding", planes)
+    )
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", V.cosine("q_emb", "c_emb").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+@register(
+    "q_sim_range",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0)
+    SELECT c.vec_id AS cand_id, c.label,
+      {_sql_cosine('q.embedding', 'c.embedding')} AS cosine
+    FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE {_sql_cosine('q.embedding', 'c.embedding')} >= 0.25
+    """,
+)
+def q_sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 range (radius) similarity search: all candidates with cosine
+    >= 0.25 of one query vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    c = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("cand_id"), "label", F.col("embedding").alias("c_emb")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select("cand_id", "label", V.cosine("q_emb", "c_emb").alias("cosine"))
+        .filter(F.col("cosine") >= 0.25)
+    )

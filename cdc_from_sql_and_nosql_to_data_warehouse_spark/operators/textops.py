@@ -1,0 +1,209 @@
+"""Tier C text-analysis operators over the ``documents`` table
+(driver north star: language-ID, quality scoring, token counting,
+fingerprinting, lexicon scoring — SURVEY.md §2.3 C4/C5).
+
+All hot-path logic is built-in column expressions from
+``functions/text.py`` — no Python UDFs — so these run unchanged over
+100 TB of documents with only a scan (+ one shuffle where grouped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+# DuckDB fragment: lowercased whitespace tokens, empties removed
+_SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+@register(
+    "q_text_tokens",
+    oracle=f"""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest({_SQL_TOKS}) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 tokenize + corpus token frequencies: split → explode →
+    hash-agg (partial agg makes this one shuffle of small pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(length({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+      CAST(length(list_distinct({_SQL_TOKS})) AS BIGINT) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 per-document token counting (whitespace tokenizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.distinct_token_count("text").alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+        list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks,
+        CAST(length(text) AS BIGINT) AS n_char,
+        CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct
+    FROM documents
+    ), s AS (
+      SELECT doc_id, n_char, n_punct, CAST(length(toks) AS BIGINT) AS n_tok,
+        CAST(length(list_filter(toks, t -> list_contains(
+          ['the','and','of','to','a','in','is','it','for','on','with','as','at','by'], t))) AS BIGINT) AS n_sw
+      FROM t
+    )
+    SELECT doc_id, n_char, n_tok,
+      CASE WHEN n_char = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_char END AS punct_ratio,
+      CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_sw AS DOUBLE) / n_tok END AS stopword_ratio,
+      (least(CAST(n_char AS DOUBLE) / 400.0, 1.0)
+       + (1.0 - least((CASE WHEN n_char = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_char END) * 4.0, 1.0))
+       + least((CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_sw AS DOUBLE) / n_tok END) * 2.0, 1.0)
+      ) / 3.0 AS quality
+    FROM s
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic quality scoring: length / punctuation / stopword
+    ratios composed into a [0,1] score (functions.text.quality_score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_char"),
+        X.token_count("text").alias("n_tok"),
+        X.punct_ratio("text").alias("punct_ratio"),
+        X.stopword_ratio("text").alias("stopword_ratio"),
+        X.quality_score("text").alias("quality"),
+    )
+
+
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in X.LANG_MARKERS.items()
+}
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang AS labeled_lang,
+        list_distinct({_SQL_TOKS}) AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, labeled_lang,
+        CAST(length(list_intersect(toks, {_MARKER_SQL['en']})) AS BIGINT) AS hits_en,
+        CAST(length(list_intersect(toks, {_MARKER_SQL['es']})) AS BIGINT) AS hits_es,
+        CAST(length(list_intersect(toks, {_MARKER_SQL['fr']})) AS BIGINT) AS hits_fr,
+        CAST(length(list_intersect(toks, {_MARKER_SQL['de']})) AS BIGINT) AS hits_de
+      FROM t
+    )
+    SELECT doc_id, labeled_lang, hits_en, hits_es, hits_fr, hits_de,
+      CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) = 0 THEN 'und'
+           WHEN hits_de = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'de'
+           WHEN hits_en = greatest(hits_en, hits_es, hits_fr) THEN 'en'
+           WHEN hits_es = greatest(hits_es, hits_fr) THEN 'es'
+           ELSE 'fr'
+      END AS lang_pred
+    FROM scored
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 language-ID heuristic: marker-word hit counts per language,
+    argmax with lexicographic tie-break (functions.text.lang_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = X.lang_scores("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        scores["en"].alias("hits_en"),
+        scores["es"].alias("hits_es"),
+        scores["fr"].alias("hits_fr"),
+        scores["de"].alias("hits_de"),
+        X.lang_id("text").alias("lang_pred"),
+    )
+
+
+# Deterministic sentiment-style lexicon (EDBT'16 broadcast-lexicon
+# pattern, repo:PAPERS.md) — scores joined against exploded tokens.
+LEXICON: dict[str, float] = {
+    "fast": 1.0,
+    "small": 0.5,
+    "slow": -1.0,
+    "error": -2.0,
+    "query": 0.25,
+    "data": 0.25,
+}
+
+_LEX_ROWS_SQL = ", ".join(f"('{w}', {s})" for w, s in LEXICON.items())
+
+
+@register(
+    "q_text_lexicon",
+    oracle=f"""
+    WITH lex(word, score) AS (VALUES {_LEX_ROWS_SQL}),
+    toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    )
+    SELECT doc_id,
+      CAST(SUM(CAST(score AS DECIMAL(6,2))) AS DOUBLE) AS sentiment,
+      COUNT(*) AS n_scored
+    FROM toks JOIN lex ON token = word
+    GROUP BY doc_id
+    """,
+)
+def q_text_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 lexicon scoring: explode tokens, broadcast-join the lexicon
+    (tiny dimension — broadcast is the only sane plan at scale), sum
+    scores per document with exact decimal accumulation."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(w, s) for w, s in LEXICON.items()], "word string, score double"
+        )
+    )
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    return (
+        toks.join(lex, toks["token"] == lex["word"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("score").cast("decimal(6,2)")).cast("double").alias("sentiment"),
+            F.count(F.lit(1)).alias("n_scored"),
+        )
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+      md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 document fingerprinting: md5 of the whitespace-canonicalized
+    text — the exact-dup key used by q_dedup_exact."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.fingerprint("text").alias("fp")
+    )

@@ -1,0 +1,106 @@
+"""Batch readers.
+
+Mirrors the reference's two ingest fronts (SURVEY.md §2.1 A1/A7):
+
+- CSV with a messy header → ``read_csv_normalized`` (reference:
+  source/load_data_to_rds_lambda/handler.py:22-28 parses ``txns.csv`` and
+  lowercases/underscores the header at :25-27).
+- Nested JSON documents → ``read_documents_json`` (reference:
+  source/load_data_to_dynamodb_lambda/handler.py:12-14 loads the ``data``
+  array of ``trades.json`` with ``parse_float=Decimal``).
+
+Plus ``load_table`` for the driver-provided parquet testdata
+(TESTDATA.md).  All readers return lazy DataFrames so Catalyst can push
+filters/column pruning into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata parquet table (column-pruned, filter-pushed by
+    Catalyst — the physical plan must show PushedFilters/ReadSchema).
+
+    ``events.ts`` is nanosecond-precision parquet, which Spark rejects
+    (PARQUET_TYPE_ILLEGAL); read it as raw nanos via the public
+    ``nanosAsLong`` conf and truncate to microseconds with exact integer
+    division — the same truncation DuckDB applies on read, so the oracle
+    sees identical values."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_header(df: DataFrame) -> DataFrame:
+    """Reference header normalization: ``replace(' ', '_').lower()`` on
+    every column name (source/load_data_to_rds_lambda/handler.py:25-27).
+    Also trims the padded headers the reference's CSV actually has
+    (e.g. ``' WITHDRAWAL AMT '``)."""
+    return df.toDF(*[c.strip().replace(" ", "_").lower() for c in df.columns])
+
+
+def read_csv_normalized(spark: SparkSession, path: str) -> DataFrame:
+    """CSV scan + header normalization, all columns as strings — the
+    reference's exact ingest shape (every RDS column is varchar(40),
+    source/configure_rds_lambda/handler.py:46).  Typed parsing is a
+    separate, explicit step (functions.normalize.typed_parse)."""
+    df = spark.read.option("header", True).option("inferSchema", False).csv(path)
+    return normalize_header(df)
+
+
+# Schema for the reference's trades.json documents (FIXTURES.md §1.2).
+# ``ticket`` is optional (absent in 1 of 8 reference docs) — an explicit
+# schema makes the drift deterministic: missing fields → null.
+TRADES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField(
+            "details",
+            T.StructType(
+                [
+                    T.StructField("asks", T.ArrayType(T.DoubleType())),
+                    T.StructField("bids", T.ArrayType(T.DoubleType())),
+                    T.StructField("lag", T.LongType()),
+                    T.StructField("system", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("shares", T.LongType()),
+        T.StructField("ticker", T.StringType()),
+        T.StructField("ticket", T.StringType()),
+        T.StructField("time", T.StructType([T.StructField("date", T.StringType())])),
+    ]
+)
+
+
+def read_documents_json(
+    spark: SparkSession, path: str, schema: T.StructType = TRADES_SCHEMA
+) -> DataFrame:
+    """NDJSON document scan with an explicit schema (schema-on-read;
+    missing fields → null), mirroring A7.  The reference's Decimal→float
+    policy (write_dynamodb_stream_to_s3_lambda/handler.py:16-20) is the
+    DoubleType in the schema."""
+    df = spark.read.schema(schema).json(path)
+    return df.withColumn("event_time", F.to_timestamp(F.col("time.date")))

@@ -1,0 +1,90 @@
+"""Oracle-differential tests — a local replay of the driver's
+correctness gate (SURVEY.md §5.2.1).
+
+For every registered query with an oracle, run the Spark DataFrame and
+the DuckDB SQL on the same sf0.001 parquet and require the row multisets
+to match EXACTLY (bitwise for floats — the engine's numeric policy in
+functions/exact.py is designed to make that possible).  If this passes,
+the driver's order-insensitive value-hash at sf0.01 passes too.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import struct
+from decimal import Decimal
+
+import pytest
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark import operators as ops
+
+from conftest import SF_DIR
+
+
+def canon(v):
+    """Canonicalize a cell so Spark and DuckDB values compare exactly."""
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", struct.pack(">d", v))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, Decimal):
+        return ("f", struct.pack(">d", float(v)))
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.isoformat())
+    if isinstance(v, datetime.date):
+        return ("d", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(canon(x) for x in v))
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((k, canon(x)) for k, x in v.items())))
+    if isinstance(v, (bytes, bytearray)):
+        return ("by", bytes(v))
+    return ("s", str(v))
+
+
+def spark_rows(df):
+    cols = sorted(df.columns)
+    return cols, [tuple(canon(row[c]) for c in cols) for row in df.collect()]
+
+
+def duck_rows(con, sql):
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    rows = [tuple(canon(r[i]) for i in order) for r in cur.fetchall()]
+    return sorted(names), rows
+
+
+SPECS = [s for s in ops.REGISTRY.values() if s.oracle]
+ROWS_ONLY = [s for s in ops.REGISTRY.values() if not s.oracle]
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+def test_matches_oracle(spark, oracle, spec):
+    df = spec.fn(spark, SF_DIR)
+    s_cols, s_rows = spark_rows(df)
+    d_cols, d_rows = duck_rows(oracle, spec.oracle)
+    assert s_cols == d_cols, f"{spec.name}: column names differ: {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{spec.name}: row count {len(s_rows)} vs oracle {len(d_rows)}"
+    )
+    s_sorted, d_sorted = sorted(s_rows), sorted(d_rows)
+    if s_sorted != d_sorted:
+        diffs = [
+            (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
+        ][:5]
+        raise AssertionError(f"{spec.name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("spec", ROWS_ONLY, ids=[s.name for s in ROWS_ONLY])
+def test_rows_only_runs(spark, spec):
+    df = spec.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
