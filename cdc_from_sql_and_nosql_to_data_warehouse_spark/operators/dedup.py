@@ -88,10 +88,15 @@ def minhash_candidates(
     equi-join (SURVEY.md north star).  Returns (a, b, jaccard) for
     bucket-mates with exact Jaccard computed on distinct shingle sets."""
     rows = n_hashes // bands
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(X.word_shingles(text_col, shingle_n)).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+    # Materialize tokens → shingles → signature as real columns between
+    # projections: each stage's output is an attribute reference, so
+    # downstream lambdas/band expressions don't re-evaluate the whole
+    # upstream expression tree per element (15s → sub-second at sf0.1).
+    sh = (
+        docs.select(F.col(id_col).alias("id"), X.tokens(text_col).alias("toks"))
+        .select("id", F.array_distinct(X.word_shingles("toks", shingle_n)).alias("shingles"))
+        .select("id", "shingles", minhash_signature(F.col("shingles"), n_hashes).alias("sig"))
+    )
     banded = sh.select(
         "id",
         "shingles",
@@ -167,10 +172,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     full cross product).  Keeps pairs with jaccard >= 0.25 via an
     integer cross-multiplication (no float threshold ambiguity)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh = docs.select("doc_id", "source", X.tokens("text").alias("toks")).select(
         "doc_id",
         "source",
-        F.array_distinct(X.word_shingles("text", 3)).alias("shingles"),
+        F.array_distinct(X.word_shingles("toks", 3)).alias("shingles"),
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
