@@ -1,0 +1,219 @@
+"""CDC core — change-event model and apply semantics (SURVEY.md §2.1
+A8-A17, §3.2), shared between batch and streaming.
+
+The reference's NoSQL pipeline: DynamoDB stream records
+{eventName ∈ {INSERT, MODIFY, REMOVE}, newImage} are filtered
+(REMOVE dropped, unknown → error,
+reference: source/write_dynamodb_stream_to_s3_lambda/handler.py:27-38),
+staged as NDJSON files with timestamped names (:40-58), and blindly
+COPY-appended into the warehouse (load_s3_files…/handler.py:54-71) —
+so duplicates accumulate and deletes never propagate (README.md:30).
+
+This module implements BOTH semantics:
+- ``append`` mode reproduces the reference (duplicates accumulate,
+  REMOVE dropped);
+- ``merge`` mode is the corrected apply: per-key latest-wins by
+  sequence, REMOVE deletes.
+
+All transformations are plain DataFrame→DataFrame functions, applied
+identically to batch frames and to streaming micro-batches via
+``foreachBatch`` — the Structured Streaming model (repo:PAPERS.md,
+SIGMOD'18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import TRADES_SCHEMA
+
+ALLOWED_EVENTS = ("INSERT", "MODIFY")
+
+# Change-event envelope (FIXTURES.md §1.3): seq is the monotonic
+# per-key order carrier — in the reference it's the staged file's
+# timestamped name (write_dynamodb_stream_to_s3_lambda/handler.py:47).
+CHANGE_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("eventName", T.StringType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("newImage", TRADES_SCHEMA, True),
+        T.StructField("removedId", T.StringType(), True),
+    ]
+)
+
+
+def split_change_events(
+    events: DataFrame, allowed: tuple[str, ...] = ALLOWED_EVENTS, keep_remove: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """A10: keep INSERT/MODIFY (and REMOVE when merging), route unknown
+    event names to an error channel instead of the reference's raise —
+    a per-row raise would kill the whole job on one bad record at scale."""
+    known = allowed + (("REMOVE",) if keep_remove else ())
+    valid = events.filter(F.col("eventName").isin(*known))
+    invalid = events.filter(
+        ~F.col("eventName").isin(*(allowed + ("REMOVE",)))
+    )
+    return valid, invalid
+
+
+def latest_wins(df: DataFrame, key: str, seq: str = "seq") -> DataFrame:
+    """A8 upsert semantics as a batch op: one row per key, max-seq image.
+    Single shuffle on the key; at 100 TB pre-bucketing the table by the
+    key makes this shuffle-free."""
+    w = Window.partitionBy(key).orderBy(F.col(seq).desc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def apply_changes(
+    target: DataFrame | None,
+    changes: DataFrame,
+    key: str = "id",
+    seq: str = "seq",
+    mode: str = "merge",
+) -> DataFrame:
+    """Apply a batch of change events to a (possibly empty) target.
+
+    ``append``: reference semantics — INSERT/MODIFY images appended
+    blindly, REMOVE dropped, duplicates accumulate (A14).
+    ``merge``: corrected semantics — per-key latest event wins; a
+    REMOVE as the latest event deletes the key (B36).
+    """
+    if mode not in ("append", "merge"):
+        raise ValueError(f"unknown apply mode: {mode}")
+
+    if mode == "append":
+        valid, _ = split_change_events(changes, keep_remove=False)
+        images = valid.select(F.col("newImage.*"))
+        return target.unionByName(images) if target is not None else images
+
+    valid, _ = split_change_events(changes, keep_remove=True)
+    flat = valid.select(
+        F.coalesce(F.col("newImage.id"), F.col("removedId")).alias("__key"),
+        F.col(seq).alias("__seq"),
+        (F.col("eventName") == "REMOVE").alias("__is_remove"),
+        F.col("newImage").alias("__img"),
+    )
+    if target is not None:
+        base = target.select(
+            F.col(key).alias("__key"),
+            F.lit(0).cast("long").alias("__seq"),
+            F.lit(False).alias("__is_remove"),
+            F.struct(*[F.col(c) for c in target.columns]).alias("__img"),
+        )
+        flat = base.unionByName(flat)
+    latest = latest_wins(flat, "__key", "__seq")
+    return latest.filter(~F.col("__is_remove")).select(F.col("__img.*"))
+
+
+def snapshot_union_cdc(
+    snapshot: DataFrame, changes: DataFrame, key: str = "id", seq: str = "seq"
+) -> DataFrame:
+    """A17 full-load-and-cdc: initial snapshot overridden by any later
+    change images (DMS migration_type='full-load-and-cdc',
+    reference: cdk_infrastructure/__init__.py:260)."""
+    return apply_changes(snapshot, changes, key=key, seq=seq, mode="merge")
+
+
+# ------------------------------------------------------------ streaming
+
+
+def read_change_stream(
+    spark: SparkSession, drop_dir: str, max_files_per_trigger: int = 100
+) -> DataFrame:
+    """A9: micro-batch change-stream source — a file-drop folder stands
+    in for the DynamoDB stream / S3 staging protocol (one NDJSON file
+    per tick, reference handler.py:44-58).  maxFilesPerTrigger mirrors
+    the reference's batch_size=100 event-source mapping
+    (cdk_infrastructure/__init__.py:441)."""
+    return (
+        spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(drop_dir)
+    )
+
+
+def start_append_stream(
+    changes: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
+):
+    """A12/A14 append mode as a streaming sink: filtered change images
+    appended to parquet; the checkpoint replaces the reference's
+    move-to-processed file state machine (A15) — offsets make replay
+    idempotent without renaming files."""
+    valid, _ = split_change_events(changes)
+    images = valid.select(F.col("newImage.*"))
+    writer = (
+        images.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_merge_stream(
+    changes: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key: str = "id",
+    available_now: bool = True,
+):
+    """B36 apply-changes via foreachBatch: each micro-batch merges into
+    the keyed table with latest-wins.  (Parquet read-modify-write here;
+    on a real lakehouse the same function body is a Delta/Iceberg MERGE
+    — the transformation logic is identical.)"""
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            current = spark.read.parquet(table_dir)
+        except Exception:
+            current = None
+        merged = apply_changes(current, batch, key=key, mode="merge")
+        merged.persist()
+        merged.count()
+        merged.write.mode("overwrite").parquet(table_dir)
+        merged.unpersist()
+
+    writer = changes.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_dedup(changes: DataFrame, key_cols: list[str], watermark_col: str, delay: str):
+    """B35: watermark-scoped streaming dedup — state is bounded by the
+    watermark horizon (dedup-forever state is unbounded at 100 TB;
+    SURVEY.md §7.4.5)."""
+    return changes.withWatermark(watermark_col, delay).dropDuplicates(key_cols)
+
+
+def is_stream_active(spark: SparkSession, name: str) -> bool:
+    """A19 idempotent stream-job control: start only when not already
+    running (reference checks DMS task status before StartReplicationTask,
+    source/start_dms_replication_task_lambda/handler.py:60-79)."""
+    return any(q.name == name for q in spark.streams.active)
+
+
+def count_parity(source: DataFrame, target: DataFrame) -> DataFrame:
+    """A20 COUNT(*) parity metric — implemented as intended (the
+    reference executes but never fetches the target count; we return
+    both plus lag)."""
+    s = source.agg(F.count(F.lit(1)).alias("source_rows"))
+    t = target.agg(F.count(F.lit(1)).alias("target_rows"))
+    return s.crossJoin(t).select(
+        "source_rows", "target_rows", (F.col("source_rows") - F.col("target_rows")).alias("row_lag")
+    )
+
+
+def retention_filter(df: DataFrame, ts_col: str, max_age: str) -> DataFrame:
+    """A16 retention/TTL: keep rows younger than the horizon (the S3
+    lifecycle expiry analog, cdk_infrastructure/__init__.py:380-388).
+    With ingest-date partitioning this prunes whole partitions."""
+    return df.filter(F.col(ts_col) >= F.current_timestamp() - F.expr(f"INTERVAL {max_age}"))

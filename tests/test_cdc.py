@@ -1,0 +1,92 @@
+"""CDC-semantics unit tests (SURVEY.md §5.2.2-3): the reference's
+documented duplicate-accumulation semantics in append mode, the
+corrected merge mode, REMOVE policy both ways, the unknown-event error
+channel, and count parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources import readers
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming import cdc
+
+FIX = "/root/repo/tests/fixtures"
+
+
+def _events(spark):
+    return spark.read.schema(cdc.CHANGE_EVENT_SCHEMA).json(f"{FIX}/change_events.ndjson")
+
+
+def test_event_filter_and_error_channel(spark):
+    ev = _events(spark)
+    bad = ev.unionByName(
+        spark.createDataFrame(
+            [("UPSERT", 99)], "eventName string, seq long"
+        ).withColumn("newImage", F.lit(None).cast(readers.TRADES_SCHEMA))
+        .withColumn("removedId", F.lit(None).cast("string"))
+    )
+    valid, invalid = cdc.split_change_events(bad)
+    # 8 INSERT + 3 MODIFY valid; REMOVE excluded in append mode
+    assert valid.count() == 11
+    # unknown event routed to the error channel, not silently dropped
+    assert invalid.count() == 1
+    assert invalid.first()["eventName"] == "UPSERT"
+
+
+def test_append_mode_accumulates_duplicates(spark):
+    # Reference end-to-end semantics (SURVEY.md §2.1 end note): each tick
+    # re-appends all images; warehouse grows by images/tick; REMOVE never
+    # propagates (README.md:30).
+    ev = _events(spark)
+    tick1 = cdc.apply_changes(None, ev, mode="append")
+    assert tick1.count() == 11  # 8 INSERT + 3 MODIFY, REMOVE dropped
+    tick2 = cdc.apply_changes(tick1, ev, mode="append")
+    assert tick2.count() == 22  # duplicates accumulate
+    # the removed id is still present — deletes don't propagate in append
+    removed_id = ev.filter("eventName = 'REMOVE'").first()["removedId"]
+    assert tick2.filter(F.col("id") == removed_id).count() > 0
+
+
+def test_merge_mode_latest_wins_and_remove(spark):
+    ev = _events(spark)
+    merged = cdc.apply_changes(None, ev, mode="merge")
+    # 8 distinct ids, one REMOVEd as the latest event → 7 rows
+    assert merged.count() == 7
+    removed_id = ev.filter("eventName = 'REMOVE'").first()["removedId"]
+    assert merged.filter(F.col("id") == removed_id).count() == 0
+    # MODIFY images (higher seq) override the INSERT images
+    mods = {
+        r["newImage"]["id"]: r["newImage"]["price"]
+        for r in ev.filter("eventName = 'MODIFY'").collect()
+    }
+    got = {r["id"]: r["price"] for r in merged.collect()}
+    for k, price in mods.items():
+        if k in got:
+            assert got[k] == price
+    # re-applying the same batch is idempotent (upsert semantics, A8)
+    merged2 = cdc.apply_changes(merged, ev, mode="merge")
+    assert merged2.count() == 7
+
+
+def test_snapshot_union_cdc(spark):
+    # A17: snapshot rows overridden by later change images
+    docs = readers.read_documents_json(spark, f"{FIX}/trades.ndjson").drop("event_time")
+    ev = _events(spark)
+    applied = cdc.snapshot_union_cdc(docs, ev, key="id")
+    assert applied.count() == 7  # REMOVE deletes one key
+    mods = {
+        r["newImage"]["id"]: r["newImage"]["price"]
+        for r in ev.filter("eventName = 'MODIFY'").collect()
+    }
+    got = {r["id"]: r["price"] for r in applied.collect()}
+    for k, price in mods.items():
+        if k in got:
+            assert got[k] == price
+
+
+def test_count_parity(spark):
+    docs = readers.read_documents_json(spark, f"{FIX}/trades.ndjson")
+    parity = cdc.count_parity(docs, docs.limit(5)).first()
+    assert parity["source_rows"] == 8
+    assert parity["target_rows"] == 5
+    assert parity["row_lag"] == 3

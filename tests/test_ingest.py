@@ -1,0 +1,121 @@
+"""Golden-fixture ingest tests (SURVEY.md §5.2.2): replay replicas of
+the reference's own data shapes through ingest/normalize and assert the
+documented end states."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import normalize as N
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources import attrvalue, readers
+
+FIX = "/root/repo/tests/fixtures"
+
+
+def test_csv_header_normalization(spark):
+    # A2: 'Account No' → account_no, ' WITHDRAWAL AMT ' → withdrawal_amt
+    df = readers.read_csv_normalized(spark, f"{FIX}/txns.csv")
+    assert df.columns == [
+        "account_no",
+        "date",
+        "transaction_details",
+        "chip_used",
+        "value_date",
+        "withdrawal_amt",
+        "deposit_amt",
+        "balance_amt",
+    ]
+    assert df.count() == 24  # 24 data rows per tick, reference README.md:11
+
+
+def test_typed_parse_money_date_bool(spark):
+    # A3 inverse: money "  1,063,965.88 " → decimal; d-MMM-yy → date;
+    # TRUE/FALSE → boolean; blank → NULL
+    df = readers.read_csv_normalized(spark, f"{FIX}/txns.csv")
+    typed = N.typed_parse(
+        df,
+        {
+            "date": "date",
+            "value_date": "date",
+            "chip_used": "bool",
+            "withdrawal_amt": "money",
+            "deposit_amt": "money",
+            "balance_amt": "money",
+        },
+    )
+    rows = typed.collect()
+    r0 = rows[0]
+    assert r0["date"] == datetime.date(2017, 6, 29)  # '29-Jun-17', yy→2017
+    assert isinstance(r0["chip_used"], bool)
+    assert r0["balance_amt"] == Decimal("969745.25")
+    # exactly one of withdrawal/deposit per row (FIXTURES.md §1.1)
+    for r in rows:
+        assert (r["withdrawal_amt"] is None) != (r["deposit_amt"] is None)
+
+
+def test_running_balance_property(spark):
+    # B15 property check: balance == prev_balance + deposit - withdrawal
+    # per account in file order (the banking running balance).
+    df = readers.read_csv_normalized(spark, f"{FIX}/txns.csv")
+    typed = N.typed_parse(
+        df, {"withdrawal_amt": "money", "deposit_amt": "money", "balance_amt": "money"}
+    )
+    for acct_rows in (
+        typed.filter(F.col("account_no") == a).collect()
+        for a in [r[0] for r in typed.select("account_no").distinct().collect()]
+    ):
+        prev = None
+        for r in acct_rows:
+            delta = (r["deposit_amt"] or Decimal(0)) - (r["withdrawal_amt"] or Decimal(0))
+            if prev is not None:
+                assert r["balance_amt"] == prev + delta
+            prev = r["balance_amt"]
+
+
+def test_stringly_roundtrip(spark):
+    # A3 forward: every column castable to string (the all-varchar table)
+    df = readers.read_csv_normalized(spark, f"{FIX}/txns.csv")
+    s = N.stringly(df)
+    assert all(t == "string" for _, t in s.dtypes)
+    assert s.count() == 24
+
+
+def test_trades_json_schema_drift(spark):
+    # A7: 8 docs, explicit schema, missing `ticket` → null (1 of 8)
+    df = readers.read_documents_json(spark, f"{FIX}/trades.ndjson")
+    assert df.count() == 8
+    assert df.filter(F.col("ticket").isNull()).count() == 1
+    r = df.filter(F.col("ticket").isNotNull()).first()
+    assert isinstance(r["price"], float)
+    assert isinstance(r["details"]["asks"][0], float)
+    assert r["event_time"] is not None  # ISO-8601 time.date parsed
+
+
+def test_attrvalue_expression_decode(spark):
+    # A11: wire-format AttributeValue JSON → typed struct via pure
+    # column expressions (no Python in the row path)
+    raw = spark.read.text(f"{FIX}/trades_attrvalue.ndjson")
+    decoded = attrvalue.decode_trades_df(raw, "value")
+    rows = decoded.orderBy("id").collect()
+    assert len(rows) == 8
+    assert {len(r["id"]) for r in rows} == {24}
+    assert all(isinstance(r["price"], float) for r in rows)
+    assert sum(1 for r in rows if r["ticket"] is None) == 1
+    assert all(len(r["details"]["asks"]) == 3 for r in rows)
+
+
+def test_attrvalue_python_decoder_matches_expression(spark):
+    # generic fallback decoder agrees with the expression decode
+    import json
+
+    with open(f"{FIX}/trades_attrvalue.ndjson") as f:
+        py = [attrvalue.deserialize_attrvalue(json.loads(line)) for line in f]
+    raw = spark.read.text(f"{FIX}/trades_attrvalue.ndjson")
+    dec = {r["id"]: r for r in attrvalue.decode_trades_df(raw, "value").collect()}
+    for doc in py:
+        r = dec[doc["id"]]
+        assert r["price"] == doc["price"]
+        assert r["details"]["lag"] == int(doc["details"]["lag"])

@@ -1,0 +1,164 @@
+"""Structured Streaming tests (SURVEY.md §5.2.4): file-drop source +
+availableNow triggers simulating the reference's S3 folder protocol,
+append vs merge sinks, watermark dedup, event-time windows via the
+in-memory sink."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming import cdc, windows
+
+FIX = "/root/repo/tests/fixtures"
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    yield str(tmp_path)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def _drop_events_file(drop_dir: str, events: list[dict]) -> None:
+    # one NDJSON file per micro-batch, timestamped-unique name — the
+    # reference's staging protocol (write_dynamodb_stream_to_s3_lambda:44-58)
+    name = f"{drop_dir}/{uuid.uuid4().hex}__records.json"
+    with open(name, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def _load_fixture_events() -> list[dict]:
+    with open(f"{FIX}/change_events.ndjson") as f:
+        return [json.loads(line) for line in f]
+
+
+def test_append_stream_reproduces_duplicates(spark, tdir):
+    drop, out, ckpt = f"{tdir}/drop", f"{tdir}/out", f"{tdir}/ckpt"
+    import os
+
+    os.makedirs(drop)
+    events = _load_fixture_events()
+    _drop_events_file(drop, events)
+
+    stream = cdc.read_change_stream(spark, drop)
+    assert stream.isStreaming
+    q = cdc.start_append_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 11  # 8 INSERT + 3 MODIFY
+
+    # second tick: same file content dropped again → duplicates accumulate
+    _drop_events_file(drop, events)
+    q = cdc.start_append_stream(cdc.read_change_stream(spark, drop), out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 22
+
+    # checkpoint = exactly-once: restarting with no new files adds nothing
+    q = cdc.start_append_stream(cdc.read_change_stream(spark, drop), out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 22
+
+
+def test_merge_stream_latest_wins(spark, tdir):
+    drop, table, ckpt = f"{tdir}/drop", f"{tdir}/table", f"{tdir}/ckpt"
+    import os
+
+    os.makedirs(drop)
+    _drop_events_file(drop, _load_fixture_events())
+    q = cdc.start_merge_stream(cdc.read_change_stream(spark, drop), table, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(table)
+    assert got.count() == 7  # one key REMOVEd
+    # replay the same events → still 7 (idempotent apply)
+    _drop_events_file(drop, _load_fixture_events())
+    q = cdc.start_merge_stream(cdc.read_change_stream(spark, drop), table, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(table).count() == 7
+
+
+def test_streaming_dedup_with_watermark(spark, tdir):
+    drop = f"{tdir}/drop"
+    import os
+
+    os.makedirs(drop)
+    events = _load_fixture_events()
+    _drop_events_file(drop, events + events)  # duplicated in one batch
+
+    stream = cdc.read_change_stream(spark, drop).withColumn(
+        "ts", F.timestamp_seconds(F.col("seq") * 60)
+    )
+    deduped = cdc.streaming_dedup(stream, ["seq"], "ts", "10 minutes")
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table(name).count() == len(events)
+
+
+def test_tumbling_window_memory_sink(spark, tdir):
+    drop = f"{tdir}/drop"
+    import os
+
+    os.makedirs(drop)
+    # synthetic timestamped events
+    rows = [
+        {"eventName": "INSERT", "seq": i, "newImage": None, "removedId": None}
+        for i in range(1, 21)
+    ]
+    _drop_events_file(drop, rows)
+    stream = (
+        cdc.read_change_stream(spark, drop)
+        .withColumn("ts", F.timestamp_seconds(F.col("seq") * 90))
+        .withColumn("event_type", F.col("eventName"))
+        .withColumn("value", F.col("seq").cast("double"))
+    )
+    agg = windows.tumbling_counts(stream, width="5 minutes", watermark="10 minutes")
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name).collect()
+    assert sum(r["n"] for r in out) == 20
+    # 20 events at 90s spacing span 30 minutes → 6-7 tumbling windows
+    assert 6 <= len(out) <= 7
+
+
+def test_batch_window_functions_agree_with_streaming_shapes(spark):
+    # windows module functions are mode-agnostic; pin batch semantics
+    ev = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "seq long, user_id long, value double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("seq") * 120)).withColumn(
+        "event_type", F.lit("click")
+    )
+    t = windows.tumbling_counts(ev, width="10 minutes")
+    assert sum(r["n"] for r in t.collect()) == 30
+    s = windows.sliding_counts(ev, width="10 minutes", slide="5 minutes")
+    assert s.count() > t.count()  # overlapping windows
+    # per-user spacing is 6 min (seq%3 at 2-min steps): a 7-min gap fuses
+    # each user into one session; a 3-min gap splits them in two
+    sess = windows.session_counts(ev.filter("seq < 6"), gap="7 minutes")
+    assert sess.count() == 3
+    sess_split = windows.session_counts(ev.filter("seq < 6"), gap="3 minutes")
+    assert sess_split.count() == 6
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "user_id long, tag string")
+    enriched = windows.enrich_stream(ev, dim, "user_id")
+    assert enriched.filter("tag IS NULL").count() == 0
+
+
+def test_stream_job_control(spark):
+    assert cdc.is_stream_active(spark, "no_such_stream") is False
