@@ -207,3 +207,97 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", X.fingerprint("text").alias("fp")
     )
+
+
+@register(
+    "q_text_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(
+        generate_series(1, greatest(length(toks) - 1, 0)),
+        i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM t
+    )
+    SELECT bigram, COUNT(*) AS n FROM grams GROUP BY bigram HAVING COUNT(*) >= 5
+    """,
+)
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 word n-grams (bigrams) with corpus frequencies — the shingle
+    generator reused at n=2, token column materialized first (see
+    functions.text.word_shingles note)."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(X.tokens("text").alias("toks"))
+        .select(F.explode(word_shingles("toks", 2)).alias("bigram"))
+    )
+    return grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 5)
+
+
+@register(
+    "q_text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf,
+      round(tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6), 6) AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    WHERE tf.tf >= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 TF-IDF: term frequency per doc × ln(N/df).  Three hash-aggs +
+    a broadcast-sized token-df join; idf is rounded to 6dp on both
+    engines before the multiply so libm ulp differences can't leak."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("tf") >= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "q_udtf_tokens",
+    oracle=f"""
+    SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents WHERE doc_id < 50
+    """,
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 Python UDTF (Spark 3.4+): one input row → N output rows.  The
+    built-in explode covers this case (q_text_tokens); the UDTF exists
+    to prove the table-function surface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, token string")
+    class SplitTokens:
+        def eval(self, doc_id: int, text: str):
+            for tok in text.lower().split():
+                if tok:
+                    yield doc_id, tok
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT s.doc_id, s.token FROM documents, "
+        "LATERAL split_tokens(doc_id, text) s WHERE documents.doc_id < 50"
+    )
