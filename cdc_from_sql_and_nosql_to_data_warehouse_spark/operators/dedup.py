@@ -97,9 +97,11 @@ def minhash_candidates(
         .select("id", F.array_distinct(X.word_shingles("toks", shingle_n)).alias("shingles"))
         .select("id", "shingles", minhash_signature(F.col("shingles"), n_hashes).alias("sig"))
     )
+    # Band rows carry only (id, band, bucket) — never the shingle arrays
+    # — so the candidate-generation shuffle moves a few bytes per row.
+    # Shingles are re-attached only for the (rare) candidate pairs.
     banded = sh.select(
         "id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -111,7 +113,7 @@ def minhash_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "shingles", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -121,19 +123,17 @@ def minhash_candidates(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("a"),
-            F.col("b.id").alias("b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
         .dropDuplicates(["a", "b"])  # same pair can collide in several bands
+    )
+    shingle_sets = sh.select("id", "shingles")
+    verified = (
+        pairs.join(shingle_sets.withColumnRenamed("id", "a").withColumnRenamed("shingles", "sh_a"), "a")
+        .join(shingle_sets.withColumnRenamed("id", "b").withColumnRenamed("shingles", "sh_b"), "b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return pairs.select(
-        "a", "b", (inter / union).alias("jaccard")
-    )
+    return verified.select("a", "b", (inter / union).alias("jaccard"))
 
 
 @register("q_dedup_near_minhash")  # murmur3-based — rows-only check

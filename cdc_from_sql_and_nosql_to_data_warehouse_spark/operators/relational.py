@@ -1088,3 +1088,31 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber"
     )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+      COUNT(*) OVER w AS n_similar_price,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE) AS sum_similar_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 RANGE frame: value-based window (orders within ±10000 of the
+    current order's price, per customer)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-10000, 10000)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar_price"),
+        F.sum(dec("o_totalprice", 14, 2)).over(w).cast("double").alias("sum_similar_price"),
+    )

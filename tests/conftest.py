@@ -21,9 +21,13 @@ TABLES = (
 
 
 @pytest.fixture(scope="session")
-def spark() -> SparkSession:
+def spark(tmp_path_factory) -> SparkSession:
     s = (
         SparkSession.builder.appName("engine-tests")
+        .config(
+            "spark.sql.warehouse.dir",
+            str(tmp_path_factory.mktemp("spark-warehouse")),
+        )
         .master("local[4]")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
