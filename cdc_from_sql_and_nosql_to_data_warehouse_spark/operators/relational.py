@@ -472,10 +472,10 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_rank",
     oracle="""
     SELECT c_custkey, c_mktsegment, c_acctbal,
-      row_number() OVER w AS rn,
-      rank() OVER w AS rnk,
-      dense_rank() OVER w AS drnk,
-      ntile(4) OVER w AS quartile
+      CAST(row_number() OVER w AS INTEGER) AS rn,
+      CAST(rank() OVER w AS INTEGER) AS rnk,
+      CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+      CAST(ntile(4) OVER w AS INTEGER) AS quartile
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
     """,
@@ -584,7 +584,7 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sort_multi",
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,
-      row_number() OVER (ORDER BY c_nationkey ASC, c_acctbal DESC NULLS LAST, c_custkey) AS sort_pos
+      CAST(row_number() OVER (ORDER BY c_nationkey ASC, c_acctbal DESC NULLS LAST, c_custkey) AS INTEGER) AS sort_pos
     FROM customer
     """,
 )

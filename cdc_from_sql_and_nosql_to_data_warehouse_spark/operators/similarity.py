@@ -34,7 +34,7 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_
         {_sql_cosine('q.embedding', 'c.embedding')} AS cosine
       FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
     )
-    SELECT query_id, cand_id, cosine, rn AS rank
+    SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank
     FROM (
       SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn

@@ -17,7 +17,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import PandasUDFType, pandas_udf
+from pyspark.sql.functions import pandas_udf
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
@@ -55,8 +55,8 @@ def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 grouped-aggregate pandas UDF (int sums are exact in float64
     below 2^53, so the mean is deterministic and oracle-matchable)."""
 
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def mean_chars(n_chars: pd.Series) -> float:
+    @pandas_udf("double")
+    def mean_chars(n_chars: pd.Series) -> float:  # Series→scalar = grouped agg
         return float(n_chars.sum()) / len(n_chars)
 
     docs = load_table(spark, sf_dir, "documents")

@@ -59,7 +59,60 @@ def duck_rows(con, sql):
     names = [d[0] for d in cur.description]
     order = sorted(range(len(names)), key=lambda i: names[i])
     rows = [tuple(canon(r[i]) for i in order) for r in cur.fetchall()]
-    return sorted(names), rows
+    arrow_types = {
+        f.name: _arrow_base(f.type) for f in con.execute(sql).fetch_arrow_table().schema
+    }
+    return sorted(names), rows, arrow_types
+
+
+def _arrow_base(t) -> str:
+    """Canonical base name of an arrow type (width-exact for numerics,
+    lenient for string/timestamp flavors)."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_base(t.value_type)}>"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return str(t)
+
+
+_SPARK_TO_ARROW = {
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+def spark_arrow_base(dtype: str) -> str:
+    if dtype.startswith("decimal"):
+        return "decimal"
+    if dtype.startswith("array<"):
+        return f"list<{spark_arrow_base(dtype[6:-1])}>"
+    return _SPARK_TO_ARROW.get(dtype, dtype)
 
 
 SPECS = [s for s in ops.REGISTRY.values() if s.oracle]
@@ -70,8 +123,14 @@ ROWS_ONLY = [s for s in ops.REGISTRY.values() if not s.oracle]
 def test_matches_oracle(spark, oracle, spec):
     df = spec.fn(spark, SF_DIR)
     s_cols, s_rows = spark_rows(df)
-    d_cols, d_rows = duck_rows(oracle, spec.oracle)
+    d_cols, d_rows, d_types = duck_rows(oracle, spec.oracle)
     assert s_cols == d_cols, f"{spec.name}: column names differ: {s_cols} vs {d_cols}"
+    # width-exact schema agreement (the driver may be type-strict)
+    for col, sdt in df.dtypes:
+        if col in d_types and not sdt.startswith("map"):
+            assert spark_arrow_base(sdt) == d_types[col], (
+                f"{spec.name}.{col}: spark {sdt} vs oracle arrow {d_types[col]}"
+            )
     assert len(s_rows) == len(d_rows), (
         f"{spec.name}: row count {len(s_rows)} vs oracle {len(d_rows)}"
     )
