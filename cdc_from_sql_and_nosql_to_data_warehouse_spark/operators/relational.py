@@ -1116,3 +1116,45 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_similar_price"),
         F.sum(dec("o_totalprice", 14, 2)).over(w).cast("double").alias("sum_similar_price"),
     )
+
+
+@register(
+    "q_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+      round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+      round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9/B23 exact percentiles (interpolated): Spark `percentile` and
+    DuckDB `quantile_cont` share the (n-1)*p linear-interpolation
+    definition; rounded to 4dp to absorb interpolation-arithmetic ulps."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95_price"),
+    )
+
+
+@register(
+    "q_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+      round(stddev_samp(l_quantity), 6) AS qty_stddev,
+      round(var_samp(l_quantity), 6) AS qty_var,
+      round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 statistical aggregates (stddev/variance/correlation), rounded
+    to 6dp — both engines use single-pass covariance updates whose last
+    ulps can differ."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+    )

@@ -1,0 +1,87 @@
+"""applyInPandasWithState custom stateful operator + salted skew join."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import skew
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming import stateful
+
+from conftest import SF_DIR
+
+
+def _drop(drop_dir: str, rows: list[dict]) -> None:
+    with open(f"{drop_dir}/{uuid.uuid4().hex}.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_keyed_cdc_state_across_batches(spark, tmp_path):
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    _drop(drop, [{"id": "a", "seq": 1, "price": 10.0}, {"id": "b", "seq": 2, "price": 5.0}])
+
+    stream = spark.readStream.schema("id string, seq long, price double").json(drop)
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful.keyed_cdc_state(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r for r in spark.table(name).collect()}
+    assert got["a"]["last_seq"] == 1 and got["a"]["n_events"] == 1
+
+    # batch 2: out-of-order event for a (seq 0 ignored for state), new for b
+    _drop(drop, [{"id": "a", "seq": 0, "price": 99.0}, {"id": "b", "seq": 3, "price": 7.0}])
+    q = (
+        stateful.keyed_cdc_state(stream)
+        .writeStream.format("memory")
+        .queryName(name + "2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # fresh checkpoint-less restart reprocesses everything: final state
+    got = {r["id"]: r for r in spark.table(name + "2").collect()}
+    assert got["a"]["last_seq"] == 1  # seq 0 did not regress the state
+    assert got["a"]["last_price"] == 10.0
+    assert got["a"]["n_events"] == 2
+    assert got["b"]["last_seq"] == 3 and got["b"]["last_price"] == 7.0
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    plain = li.join(o, li["l_orderkey"] == o["o_orderkey"]).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+    ).first()
+    salted = skew.salted_join(li, o, "l_orderkey", "o_orderkey", salt_n=4).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+    ).first()
+    assert plain["n"] == salted["n"]
+    assert plain["q"] == salted["q"]
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    big = load_table(spark, SF_DIR, "orders").filter(F.col("o_totalprice") > 400000)
+    plain = c.join(big, c["c_custkey"] == big["o_custkey"], "left").count()
+    salted = skew.salted_join(c, big, "c_custkey", "o_custkey", salt_n=4, how="left").count()
+    assert plain == salted
+
+
+def test_key_histogram(spark):
+    h = skew.key_histogram(load_table(spark, SF_DIR, "lineitem"), "l_returnflag", top=3)
+    rows = h.collect()
+    assert len(rows) == 3
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
