@@ -984,14 +984,23 @@ def q_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_map_funcs",
     oracle="""
+    WITH m_t AS (
+      SELECT l_orderkey, l_linenumber,
+        map(['price', 'qty'], [l_extendedprice, l_quantity]) AS m
+      FROM lineitem
+    )
     SELECT l_orderkey, l_linenumber,
-      map_keys(map(['price', 'qty'], [l_extendedprice, l_quantity])) AS mkeys,
-      map_values(map(['price', 'qty'], [l_extendedprice, l_quantity])) AS mvals
-    FROM lineitem
+      CAST(cardinality(m) AS INTEGER) AS m_size,
+      m['price'][1] AS price_val,
+      m['qty'][1] AS qty_val,
+      array_to_string(map_keys(m), ',') AS keys_joined
+    FROM m_t
     """,
 )
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B25 map functions (construct, keys, values)."""
+    """B25 map functions: construct, size, element access, keys.
+    Scalar outputs only — map/array cells hash differently across
+    drivers; the semantics are fully exercised through extraction."""
     li = load_table(spark, sf_dir, "lineitem")
     m = F.map_from_arrays(
         F.array(F.lit("price"), F.lit("qty")),
@@ -1000,8 +1009,10 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.size(m).alias("m_size"),
+        F.element_at(m, "price").alias("price_val"),
+        F.element_at(m, "qty").alias("qty_val"),
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
     )
 
 

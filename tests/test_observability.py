@@ -1,0 +1,89 @@
+"""Streaming listener (A20 analog), update output mode (B38), and the
+JDBC surface shape."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources import jdbc
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming import cdc, listener
+
+FIX = "/root/repo/tests/fixtures"
+
+
+def test_count_parity_listener(spark, tmp_path):
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    with open(f"{FIX}/change_events.ndjson") as f:
+        events = [json.loads(line) for line in f]
+    with open(f"{drop}/{uuid.uuid4().hex}.json", "w") as fh:
+        for e in events:
+            fh.write(json.dumps(e) + "\n")
+
+    lst = listener.CountParityListener()
+    spark.streams.addListener(lst)
+    try:
+        name = f"obs_{uuid.uuid4().hex[:8]}"
+        q = (
+            cdc.read_change_stream(spark, drop)
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        spark.streams.resetTerminated()
+        # listener callbacks arrive on a separate thread — poll briefly
+        import time
+
+        for _ in range(60):
+            if listener.total_rows_seen(lst) >= len(events):
+                break
+            time.sleep(0.5)
+        assert listener.total_rows_seen(lst) == len(events)
+    finally:
+        spark.streams.removeListener(lst)
+
+
+def test_update_output_mode(spark, tmp_path):
+    # B38: update mode emits only changed aggregate rows per batch
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    rows = [{"eventName": "INSERT", "seq": i, "newImage": None, "removedId": None} for i in range(10)]
+    with open(f"{drop}/{uuid.uuid4().hex}.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    counts = cdc.read_change_stream(spark, drop).groupBy("eventName").count()
+    name = f"upd_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name).collect()
+    assert len(got) == 1 and got[0]["count"] == 10
+
+
+def test_jdbc_surface_shape(spark):
+    # no database in this environment: assert the reader is configured
+    # for partitioned pulls, and that load() fails only at connect time
+    r = jdbc.jdbc_reader(
+        spark,
+        "jdbc:mysql://localhost:3306/db",
+        "rds_cdc_table",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=8,
+    )
+    with pytest.raises(Exception):
+        r.load()  # no driver jar/database here — surface shape only
