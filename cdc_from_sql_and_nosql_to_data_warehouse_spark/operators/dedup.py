@@ -96,6 +96,10 @@ def minhash_candidates(
         docs.select(F.col(id_col).alias("id"), X.tokens(text_col).alias("toks"))
         .select("id", F.array_distinct(X.word_shingles("toks", shingle_n)).alias("shingles"))
         .select("id", "shingles", minhash_signature(F.col("shingles"), n_hashes).alias("sig"))
+        # the signature relation feeds three consumers (band explode and
+        # both sides of the pair-verify join); truncate lineage so the
+        # shingle+minhash computation runs once, not three times
+        .localCheckpoint(eager=False)
     )
     # Band rows carry only (id, band, bucket) — never the shingle arrays
     # — so the candidate-generation shuffle moves a few bytes per row.
