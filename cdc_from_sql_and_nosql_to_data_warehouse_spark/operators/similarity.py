@@ -119,3 +119,51 @@ def q_sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cand_id", "label", V.cosine("q_emb", "c_emb").alias("cosine"))
         .filter(F.col("cosine") >= 0.25)
     )
+
+
+@register("q_sim_ivf")  # centroid assignment is float-order sensitive — rows-only
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 IVF-style ANN: coarse quantization by nearest centroid (here
+    the per-label mean embedding — on a real corpus, k-means centroids),
+    then exact cosine only within the query's cell.  Same plan shape as
+    the 100 TB version: centroid table is broadcast, assignment happens
+    in the scan, search is an equi-join on the cell id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    # centroids: mean vector per label (a stand-in for trained k-means)
+    cents = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.col("label").alias("cell"), F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+    # assign every vector to its nearest centroid (broadcast centroids)
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("dist", -V.cosine("embedding", "centroid"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    q = assigned.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell"
+    )
+    c = assigned.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "cell")
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", V.cosine("q_emb", "c_emb").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

@@ -104,3 +104,24 @@ def read_documents_json(
     DoubleType in the schema."""
     df = spark.read.schema(schema).json(path)
     return df.withColumn("event_time", F.to_timestamp(F.col("time.date")))
+
+
+def select_tables(
+    available: list[str], schema_pattern: str = "%", table_pattern: str = "%"
+) -> list[str]:
+    """A18 source-side table selection: the DMS table-mapping include
+    rule (reference: cdk_infrastructure/__init__.py:264-280 includes
+    ``schema % / table rds_cdc_table``).  SQL LIKE patterns against
+    'schema.table' names; replication reads only the selected tables."""
+    import re
+
+    def like(pat: str) -> re.Pattern:
+        return re.compile("^" + re.escape(pat).replace("%", ".*").replace("_", ".") + "$")
+
+    sp, tp = like(schema_pattern), like(table_pattern)
+    out = []
+    for name in available:
+        schema, _, table = name.rpartition(".")
+        if sp.match(schema or "default") and tp.match(table):
+            out.append(name)
+    return out

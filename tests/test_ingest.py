@@ -119,3 +119,14 @@ def test_attrvalue_python_decoder_matches_expression(spark):
         r = dec[doc["id"]]
         assert r["price"] == doc["price"]
         assert r["details"]["lag"] == int(doc["details"]["lag"])
+
+
+def test_table_selector_like_patterns():
+    # A18: DMS table-mapping include rule semantics
+    tables = ["prod.rds_cdc_table", "prod.other", "stage.rds_cdc_table", "events"]
+    assert readers.select_tables(tables, "%", "rds_cdc_table") == [
+        "prod.rds_cdc_table",
+        "stage.rds_cdc_table",
+    ]
+    assert readers.select_tables(tables, "prod", "%") == ["prod.rds_cdc_table", "prod.other"]
+    assert readers.select_tables(tables, "%", "%") == tables
