@@ -58,5 +58,6 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (  # noqa: 
     relational,
     similarity,
     textops,
+    timeseries,
     udfs,
 )

@@ -1,0 +1,366 @@
+"""Time-series operators over the change-event table.
+
+The reference's only time-series abstraction is timestamped rows and
+timestamped file names (SURVEY.md §1.1; reference
+source/write_dynamodb_stream_to_s3_lambda/handler.py:47), but the
+warehouse it feeds exists to answer time-shaped questions over exactly
+such event tables (reference README.md:3).  This module supplies the
+operators Spark lacks as single built-ins — as-of join, interval range
+join, gap sessionization, multi-resolution rollup — each composed from
+shuffle-minimal DataFrame primitives:
+
+- as-of join  = union + one window pass (ONE shuffle on the key; no
+  join node at all, so no row explosion on ties);
+- range join  = bucketed equi-join with a residual predicate (the
+  classic interval-join decomposition; the probe side never becomes a
+  cartesian product);
+- sessionize  = two window passes over the same (user, ts) ordering —
+  Catalyst reuses a single Exchange for both;
+- rollup      = GROUPING SETS, partial-aggregated map-side like any
+  hash aggregate.
+
+All four are DuckDB-oracle-checked (ASOF JOIN is a DuckDB built-in,
+which makes the as-of oracle independent of our window trick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.exact import sql_dsum
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------- as-of join
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts, l.value, r.click_ts, r.click_value
+    FROM (SELECT event_id, user_id, ts, value
+          FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT user_id AS r_user, ts AS click_ts, MAX(value) AS click_value
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts) r
+      ON l.user_id = r.r_user AND l.ts >= r.click_ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the latest click at or
+    before it for the same user (attribution / point-in-time lookup).
+
+    Spark has no ASOF JOIN, and the naive `t1.ts >= t2.ts` theta join
+    explodes to O(n·m) per key.  The scalable form used here: union
+    both sides with a side marker, ONE window pass ordered by
+    (ts, side) with `last(..., ignorenulls=True)` carrying the most
+    recent right-side values forward, then keep the left rows.  Exactly
+    one shuffle (on user_id); state per row is O(1); survives any skew
+    AQE can split because there is no join build side at all.  The
+    right side is pre-aggregated per (user, ts) so equal-timestamp
+    right rows cannot make the match ambiguous — the same disambiguation
+    the DuckDB ASOF oracle needs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        "value",
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            "click_value",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        left.unionByName(right)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            "side",
+            F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True)
+            .over(w)
+            .alias("click_ts"),
+            F.last("click_value", ignorenulls=True).over(w).alias("click_value"),
+        )
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "value", "click_ts", "click_value")
+    )
+
+
+# ---------------------------------------------------------------- range join
+
+
+_WINDOW_SECONDS = 600  # incident window length == bucket width
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    WITH w AS (
+      SELECT event_id AS window_id, ts AS start_ts, ts + INTERVAL 10 MINUTE AS end_ts
+      FROM events WHERE event_type = 'error' AND value > 100
+    )
+    SELECT w.window_id, w.start_ts, COUNT(*) AS n_events, MAX(e.value) AS max_value
+    FROM w JOIN events e ON e.ts >= w.start_ts AND e.ts < w.end_ts
+    GROUP BY w.window_id, w.start_ts
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join: count the events inside each incident window
+    (10 minutes after every high-severity error).
+
+    A raw `e.ts BETWEEN w.start AND w.end` join has no equi key, so
+    Spark would pick BroadcastNestedLoopJoin — fine only while the
+    window side is tiny.  The scale-safe decomposition used here:
+    quantize time into buckets the size of the window, explode each
+    window to the (≤2) buckets it overlaps, equi-join on the bucket
+    key, and keep the range predicate as a cheap residual filter.  The
+    probe side is touched once per event (its single bucket), the
+    shuffle is a hash join on a long key, and the plan stays a
+    broadcast/shuffle HASH join at any data size.  Bucket width must
+    be ≥ the window length so a window spans at most 2 buckets.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    micros = _WINDOW_SECONDS * 1_000_000
+    windows = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 100))
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor(F.unix_micros("start_ts") / micros),
+                        F.floor(F.unix_micros("end_ts") / micros),
+                    )
+                )
+            ),
+        )
+    )
+    probe = ev.select(
+        "ts", "value", F.floor(F.unix_micros("ts") / micros).alias("bucket")
+    )
+    return (
+        probe.join(F.broadcast(windows), "bucket")
+        .filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")))
+        .groupBy("window_id", "start_ts")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
+    )
+
+
+# ---------------------------------------------------------------- sessionize
+
+
+_GAP_MICROS = 1800 * 1_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_MICROS}
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM g
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      MIN(ts) AS session_start, MAX(ts) AS session_end,
+      COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap sessionization: a new session starts after >30 min of
+    user inactivity (the batch twin of streaming `session_window`,
+    streaming/windows.py).
+
+    Classic two-pass window trick — mark boundaries with `lag`, number
+    sessions with a running sum of the marks — then one hash aggregate
+    per session.  Both window passes share the same (user_id) x
+    (ts, event_id) ordering, so Catalyst plans a single Exchange+Sort
+    and the whole query shuffles twice total (windows, then agg), with
+    per-key state O(1).  event_id tie-breaks equal timestamps for a
+    deterministic result under any partitioning.
+    """
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.exact import dsum
+
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = load_table(spark, sf_dir, "events")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag("ts").over(order).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order)) > _GAP_MICROS),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return (
+        marked.withColumn("session_seq", F.sum("is_new").over(running))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- grouping sets
+
+
+@register(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      COUNT(*) AS n_events, {sql_dsum('value')} AS total_value,
+      CASE WHEN event_type IS NULL THEN 2
+           WHEN CAST(date_trunc('day', ts) AS DATE) IS NULL THEN 1 ELSE 0 END AS lvl
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, CAST(date_trunc('day', ts) AS DATE)), (event_type), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 GROUPING SETS — the hypertable-style multi-resolution
+    continuous-aggregate shape: per (type, day), per type, and grand
+    total in ONE pass.  Spark expands the sets map-side and partial-
+    aggregates before the single shuffle, so the exchange carries one
+    row per (set x group), never per input row.  The rollup level is
+    derived from the null pattern (`lvl`) because the grouping columns
+    are non-null in this table; with nullable keys we would use
+    grouping_id() instead (bit order differs between engines, so the
+    oracle stays engine-neutral this way).
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+          CASE WHEN event_type IS NULL THEN 2
+               WHEN CAST(date_trunc('day', ts) AS DATE) IS NULL THEN 1 ELSE 0 END AS lvl
+        FROM events
+        GROUP BY GROUPING SETS ((event_type, CAST(date_trunc('day', ts) AS DATE)), (event_type), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------- TPC-H-shaped analytics
+
+
+@register(
+    "q_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-06-30 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): 3-way join, filtered on both
+    fact and dimension sides, top-10 unshipped orders by revenue.
+
+    The customer filter is applied before the join so Catalyst
+    broadcasts the reduced dimension; lineitem's date filter is pushed
+    to the parquet scan.  Top-k is TakeOrderedAndProject — each
+    partition keeps 10 rows, the driver merges, no global sort.
+    Revenue sums through DECIMAL (exact, order-insensitive) so the
+    top-10 cut is deterministic; l_orderkey breaks ties.
+    """
+    cutoff = F.lit("1997-06-30 00:00:00").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        one - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): count orders per
+    priority having at least one line shipped >60 days after the order
+    date.  The correlated EXISTS becomes a LEFT SEMI join with a
+    non-equi residual on the equi key — one shuffle, no duplication of
+    multi-line orders, and the semi join short-circuits per key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -49,3 +49,37 @@ def test_explain_surfaces(spark):
     df = REGISTRY["q_group_agg"].fn(spark, SF_DIR)
     text = plans.formatted_plan(df)
     assert "HashAggregate" in text and "Exchange" in text
+
+
+def test_asof_join_is_one_window_pass(spark):
+    # the scalable as-of form: no join node at all, one window exchange,
+    # both event_type filters pushed to the parquet scan
+    df = REGISTRY["q_asof_join"].fn(spark, SF_DIR)
+    text = plans.formatted_plan(df)
+    assert "Join" not in text and "Window" in text
+    assert plans.has_pushed_filter(df, "event_type")
+
+
+def test_range_join_is_hash_not_nested_loop(spark):
+    # bucketed interval join must plan as a broadcast HASH join; a
+    # BroadcastNestedLoopJoin here would be the O(n*m) plan we rejected
+    df = REGISTRY["q_range_join"].fn(spark, SF_DIR)
+    text = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in text
+    assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_sessionize_single_sort_exchange(spark):
+    # both window passes share one (user_id)x(ts,event_id) ordering:
+    # exactly one Sort in the plan, reused by lag + running sum
+    df = REGISTRY["q_sessionize"].fn(spark, SF_DIR)
+    text = plans.formatted_plan(df)
+    assert len([line for line in text.splitlines() if "Sort (" in line]) == 1, text
+
+
+def test_shipping_priority_topk_and_broadcast(spark):
+    df = REGISTRY["q_shipping_priority"].fn(spark, SF_DIR)
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in text
+    assert plans.has_broadcast_join(df)
+    assert plans.has_pushed_filter(df, "l_shipdate")
