@@ -267,3 +267,114 @@ def q_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_rows",
         (F.col("source_rows") - F.col("target_rows")).alias("row_lag"),
     )
+
+
+@register(
+    "q_scd2_build",
+    oracle="""
+    SELECT user_id, value, ts AS valid_from,
+      lead(ts) OVER w AS valid_to,
+      lead(ts) OVER w IS NULL AS is_current
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change history: each change
+    image becomes a version row with a [valid_from, valid_to) interval,
+    open-ended (and flagged current) for the latest image per key.
+
+    This is the warehouse-maintenance step downstream of the
+    reference's CDC feed — the full-image change stream (binlog ROW
+    full-image, cdk_infrastructure/__init__.py:107-110; DynamoDB
+    NEW_IMAGE, :370) is exactly the input SCD2 needs, and the engine
+    derives validity intervals with one `lead` window pass: a single
+    shuffle on the key, no self-join, no state beyond the frame.
+    event_id tie-breaks equal timestamps for determinism.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "value",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+    )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+    ), new AS (
+      SELECT c_custkey, c_name,
+        CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 10 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal
+      FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+      CASE WHEN o.c_custkey IS NULL THEN 'insert'
+           WHEN n.c_custkey IS NULL THEN 'delete'
+           ELSE 'update' END AS change_type,
+      o.c_acctbal AS old_acctbal, n.c_acctbal AS new_acctbal
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_acctbal <> n.c_acctbal OR o.c_name <> n.c_name
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing: derive a change feed (insert/update/delete
+    rows) by comparing two keyed snapshots — the inverse of A17's
+    snapshot∪cdc apply, and the fallback CDC strategy when a source has
+    no binlog/stream to tail (the reference's DMS does this internally
+    during its full-load phase, cdk_infrastructure/__init__.py:260).
+
+    One full outer join on the key (single shuffle; AQE may broadcast
+    the smaller snapshot), change rows classified from the null
+    pattern, unchanged rows dropped.  The simulated "new" snapshot
+    applies deterministic deletes/updates/inserts to the customer table
+    so the oracle sees identical inputs.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    old = c
+    new = (
+        c.filter(F.col("c_custkey") % 10 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_name", "c_acctbal"
+            )
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    return (
+        o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+        .filter(
+            F.col("o.c_custkey").isNull()
+            | F.col("n.c_custkey").isNull()
+            | (F.col("o.c_acctbal") != F.col("n.c_acctbal"))
+            | (F.col("o.c_name") != F.col("n.c_name"))
+        )
+        .select(
+            F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("c_custkey"),
+            F.when(F.col("o.c_custkey").isNull(), "insert")
+            .when(F.col("n.c_custkey").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            F.col("o.c_acctbal").alias("old_acctbal"),
+            F.col("n.c_acctbal").alias("new_acctbal"),
+        )
+    )

@@ -1101,6 +1101,23 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_sample_stratified")  # non-deterministic across engines — rows-only check
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29 stratified sampling (`sampleBy`): per-stratum Bernoulli
+    fractions — the training-data curation shape (downsample dominant
+    classes, keep rare ones whole).  Map-side only: no shuffle, scales
+    as pure scan throughput; the fractions dict is a tiny broadcast."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .sampleBy(
+            "event_type",
+            {"click": 0.1, "view": 0.1, "purchase": 1.0, "signup": 1.0, "error": 0.5},
+            seed=42,
+        )
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
 @register(
     "q_window_range_frame",
     oracle="""
