@@ -378,3 +378,65 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n.c_acctbal").alias("new_acctbal"),
         )
     )
+
+
+@register(
+    "q_debezium_roundtrip",
+    oracle="""
+    SELECT event_id,
+      CASE WHEN event_type IN ('signup', 'purchase') THEN 'INSERT'
+           WHEN event_type IN ('click', 'view') THEN 'MODIFY'
+           ELSE 'REMOVE' END AS eventName,
+      user_id, value,
+      epoch_ms(ts) AS seq
+    FROM events
+    """,
+)
+def q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope decode (sources/debezium.py) — the engine's
+    production CDC wire format, the open twin of the reference's DMS
+    binlog tail (cdk_infrastructure/__init__.py:257-282).
+
+    The query synthesizes real Debezium JSON envelopes from the events
+    table (op c/u/d per event type; deletes carry only a before-image,
+    as Debezium emits them), then decodes them with the actual
+    `decode_debezium` expressions.  The oracle computes the expected
+    normalization straight from the base table — so what's verified is
+    the full JSON serialize→parse→normalize round trip, including
+    double fidelity through JSON text.  Pure column expressions: decode
+    at scan throughput, no Python per row.
+    """
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.debezium import (
+        decode_debezium,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    payload_t = "struct<user_id:bigint,value:double>"
+    payload = F.struct("user_id", "value")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "purchase", "r")
+        .when(F.col("event_type").isin("click", "view"), "u")
+        .otherwise("d")
+    )
+    enveloped = ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.when(op == "d", payload).alias("before"),
+                F.when(op != "d", payload).alias("after"),
+                op.alias("op"),
+                F.unix_millis("ts").alias("ts_ms"),
+            )
+        ).alias("value"),
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    decoded = decode_debezium(enveloped, _parse_datatype_string(payload_t))
+    return decoded.select(
+        "event_id",
+        "eventName",
+        F.col("image.user_id").alias("user_id"),
+        F.col("image.value").alias("value"),
+        "seq",
+    )

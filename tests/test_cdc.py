@@ -90,3 +90,28 @@ def test_count_parity(spark):
     assert parity["source_rows"] == 8
     assert parity["target_rows"] == 5
     assert parity["row_lag"] == 3
+
+
+def test_debezium_decode(spark):
+    # sources/debezium.py: op mapping, delete before-image, unknown op
+    # → eventName null (error-channel routable, not a crash)
+    from pyspark.sql.types import _parse_datatype_string
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources import debezium
+
+    payload = _parse_datatype_string("struct<id:string,price:double>")
+    rows = [
+        ('{"after":{"id":"a","price":1.5},"op":"c","ts_ms":1}',),
+        ('{"before":{"id":"a","price":1.5},"after":{"id":"a","price":2.5},"op":"u","ts_ms":2}',),
+        ('{"before":{"id":"a","price":2.5},"op":"d","ts_ms":3}',),
+        ('{"after":{"id":"b","price":9.0},"op":"r","ts_ms":4}',),
+        ('{"after":{"id":"c","price":0.1},"op":"x","ts_ms":5}',),  # unknown
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = {r["seq"]: r for r in debezium.decode_debezium(df, payload).collect()}
+    assert out[1]["eventName"] == "INSERT" and out[1]["image"]["price"] == 1.5
+    assert out[2]["eventName"] == "MODIFY" and out[2]["image"]["price"] == 2.5
+    # delete: image falls back to the before-image
+    assert out[3]["eventName"] == "REMOVE" and out[3]["image"]["id"] == "a"
+    assert out[4]["eventName"] == "INSERT"  # snapshot read
+    assert out[5]["eventName"] is None  # unknown op routes to error channel
