@@ -130,3 +130,18 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     toks = F.col(col) if isinstance(col, str) else col
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as murmur3 hashes (array<int>) — the
+    identity-only form for MinHash/Jaccard, where the shingle *string*
+    is never needed downstream.  Skipping the concat_ws string
+    allocation per shingle roughly halves shingling cost (higher-order
+    lambdas run interpreted, so per-element allocation dominates).
+    Same materialized-token-column caveat as word_shingles."""
+    toks = F.col(col) if isinstance(col, str) else col
+    # element_at is 1-based; sequence runs over shingle start positions
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.hash(*[F.element_at(toks, i + k) for k in range(n)])
+    )

@@ -67,17 +67,34 @@ def q_dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signature(toks_col: F.Column, n_hashes: int = 16) -> F.Column:
-    """Deterministic MinHash signature: min over shingles of
-    murmur3(seed_i, shingle) for each of n_hashes seeds.  Pure column
-    expressions — the signature is computed in the scan stage, no
-    shuffle."""
-    def one_hash(i: int) -> F.Column:
-        # NB: single-arg lambda — a 2-arg lambda would make transform()
-        # pass the element index as the second argument
-        return F.array_min(F.transform(toks_col, lambda s: F.hash(F.lit(i), s)))
+_MERSENNE61 = (1 << 61) - 1
+# fixed affine-permutation constants (a odd, any b) — deterministic,
+# no RNG so signatures are stable across sessions and partitions
+_PERMS = [
+    (((2654435761 * (i + 1)) & ((1 << 31) - 1)) | 1, (40503 * (i + 7)) % _MERSENNE61)
+    for i in range(64)
+]
 
-    return F.array(*[one_hash(i) for i in range(n_hashes)])
+
+def minhash_min_aggs(hash_col: str, n_hashes: int = 16) -> list[F.Column]:
+    """MinHash as a CODEGEN'D hash aggregate: for exploded
+    (id, shingle-hash) rows, the i-th signature value is
+    ``min(a_i*h + b_i mod 2^61-1)`` — one universal affine permutation
+    per aggregate, all Tungsten integer ops.
+
+    Why not `transform`/`array_min` over a shingle array?  Spark
+    evaluates higher-order functions INTERPRETED, outside whole-stage
+    codegen — 16 interpreted array passes dominated the minhash bench
+    (the measured trap recorded in SCALE.md).  Explode + partial
+    hash-agg keeps everything in generated code, and the map-side
+    partial agg means the shuffle carries n_hashes longs per doc, not
+    per shingle.  a < 2^31 and |h| < 2^31 keep a*h+b inside 2^63.
+    """
+    h = F.col(hash_col).cast("bigint")
+    return [
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE61))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_PERMS[:n_hashes])
+    ]
 
 
 def minhash_candidates(
@@ -88,30 +105,39 @@ def minhash_candidates(
     equi-join (SURVEY.md north star).  Returns (a, b, jaccard) for
     bucket-mates with exact Jaccard computed on distinct shingle sets."""
     rows = n_hashes // bands
-    # Materialize tokens → shingles → signature as real columns between
-    # projections: each stage's output is an attribute reference, so
-    # downstream lambdas/band expressions don't re-evaluate the whole
-    # upstream expression tree per element (15s → sub-second at sf0.1).
+    # Materialize tokens → shingles as real columns between projections:
+    # each stage's output is an attribute reference, so downstream
+    # expressions don't re-evaluate the whole upstream expression tree
+    # per element (15s → sub-second at sf0.1).  The relation feeds three
+    # consumers (signature explode and both sides of the pair-verify
+    # join); truncate lineage so shingling runs once, not three times.
+    # Shingles as murmur3 ints (shingle_hashes), never strings: MinHash
+    # and the Jaccard verify only need shingle identity, and skipping
+    # the per-shingle string allocation halves shingling cost.
     sh = (
         docs.select(F.col(id_col).alias("id"), X.tokens(text_col).alias("toks"))
-        .select("id", F.array_distinct(X.word_shingles("toks", shingle_n)).alias("shingles"))
-        .select("id", "shingles", minhash_signature(F.col("shingles"), n_hashes).alias("sig"))
-        # the signature relation feeds three consumers (band explode and
-        # both sides of the pair-verify join); truncate lineage so the
-        # shingle+minhash computation runs once, not three times
+        .select("id", F.array_distinct(X.shingle_hashes("toks", shingle_n)).alias("shingles"))
         .localCheckpoint(eager=False)
+    )
+    # Signature via explode + codegen'd hash aggregate (see
+    # minhash_min_aggs): 16 affine-permuted mins computed map-side; the
+    # exchange carries 16 longs per doc, not per shingle.
+    sig = (
+        sh.select("id", F.explode("shingles").alias("h"))
+        .groupBy("id")
+        .agg(*minhash_min_aggs("h", n_hashes))
     )
     # Band rows carry only (id, band, bucket) — never the shingle arrays
     # — so the candidate-generation shuffle moves a few bytes per row.
     # Shingles are re-attached only for the (rare) candidate pairs.
-    banded = sh.select(
+    banded = sig.select(
         "id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias("bucket"),
+                        F.hash(*[F.col(f"m{b * rows + r}") for r in range(rows)]).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -195,16 +221,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash64(toks_col: F.Column, n_bits: int = 16) -> F.Column:
-    """SimHash: per-document signed bit-count over xxhash64 of tokens,
-    packed to a BIGINT.  n_bits kept small so the expression tree stays
-    codegen-friendly; the real spread comes from the 64-bit token hash."""
+def simhash64(hashes_col: F.Column, n_bits: int = 16) -> F.Column:
+    """SimHash over a column of PRE-HASHED tokens (array<bigint>,
+    xxhash64 computed once upstream): per-bit signed counts over the
+    hash's own bits, packed to a BIGINT.  The n_bits passes are
+    integer mask-and-add over the materialized hash column — the
+    string hashing cost is paid once, not n_bits times.  n_bits kept
+    small so the expression tree stays codegen-friendly; the real
+    spread comes from the 64-bit token hash."""
     def bit_sum(i: int) -> F.Column:
         mask = F.lit(1 << i)
         return F.aggregate(
-            toks_col,
+            hashes_col,
             F.lit(0).cast("bigint"),
-            lambda acc, t: acc + F.when(F.xxhash64(t).bitwiseAND(mask) != 0, 1).otherwise(-1),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
         )
 
     out = F.lit(0).cast("bigint")
@@ -218,7 +248,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 SimHash near-dup: signature per doc, candidates = equal
     signature (bucket join), no pairwise scan."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = docs.select("doc_id", simhash64(X.tokens("text")).alias("simhash"))
+    sig = docs.select(
+        "doc_id", F.transform(X.tokens("text"), lambda t: F.xxhash64(t)).alias("hs")
+    ).select("doc_id", simhash64(F.col("hs")).alias("simhash"))
     a, b = sig.alias("a"), sig.alias("b")
     return a.join(
         b,

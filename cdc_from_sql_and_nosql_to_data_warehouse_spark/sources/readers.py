@@ -34,6 +34,13 @@ TABLES = (
 )
 
 
+# (session id, sf_dir, table) → DataFrame.  A DataFrame is an immutable
+# logical plan, so reuse is safe; memoizing skips the repeated file
+# listing + footer/schema read (~100 ms of driver-side latency per call,
+# which at 1000 queries/day against the same tables is pure waste).
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata parquet table (column-pruned, filter-pushed by
     Catalyst — the physical plan must show PushedFilters/ReadSchema).
@@ -43,13 +50,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``nanosAsLong`` conf and truncate to microseconds with exact integer
     division — the same truncation DuckDB applies on read, so the oracle
     sees identical values."""
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def normalize_header(df: DataFrame) -> DataFrame:
