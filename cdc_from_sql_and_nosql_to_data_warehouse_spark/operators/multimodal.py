@@ -115,3 +115,44 @@ def decode_stub_real(blob: bytes):  # pragma: no cover - documentation stub
         "real image/audio/video decoding requires codec libraries not "
         "present in this environment; use _fake_decode for plumbing tests"
     )
+
+
+def _frame_sample_batches(it):
+    # 1→N decode: each payload yields (n_bytes % 5 + 1) "frames" — the
+    # batch shape of video frame sampling (row explosion inside the
+    # Arrow kernel, not a Spark-side explode of pre-decoded data)
+    for pdf in it:
+        ids, frame_nos, hashes = [], [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(blob)
+            for f in range(n % 5 + 1):
+                ids.append(doc_id)
+                frame_nos.append(f)
+                hashes.append(n + f * 7)
+        yield pd.DataFrame({"doc_id": ids, "frame_no": frame_nos, "frame_hash": hashes})
+
+
+@register(
+    "q_multimodal_frames",
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    f AS (SELECT doc_id, n, unnest(generate_series(0, n % 5)) AS f FROM b)
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_no, CAST(n + f * 7 AS BIGINT) AS frame_hash
+    FROM f
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: one input payload row → N frame rows,
+    produced INSIDE the mapInPandas kernel (a real ffmpeg sampler emits
+    frames the same way — the engine never materializes the undecoded
+    video as multiple rows).  Output cardinality is data-dependent,
+    which is exactly what mapInPandas allows and a pandas_udf (1:1)
+    does not.  Decode-after-prune still applies: filter/join on
+    metadata first, sample frames last, and the payload never crosses
+    a shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return docs.mapInPandas(
+        _frame_sample_batches, schema="doc_id long, frame_no long, frame_hash long"
+    )

@@ -162,3 +162,64 @@ def test_batch_window_functions_agree_with_streaming_shapes(spark):
 
 def test_stream_job_control(spark):
     assert cdc.is_stream_active(spark, "no_such_stream") is False
+
+
+def test_sliding_window_memory_sink(spark, tdir):
+    # B32: 10-min windows sliding by 5 — every event lands in exactly 2
+    # windows, so total count doubles
+    drop = f"{tdir}/drop_sliding"
+    import os
+
+    os.makedirs(drop)
+    rows = [
+        {"eventName": "INSERT", "seq": i, "newImage": None, "removedId": None}
+        for i in range(1, 21)
+    ]
+    _drop_events_file(drop, rows)
+    stream = cdc.read_change_stream(spark, drop).withColumn(
+        "ts", F.timestamp_seconds(F.col("seq") * 90)
+    )
+    agg = windows.sliding_counts(stream, width="10 minutes", slide="5 minutes")
+    name = f"slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name).collect()
+    assert sum(r["n"] for r in out) == 40  # 20 events x 2 overlapping windows
+    for r in out:
+        assert (r["window_end"] - r["window_start"]).total_seconds() == 600
+
+
+def test_session_window_memory_sink(spark, tdir):
+    # B33: two bursts 30 min apart with a 5-min gap → 2 sessions per user
+    drop = f"{tdir}/drop_session"
+    import os
+
+    os.makedirs(drop)
+    rows = [
+        {"eventName": "INSERT", "seq": s, "newImage": None, "removedId": None}
+        for s in [1, 2, 3, 100, 101]  # minutes, scaled below
+    ]
+    _drop_events_file(drop, rows)
+    stream = (
+        cdc.read_change_stream(spark, drop)
+        .withColumn("ts", F.timestamp_seconds(F.col("seq") * 60))
+        .withColumn("user_id", F.lit(7))
+    )
+    agg = windows.session_counts(stream, gap="5 minutes")
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["n"] for r in spark.table(name).collect()}
+    assert out == {3, 2}  # burst sizes; sessions split at the 97-min gap
