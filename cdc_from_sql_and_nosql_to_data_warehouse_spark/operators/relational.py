@@ -1186,3 +1186,28 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
     )
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_orderstatus, o_orderpriority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 + skew handling: the salted join (functions/skew.salted_join,
+    celebrity-key scatter across 8 salt partitions) against the PLAIN
+    join as oracle — pinning that salting is purely a physical rewrite
+    and never changes results.  The join stays equi on (key, salt), so
+    Catalyst still plans a hash join; the hot key's rows spread over
+    salt_n tasks instead of melting one executor."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return salted_join(li, o, "l_orderkey", "o_orderkey").select(
+        "l_orderkey", "l_linenumber", "o_orderstatus", "o_orderpriority"
+    )

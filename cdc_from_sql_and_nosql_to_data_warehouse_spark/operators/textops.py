@@ -301,3 +301,26 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.doc_id, s.token FROM documents, "
         "LATERAL split_tokens(doc_id, text) s WHERE documents.doc_id < 50"
     )
+
+
+@register(
+    "q_token_count_bpe",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(
+          string_split_regex(regexp_replace(lower(text), '([^\w\s]+)', ' \1 ', 'g'), '\s+'),
+          x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, CAST(length(toks) AS BIGINT) AS n_bpe_tokens
+    FROM t
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 BPE-ish token counting: GPT-2-style pre-tokenizer shape
+    (punctuation split from word pieces) — the training-data budget
+    counter.  Pure regex + split column expressions; the oracle
+    replicates the same regex in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.size(X.bpe_ish_tokens("text")).cast("bigint").alias("n_bpe_tokens"))
