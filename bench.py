@@ -31,6 +31,8 @@ HEADLINE = [
     "q_topk",
     "q_window_running_sum",
     "q_upsert_latest_wins",
+    "q_asof_join",
+    "q_sessionize",
     "q_dedup_exact",
     "q_dedup_near_minhash",
     "q_sim_topk",
