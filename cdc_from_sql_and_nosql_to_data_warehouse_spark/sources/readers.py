@@ -34,11 +34,14 @@ TABLES = (
 )
 
 
-# (session id, sf_dir, table) → DataFrame.  A DataFrame is an immutable
+# (app id, sf_dir, table) → DataFrame.  A DataFrame is an immutable
 # logical plan, so reuse is safe; memoizing skips the repeated file
 # listing + footer/schema read (~100 ms of driver-side latency per call,
 # which at 1000 queries/day against the same tables is pure waste).
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# Keyed by applicationId, not id(spark): CPython reuses freed object
+# addresses, so an id() key could resurrect DataFrames bound to a
+# stopped SparkContext after a session restart.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -50,7 +53,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``nanosAsLong`` conf and truncate to microseconds with exact integer
     division — the same truncation DuckDB applies on read, so the oracle
     sees identical values."""
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

@@ -223,3 +223,37 @@ def test_session_window_memory_sink(spark, tdir):
     q.awaitTermination(120)
     out = {r["n"] for r in spark.table(name).collect()}
     assert out == {3, 2}  # burst sizes; sessions split at the 97-min gap
+
+
+def test_stream_static_join_enrich(spark, tdir):
+    # B37: change events enriched against a static dimension — the
+    # dimension is broadcast/replicated, the stream never re-shuffles
+    drop = f"{tdir}/drop_enrich"
+    import os
+
+    os.makedirs(drop)
+    rows = [
+        {"eventName": "INSERT", "seq": s, "newImage": None, "removedId": None}
+        for s in range(1, 6)
+    ]
+    _drop_events_file(drop, rows)
+    stream = cdc.read_change_stream(spark, drop).withColumn(
+        "user_id", F.col("seq") % 2
+    )
+    dim = spark.createDataFrame(
+        [(0, "free"), (1, "pro")], "user_id long, tier string"
+    )
+    enriched = windows.enrich_stream(stream, dim, "user_id")
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name).collect()
+    assert len(out) == 5
+    tiers = {(r["seq"], r["tier"]) for r in out}
+    assert tiers == {(1, "pro"), (2, "free"), (3, "pro"), (4, "free"), (5, "pro")}
