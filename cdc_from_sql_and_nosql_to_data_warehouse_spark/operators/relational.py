@@ -1211,3 +1211,90 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(li, o, "l_orderkey", "o_orderkey").select(
         "l_orderkey", "l_linenumber", "o_orderstatus", "o_orderpriority"
     )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 explicit cross join — only ever against bounded dimensions
+    (region x nation = 125 rows at every scale factor); an unbounded
+    cross join is a design error, not an operator gap."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "q_explode_outer",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                    x -> length(x) > 8) AS long_toks
+      FROM documents
+    )
+    SELECT doc_id, unnest(CASE WHEN length(long_toks) = 0 THEN [NULL] ELSE long_toks END) AS tok
+    FROM t
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 explode_outer: rows with an empty array survive with a null
+    element (a plain explode silently drops them — the classic
+    lost-document bug in token pipelines).  The oracle emulates outer
+    semantics by substituting [NULL] for empty arrays before unnest."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(X.tokens("text"), lambda t: F.length(t) > 8).alias("long_toks"),
+    )
+    return docs.select("doc_id", F.explode_outer("long_toks").alias("tok"))
+
+
+@register(
+    "q_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+      CAST(length(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS BIGINT) AS n_a_words,
+      array_to_string(regexp_extract_all(text, '[a-z]+a[a-z]*'), ',') AS a_words
+    FROM documents
+    """,
+)
+def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21 regexp_extract_all + array join (all matches, not just the
+    first — the scrape-cleaning shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    matches = F.regexp_extract_all("text", F.lit("[a-z]+a[a-z]*"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(matches).cast("bigint").alias("n_a_words"),
+        F.array_join(matches, ",").alias("a_words"),
+    )
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 distribution window functions: percent_rank/cume_dist —
+    rational-valued, so the double results are bitwise identical across
+    engines (same integer operands, one division)."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
