@@ -58,3 +58,67 @@ def read_pruned(spark: SparkSession, path: str, date_from: str, date_to: str) ->
     return spark.read.parquet(path).filter(
         (F.col("ingest_date") >= date_from) & (F.col("ingest_date") <= date_to)
     )
+
+
+def refresh_rollup_incremental(
+    spark: SparkSession,
+    bronze_path: str,
+    rollup_path: str,
+    agg_fn,
+    changed_dates: list[str],
+) -> None:
+    """Incremental materialized-rollup maintenance: recompute ONLY the
+    ingest_date partitions a micro-batch touched and overwrite just
+    those partitions of the rollup (dynamic partition overwrite).
+
+    This is the warehouse-side continuous aggregate the reference's
+    5-minute tick implies (the Redshift tables exist to be dashboarded,
+    reference README.md:3,44): after each apply, the rollup refresh
+    cost is O(changed partitions), not O(table).  At 100 TB a day's
+    partition is ~0.1% of the table — the difference between a
+    sub-minute refresh and a full recompute.
+
+    ``agg_fn``: DataFrame → DataFrame per-partition aggregation; its
+    output must retain the ``ingest_date`` column (it is the partition
+    key of the rollup too).
+    """
+    changed = spark.read.parquet(bronze_path).filter(
+        F.col("ingest_date").isin(*changed_dates)
+    )
+    out = agg_fn(changed)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("ingest_date").parquet(rollup_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_partition(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> int:
+    """Small-file compaction: streaming micro-batches leave one file
+    per trigger per partition; reads then pay a task per tiny file.
+    Rewrite a partition directory into ceil(bytes / target) files.
+    Returns the file count written.  (On a lakehouse this is OPTIMIZE /
+    rewrite_data_files; here it is coalesce-by-size on plain parquet —
+    same contract, checkpointed streams never re-read the compacted
+    input.)"""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = f"{path}__compacting"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

@@ -56,3 +56,66 @@ def test_ndjson_staging_roundtrip(spark, tmp_path):
     back = spark.read.json(path)
     assert back.count() == 20
     assert set(back.columns) == {"doc_id", "lang"}
+
+
+def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
+    # maintain a daily rollup by refreshing only the changed partition;
+    # the result must equal a from-scratch recompute
+    from pyspark.sql import functions as F
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources import sinks
+
+    bronze = f"{tmp_path}/bronze"
+    rollup = f"{tmp_path}/rollup"
+
+    def day_rollup(df):
+        return df.groupBy("ingest_date", "k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+
+    day1 = [("2024-01-01 10:00:00", i % 3, float(i)) for i in range(30)]
+    day2 = [("2024-01-02 10:00:00", i % 3, float(i * 2)) for i in range(30)]
+    df = spark.createDataFrame(day1 + day2, "ts string, k int, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sinks.write_partitioned_by_date(df, bronze, "ts")
+    sinks.refresh_rollup_incremental(
+        spark, bronze, rollup, day_rollup, ["2024-01-01", "2024-01-02"]
+    )
+
+    # a late batch lands in day 2 only
+    late = spark.createDataFrame(
+        [("2024-01-02 23:00:00", 1, 1000.0)], "ts string, k int, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sinks.write_partitioned_by_date(late, bronze, "ts")
+    sinks.refresh_rollup_incremental(spark, bronze, rollup, day_rollup, ["2024-01-02"])
+
+    got = {
+        (str(r["ingest_date"]), r["k"]): (r["n"], r["total"])
+        for r in spark.read.parquet(rollup).collect()
+    }
+    full = {
+        (str(r["ingest_date"]), r["k"]): (r["n"], r["total"])
+        for r in day_rollup(spark.read.parquet(bronze)).collect()
+    }
+    assert got == full
+    assert got[("2024-01-02", 1)][0] == 11  # 10 original + 1 late
+
+
+def test_compact_partition_reduces_files(spark, tmp_path):
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources import sinks
+
+    path = f"{tmp_path}/frag"
+    df = spark.range(1000).withColumnRenamed("id", "v")
+    # simulate many micro-batch files
+    for _ in range(5):
+        df.coalesce(4).write.mode("append").parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 20
+    n = sinks.compact_partition(spark, path, target_file_mb=128)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert n == 1 and after == 1
+    assert spark.read.parquet(path).count() == 5000
