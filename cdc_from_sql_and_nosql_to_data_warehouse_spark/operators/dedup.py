@@ -300,3 +300,67 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b"), cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup candidate pairs → one cluster
+    id per document (the min doc id in its component).  This is the
+    step that turns pairwise matches into a keep-one-per-cluster
+    decision for corpus dedup.
+
+    Algorithm: iterative min-label propagation (large/small-star
+    flavor).  Each round every node adopts the smallest label among
+    itself and its neighbors — a groupBy(min) per round, converging in
+    O(diameter) rounds.  Near-dup graphs are overwhelmingly tiny
+    star-shaped components, so 3-4 rounds settle real corpora; each
+    round is one shuffle of (node, label) pairs, nothing quadratic.
+    The loop re-checks convergence with a count of changed labels —
+    driver-side control flow over distributed steps, not a
+    driver-side data loop.  localCheckpoint per round truncates the
+    lineage so the plan doesn't grow exponentially with iterations.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["y"] == labels["node"])
+            .groupBy("x")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["x"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@register("q_dedup_clusters")  # cluster ids from engine-specific hashes — rows-only
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 near-dup cluster resolution: MinHash candidate pairs →
+    connected components → (doc_id, cluster_id).  Downstream keep-rule:
+    min doc_id per cluster survives (deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(docs).filter(F.col("jaccard") >= 0.5)
+    return dedup_clusters(pairs)

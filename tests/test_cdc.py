@@ -115,3 +115,15 @@ def test_debezium_decode(spark):
     assert out[3]["eventName"] == "REMOVE" and out[3]["image"]["id"] == "a"
     assert out[4]["eventName"] == "INSERT"  # snapshot read
     assert out[5]["eventName"] is None  # unknown op routes to error channel
+
+
+def test_dedup_clusters_connected_components(spark):
+    # chain 1-2-3, pair 10-11, singleton-free graph; transitive closure
+    # must label the whole chain with its min id
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (7, 8), (8, 9), (9, 20)], "a long, b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 7: 7, 8: 7, 9: 7, 20: 7}
