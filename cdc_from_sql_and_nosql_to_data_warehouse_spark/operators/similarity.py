@@ -47,13 +47,24 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query side is broadcast (tiny), so the scan over candidates is
     embarrassingly parallel — no shuffle until the per-query top-k."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms are precomputed per SIDE (once per vector), not per pair —
+    # cosine() inline would re-run both norm folds for every (q, c)
+    # pair, and higher-order folds evaluate interpreted.  Same float
+    # ops in the same order, so results are bit-identical.
     q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        V.norm2("embedding").alias("q_norm"),
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
-    scored = (
-        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", V.cosine("q_emb", "c_emb").alias("cosine"))
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        V.norm2("embedding").alias("c_norm"),
+    )
+    scored = c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id")).select(
+        "query_id",
+        "cand_id",
+        (V.dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -165,5 +176,58 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+@register("q_sim_topk_arrow")  # numpy pairwise sum order ≠ the fold oracle — rows-only
+def q_sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 brute-force cosine top-k, Arrow/numpy scale path: the
+    candidate matrix is multiplied against the (tiny, driver-collected)
+    query matrix ONE PARTITION AT A TIME inside mapInPandas —
+    C(batch×dim) @ Q.T(dim×q) is a BLAS call, ~100× the per-element
+    throughput of any expression tree.  Each partition emits only its
+    local top-k per query (top-k is decomposable), and a final window
+    pass merges the partials — the shuffle carries k·partitions rows,
+    never the full score matrix.  Results equal q_sim_topk up to float
+    summation order (numpy pairwise vs left fold), hence rows-only.
+    """
+    import numpy as np
+
+    k = 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 5).collect()  # bounded query set
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def topk_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cmat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            sims = (cmat @ qmat.T) / (cnorm[:, None] * qnorm[None, :])
+            out_q, out_c, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                col = sims[:, j].copy()
+                col[cids == qid] = -np.inf  # mask self-match
+                top = np.argsort(-col, kind="stable")[:k]
+                top = top[np.isfinite(col[top])]
+                out_q.extend([qid] * len(top))
+                out_c.extend(cids[top])
+                out_s.extend(col[top])
+            yield pd.DataFrame({"query_id": out_q, "cand_id": out_c, "cosine": out_s})
+
+    partials = emb.select("vec_id", "embedding").mapInPandas(
+        topk_batches, schema="query_id long, cand_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
