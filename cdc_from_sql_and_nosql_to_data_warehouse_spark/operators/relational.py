@@ -1298,3 +1298,54 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+      COUNT(*) AS n,
+      MIN(o_totalprice) AS lo,
+      MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY CAST(floor(o_totalprice / 50000.0) AS BIGINT)
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9/B23 histogram binning: fixed-width buckets as a computed
+    group key — the dashboard-distribution shape.  Binning is a pure
+    projection, so the aggregate partial-combines map-side and the
+    exchange carries one row per bucket."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "q_array_agg",
+    oracle="""
+    SELECT o_custkey,
+      list_sort(list(o_totalprice)) AS prices,
+      CAST(length(list(o_totalprice)) AS INTEGER) AS n_orders
+    FROM orders
+    WHERE o_custkey < 100
+    GROUP BY o_custkey
+    """,
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9/B24 array aggregation (collect_list + sort): nested-result
+    construction — the document-building shape for feature stores.
+    collect_list order is partitioning-dependent, so the result is
+    always array_sort'ed; unsorted collect is nondeterministic by
+    design and refused here."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_totalprice")).alias("prices"),
+        F.size(F.collect_list("o_totalprice")).alias("n_orders"),
+    )

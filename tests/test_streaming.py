@@ -257,3 +257,30 @@ def test_stream_static_join_enrich(spark, tdir):
     assert len(out) == 5
     tiers = {(r["seq"], r["tier"]) for r in out}
     assert tiers == {(1, "pro"), (2, "free"), (3, "pro"), (4, "free"), (5, "pro")}
+
+
+def test_checkpoint_resume_no_reprocessing(spark, tdir):
+    # A15 as checkpoint semantics: stop after batch 1, drop more files,
+    # restart with the SAME checkpoint — batch-1 records must not be
+    # appended twice (the reference needs a copy+delete file state
+    # machine for this; the offset log subsumes it)
+    import os
+
+    drop, out, ck = f"{tdir}/drop", f"{tdir}/out", f"{tdir}/ck"
+    os.makedirs(drop)
+    events = _load_fixture_events()
+    half = len(events) // 2
+    _drop_events_file(drop, events[:half])
+    stream = cdc.read_change_stream(spark, drop)
+    q = cdc.start_append_stream(stream, out, ck)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+
+    _drop_events_file(drop, events[half:])
+    q2 = cdc.start_append_stream(cdc.read_change_stream(spark, drop), out, ck)
+    q2.awaitTermination(120)
+    total = spark.read.parquet(out).count()
+    n_valid = len([e for e in events if e["eventName"] in ("INSERT", "MODIFY")])
+    # exactly-once: first-half rows appear once, not re-read on resume
+    assert total == n_valid
