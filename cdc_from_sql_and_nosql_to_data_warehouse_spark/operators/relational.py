@@ -1349,3 +1349,32 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list("o_totalprice")).alias("prices"),
         F.size(F.collect_list("o_totalprice")).alias("n_orders"),
     )
+
+
+@register(
+    "q_correlated_min",
+    oracle="""
+    SELECT o.l_partkey, o.l_suppkey, o.l_extendedprice
+    FROM lineitem o
+    WHERE o.l_extendedprice = (
+      SELECT MIN(i.l_extendedprice) FROM lineitem i
+      WHERE i.l_partkey = o.l_partkey)
+    """,
+)
+def q_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 correlated scalar subquery (TPC-H Q2 shape: the cheapest
+    supplier per part).  Declared as the correlated form on purpose —
+    Catalyst decorrelates it into a per-key MIN aggregate joined back
+    (one shuffle on l_partkey), never a per-row subquery execution;
+    tests/test_plans.py asserts the rewritten plan.  Ties at the
+    minimum survive in both engines (no arbitrary row pick)."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT o.l_partkey, o.l_suppkey, o.l_extendedprice
+        FROM lineitem o
+        WHERE o.l_extendedprice = (
+          SELECT MIN(i.l_extendedprice) FROM lineitem i
+          WHERE i.l_partkey = o.l_partkey)
+        """
+    )

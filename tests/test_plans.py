@@ -83,3 +83,12 @@ def test_shipping_priority_topk_and_broadcast(spark):
     assert "TakeOrderedAndProject" in text
     assert plans.has_broadcast_join(df)
     assert plans.has_pushed_filter(df, "l_shipdate")
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    # the correlated scalar subquery must rewrite to aggregate + join —
+    # a per-row subquery execution would be O(n) scans
+    df = REGISTRY["q_correlated_min"].fn(spark, SF_DIR)
+    text = plans.formatted_plan(df)
+    assert "Join" in text and "HashAggregate" in text
+    assert "ScalarSubquery" not in text
