@@ -78,3 +78,66 @@ def test_append_apply_counts(spark, events):
     appended = cdc.apply_changes(None, df, mode="append")
     n_images = sum(1 for name, _, _ in events if name != "REMOVE")
     assert appended.count() == n_images
+
+
+# ---- invariants of the custom time-series operators, checked against a
+# ---- brute-force replay of the sf0.001 events table (oracle-independent)
+
+
+def _events_pdf(spark):
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "events").toPandas()
+
+
+def test_asof_join_matches_bruteforce(spark):
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import REGISTRY
+
+    pdf = _events_pdf(spark)
+    clicks = pdf[pdf.event_type == "click"]
+    got = REGISTRY["q_asof_join"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(got) == (pdf.event_type == "purchase").sum()
+    for r in got:
+        prior = clicks[(clicks.user_id == r["user_id"]) & (clicks.ts <= r["ts"])]
+        if prior.empty:
+            assert r["click_ts"] is None
+        else:
+            t = prior.ts.max()
+            assert r["click_ts"] == t
+            # value = max over ties at the as-of timestamp
+            assert r["click_value"] == prior[prior.ts == t].value.max()
+
+
+def test_sessionize_partitions_events(spark):
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import REGISTRY
+
+    pdf = _events_pdf(spark)
+    rows = REGISTRY["q_sessionize"].fn(spark, "/root/testdata/sf0.001").collect()
+    # sessions tile the event set: counts add up, and per user the
+    # sessions are disjoint with >30min between consecutive sessions
+    assert sum(r["n_events"] for r in rows) == len(pdf)
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, sess in by_user.items():
+        sess.sort(key=lambda r: r["session_start"])
+        for a, b in zip(sess, sess[1:]):
+            assert a["session_end"] < b["session_start"]
+            assert (b["session_start"] - a["session_end"]).total_seconds() > 1800
+
+
+def test_range_join_containment(spark):
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import REGISTRY
+
+    pdf = _events_pdf(spark)
+    incidents = pdf[(pdf.event_type == "error") & (pdf.value > 100)]
+    got = {r["window_id"]: r for r in REGISTRY["q_range_join"].fn(spark, "/root/testdata/sf0.001").collect()}
+    assert set(got) == set(incidents.event_id)
+    for _, inc in incidents.iterrows():
+        import pandas as pd
+
+        lo, hi = inc.ts, inc.ts + pd.Timedelta(minutes=10)
+        inside = pdf[(pdf.ts >= lo) & (pdf.ts < hi)]
+        r = got[inc.event_id]
+        assert r["n_events"] == len(inside)
+        assert r["max_value"] == inside.value.max()
