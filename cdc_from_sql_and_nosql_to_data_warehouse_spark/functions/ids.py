@@ -1,0 +1,70 @@
+"""Scalable global id assignment.
+
+Training-data pipelines need dense global row ids (shard indexes,
+example ids) over corpora whose natural keys are sparse or absent.
+The naive form — ``row_number()`` over a global (unpartitioned)
+``Window.orderBy(...)`` — funnels the whole table through ONE task;
+``monotonically_increasing_id`` is fast but neither dense nor stable
+across partitionings.
+
+``assign_dense_ids`` is the scalable equivalent of the global
+row_number: range-partition by the order columns, number rows within
+each partition, then add per-partition offsets computed from a tiny
+partition-size aggregate (driver-side prefix sum over ≤ thousands of
+partition counts).  Two scans, no global sort bottleneck; ids are
+dense 0..n-1 and deterministic for a total ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def assign_dense_ids(
+    df: DataFrame, order_cols: list[str], id_col: str = "row_id", partitions: int | None = None
+) -> DataFrame:
+    """Dense, deterministic 0-based ids in the total order given by
+    ``order_cols`` (must be a unique key for full determinism).
+
+    Plan: repartitionByRange(order_cols) → sort within partitions →
+    per-partition row_number − 1 → add the exclusive prefix sum of
+    partition sizes (collected to the driver: one long per partition,
+    a few KB even at 100 TB).  Equivalent to the single-task global
+    ``row_number() over (order by ...)`` — verified in tests — but
+    every stage is parallel."""
+    cols: list[Column] = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(partitions, *cols) if partitions else df.repartitionByRange(*cols)
+    )
+    # materialize the partitioning once: the size job and the numbering
+    # job must see the SAME range boundaries (repartitionByRange samples
+    # the input to pick them)
+    ranged = (
+        ranged.sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sizes = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    # repartitionByRange puts ascending ranges in ascending partition
+    # ids, so the prefix sum over pid order is the global order offset
+    offset_col = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in sorted(offsets)]),
+            F.array(*[F.lit(offsets[p]) for p in sorted(offsets)]),
+        ),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        ranged.withColumn(id_col, F.row_number().over(w) - 1 + offset_col)
+        .drop("__pid")
+    )

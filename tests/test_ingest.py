@@ -130,3 +130,23 @@ def test_table_selector_like_patterns():
     ]
     assert readers.select_tables(tables, "prod", "%") == ["prod.rds_cdc_table", "prod.other"]
     assert readers.select_tables(tables, "%", "%") == tables
+
+
+def test_assign_dense_ids_matches_global_row_number(spark):
+    # scalable range-partitioned numbering == the single-task global
+    # row_number, on a shuffled input
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import assign_dense_ids
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").repartition(13)
+    got = assign_dense_ids(ev, ["ts", "event_id"], partitions=7)
+    expect = ev.withColumn(
+        "row_id", F.row_number().over(Window.orderBy("ts", "event_id")) - 1
+    )
+    g = {r["event_id"]: r["row_id"] for r in got.collect()}
+    e = {r["event_id"]: r["row_id"] for r in expect.collect()}
+    assert g == e
+    assert sorted(g.values()) == list(range(len(g)))
