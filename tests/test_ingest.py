@@ -150,3 +150,31 @@ def test_assign_dense_ids_matches_global_row_number(spark):
     e = {r["event_id"]: r["row_id"] for r in expect.collect()}
     assert g == e
     assert sorted(g.values()) == list(range(len(g)))
+
+
+def test_schema_drift_merge_and_by_name_append(spark, tmp_path):
+    # §1.3: NoSQL documents drift; bronze absorbs drift via mergeSchema
+    # (old rows → null for new columns), and A14 by-name alignment drops
+    # unknown incoming fields instead of corrupting positions
+    from pyspark.sql import functions as F
+
+    p = f"{tmp_path}/bronze"
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+    # by-name append into the v1 target schema: extra incoming column is
+    # dropped, order differences don't matter
+    incoming = spark.createDataFrame(
+        [(99.9, 3, "c", "extra")], "score double, id long, name string, junk string"
+    )
+    target_cols = ["id", "name"]
+    aligned = incoming.select(*target_cols)
+    out = spark.createDataFrame([(1, "a")], "id long, name string").unionByName(aligned)
+    assert out.count() == 2 and set(out.columns) == {"id", "name"}
