@@ -23,3 +23,29 @@ def test_queries_and_oracles_aligned(spark):
     assert set(osql) <= set(qs)
     # every oracle-checked query is the majority
     assert len(osql) >= 0.7 * len(qs)
+
+
+def test_run_sql_adhoc(spark):
+    # the switch-over surface: any warehouse SQL runs as-is
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark import api
+
+    df = api.run_sql(
+        spark,
+        "/root/testdata/sf0.001",
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey)
+        GROUP BY o_orderpriority
+        """,
+    )
+    rows = df.collect()
+    assert len(rows) == 5 and all(r["n"] > 0 for r in rows)
+
+
+def test_run_sql_repoints_views_across_dirs(spark):
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark import api
+
+    n1 = api.run_sql(spark, "/root/testdata/sf0.001", "SELECT COUNT(*) AS n FROM events").first()["n"]
+    n2 = api.run_sql(spark, "/root/testdata/sf0.01", "SELECT COUNT(*) AS n FROM events").first()["n"]
+    assert (n1, n2) == (1000, 10000)
