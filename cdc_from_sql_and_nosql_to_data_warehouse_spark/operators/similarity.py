@@ -197,6 +197,10 @@ def q_sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 10
     emb = load_table(spark, sf_dir, "embeddings")
     qrows = emb.filter(F.col("vec_id") < 5).collect()  # bounded query set
+    if not qrows:  # empty query set: 0-row result, schema intact
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, cosine double, rank int"
+        )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
