@@ -85,3 +85,22 @@ def test_key_histogram(spark):
     rows = h.collect()
     assert len(rows) == 3
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_salted_join_null_keys_match_plain(spark):
+    # null keys — THE classic skew culprit — must behave identically to
+    # the plain join: dropped by inner, preserved-with-nulls by left
+    big = spark.createDataFrame(
+        [(None, "a"), (1, "b"), (1, "c"), (2, "d"), (None, "e")],
+        "k int, v string",
+    )
+    small = spark.createDataFrame([(1, "x"), (3, "y")], "k2 int, w string")
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r["v"], r["w"]) for r in big.join(small, big["k"] == small["k2"], how).collect()
+        )
+        salted = sorted(
+            (r["v"], r["w"])
+            for r in skew.salted_join(big, small, "k", "k2", salt_n=4, how=how).collect()
+        )
+        assert plain == salted, how
