@@ -364,3 +364,46 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidates(docs).filter(F.col("jaccard") >= 0.5)
     return dedup_clusters(pairs)
+
+
+@register(
+    "q_fuzzy_match",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name, substr(c_name, length(c_name) - 1, 2) AS blk
+      FROM customer
+    )
+    SELECT a.c_custkey AS a, b.c_custkey AS b,
+      CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+    FROM c a JOIN c b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-adjacent entity resolution: fuzzy name matching by edit
+    distance — with a BLOCKING key (name suffix), the same invariant as
+    every near-dup op here: candidate generation is an equi-join on a
+    computed key; the quadratic Levenshtein runs only inside blocks.
+    An unblocked fuzzy join is a cross join and is refused by design.
+    Levenshtein is built-in (JVM) in both engines with the classic
+    definition, so the oracle checks it exactly."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.substring(F.col("c_name"), -2, 2).alias("blk"),
+        )
+    )
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+        .filter(dist <= 2)
+        .select(
+            F.col("a.c_custkey").alias("a"),
+            F.col("b.c_custkey").alias("b"),
+            dist.alias("edit_dist"),
+        )
+    )
