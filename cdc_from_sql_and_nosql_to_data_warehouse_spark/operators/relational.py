@@ -1378,3 +1378,29 @@ def q_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE i.l_partkey = o.l_partkey)
         """
     )
+
+
+@register(
+    "q_sample_per_group",
+    oracle="""
+    SELECT doc_id, source, lang FROM (
+      SELECT doc_id, source, lang,
+        row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29 deterministic per-group sampling: k docs per source, ordered
+    by md5(doc_id) — a pseudo-random but engine-independent shuffle, so
+    unlike seeded RNG sampling this IS oracle-checkable and replays
+    identically on any cluster.  The training-data shape: cap each
+    source's contribution without a global sort (one shuffle on the
+    group key, rank state O(1))."""
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source", "lang")
+    )
