@@ -29,3 +29,7 @@ def test_runs_on_empty_tables(spark, empty_dir, name):
     rows = df.collect()
     assert rows is not None
     assert df.columns  # schema survives even with zero rows
+    # schema must not depend on data contents (dtypes is analysis-only,
+    # no job) — the driver smoke-checks entry() for exactly this
+    with_data = ops.REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+    assert df.dtypes == with_data.dtypes
