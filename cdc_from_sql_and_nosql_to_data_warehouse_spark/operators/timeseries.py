@@ -143,12 +143,15 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     micros = _WINDOW_SECONDS * 1_000_000
+    # window length derived from the SAME constant as the bucket width:
+    # if they diverged (window > bucket), a window could span >2 buckets
+    # and the explode below would silently drop matches
     windows = (
         ev.filter((F.col("event_type") == "error") & (F.col("value") > 100))
         .select(
             F.col("event_id").alias("window_id"),
             F.col("ts").alias("start_ts"),
-            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+            (F.col("ts") + F.expr(f"INTERVAL {_WINDOW_SECONDS} SECONDS")).alias("end_ts"),
         )
         .withColumn(
             "bucket",
