@@ -49,3 +49,15 @@ def test_run_sql_repoints_views_across_dirs(spark):
     n1 = api.run_sql(spark, "/root/testdata/sf0.001", "SELECT COUNT(*) AS n FROM events").first()["n"]
     n2 = api.run_sql(spark, "/root/testdata/sf0.01", "SELECT COUNT(*) AS n FROM events").first()["n"]
     assert (n1, n2) == (1000, 10000)
+
+
+def test_bogus_sf_dir_raises_cleanly(spark):
+    # a wrong data directory must fail with the standard Spark
+    # PATH_NOT_FOUND analysis error, not a confusing downstream crash
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import REGISTRY
+
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        REGISTRY["q_pricing_summary"].fn(spark, "/root/testdata/sf_nope").collect()
