@@ -367,3 +367,39 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "q_asof_tolerance",
+    oracle="""
+    WITH m AS (
+      SELECT l.event_id, l.user_id, l.ts, l.value, r.click_ts, r.click_value
+      FROM (SELECT event_id, user_id, ts, value
+            FROM events WHERE event_type = 'purchase') l
+      ASOF LEFT JOIN (SELECT user_id AS r_user, ts AS click_ts, MAX(value) AS click_value
+                      FROM events WHERE event_type = 'click'
+                      GROUP BY user_id, ts) r
+        ON l.user_id = r.r_user AND l.ts >= r.click_ts
+    )
+    SELECT event_id, user_id, ts, value,
+      CASE WHEN click_ts >= ts - INTERVAL 1 HOUR THEN click_ts END AS click_ts,
+      CASE WHEN click_ts >= ts - INTERVAL 1 HOUR THEN click_value END AS click_value
+    FROM m
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: a prior click older than
+    1 hour is no match (attribution windows expire).  Tolerance is a
+    pure post-projection over the tolerance-free as-of result — the
+    plan (one window pass, no join node) is unchanged, so the scale
+    properties of q_asof_join carry over verbatim."""
+    base = q_asof_join(spark, sf_dir)
+    fresh = F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(fresh, F.col("click_ts")).alias("click_ts"),
+        F.when(fresh, F.col("click_value")).alias("click_value"),
+    )
