@@ -119,8 +119,20 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
 
 
+def _shingle_starts(toks: Column, n: int) -> Column:
+    """1-based shingle start positions; EMPTY when the document has
+    fewer than n tokens.  The guard matters: Spark's sequence(1, 0)
+    returns the DESCENDING [1, 0] (step defaults to -1 when start >
+    stop, unlike DuckDB generate_series which returns []), and index 0
+    then crashes element_at/slice on any short document."""
+    return F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>), the MinHash input unit.
+    Documents with fewer than n tokens yield an empty shingle array.
 
     IMPORTANT: pass a materialized token *column* (an attribute from a
     previous projection), not a raw text column — the lambda references
@@ -128,8 +140,9 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     re-evaluated O(len) times (measured 15s → 0.5s on the minhash
     bench after materializing)."""
     toks = F.col(col) if isinstance(col, str) else col
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.transform(
+        _shingle_starts(toks, n), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
 
 
 def shingle_hashes(col: Column | str, n: int = 3) -> Column:
@@ -138,10 +151,10 @@ def shingle_hashes(col: Column | str, n: int = 3) -> Column:
     is never needed downstream.  Skipping the concat_ws string
     allocation per shingle roughly halves shingling cost (higher-order
     lambdas run interpreted, so per-element allocation dominates).
-    Same materialized-token-column caveat as word_shingles."""
+    Same materialized-token-column caveat (and short-document guard)
+    as word_shingles."""
     toks = F.col(col) if isinstance(col, str) else col
-    # element_at is 1-based; sequence runs over shingle start positions
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # element_at is 1-based; _shingle_starts runs over start positions
     return F.transform(
-        idx, lambda i: F.hash(*[F.element_at(toks, i + k) for k in range(n)])
+        _shingle_starts(toks, n), lambda i: F.hash(*[F.element_at(toks, i + k) for k in range(n)])
     )

@@ -90,6 +90,15 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry BOTH right-side fields in ONE struct through a single
+    # last(ignorenulls): two independent lasts would diverge when the
+    # matched click row's click_value is NULL — ignorenulls skips it and
+    # pairs the newest click_ts with an OLDER click's value, while the
+    # ASOF oracle returns NULL (latent until events.value has nulls).
+    match = F.last(
+        F.when(F.col("side") == 0, F.struct(F.col("ts").alias("m_ts"), F.col("click_value").alias("m_val"))),
+        ignorenulls=True,
+    ).over(w)
     return (
         left.unionByName(right)
         .select(
@@ -98,10 +107,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts",
             "value",
             "side",
-            F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True)
-            .over(w)
-            .alias("click_ts"),
-            F.last("click_value", ignorenulls=True).over(w).alias("click_value"),
+            match["m_ts"].alias("click_ts"),
+            match["m_val"].alias("click_value"),
         )
         .filter(F.col("side") == 1)
         .select("event_id", "user_id", "ts", "value", "click_ts", "click_value")

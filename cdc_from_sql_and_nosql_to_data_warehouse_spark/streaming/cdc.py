@@ -67,12 +67,19 @@ def latest_wins(df: DataFrame, key: str, seq: str = "seq") -> DataFrame:
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+# Target base rows merge at a sentinel BELOW any valid event seq, so a
+# real change at seq=0 (or any seq) deterministically beats the base row
+# instead of tying with it.
+_BASE_SEQ = -(2**63)
+
+
 def apply_changes(
     target: DataFrame | None,
     changes: DataFrame,
     key: str = "id",
     seq: str = "seq",
     mode: str = "merge",
+    removed_key: str = "removedId",
 ) -> DataFrame:
     """Apply a batch of change events to a (possibly empty) target.
 
@@ -80,6 +87,10 @@ def apply_changes(
     blindly, REMOVE dropped, duplicates accumulate (A14).
     ``merge``: corrected semantics — per-key latest event wins; a
     REMOVE as the latest event deletes the key (B36).
+
+    ``key`` names the merge column both inside ``newImage`` and on the
+    target; ``removed_key`` is the top-level column carrying the key of
+    a REMOVE event (whose newImage is null).
     """
     if mode not in ("append", "merge"):
         raise ValueError(f"unknown apply mode: {mode}")
@@ -91,7 +102,7 @@ def apply_changes(
 
     valid, _ = split_change_events(changes, keep_remove=True)
     flat = valid.select(
-        F.coalesce(F.col("newImage.id"), F.col("removedId")).alias("__key"),
+        F.coalesce(F.col(f"newImage.{key}"), F.col(removed_key)).alias("__key"),
         F.col(seq).alias("__seq"),
         (F.col("eventName") == "REMOVE").alias("__is_remove"),
         F.col("newImage").alias("__img"),
@@ -99,7 +110,7 @@ def apply_changes(
     if target is not None:
         base = target.select(
             F.col(key).alias("__key"),
-            F.lit(0).cast("long").alias("__seq"),
+            F.lit(_BASE_SEQ).cast("long").alias("__seq"),
             F.lit(False).alias("__is_remove"),
             F.struct(*[F.col(c) for c in target.columns]).alias("__img"),
         )
@@ -155,29 +166,87 @@ def start_append_stream(
     return writer.start()
 
 
+def _key_bucket(col: F.Column, n_buckets: int) -> F.Column:
+    """Stable key→bucket mapping (xxhash64 is deterministic across
+    sessions/partitionings, unlike monotonically_increasing_id)."""
+    return F.pmod(F.xxhash64(col.cast("string")), F.lit(n_buckets)).cast("int")
+
+
+def read_merge_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read a merge-mode target without its internal bucket column."""
+    return spark.read.parquet(table_dir).drop("__bucket")
+
+
 def start_merge_stream(
     changes: DataFrame,
     table_dir: str,
     checkpoint_dir: str,
     key: str = "id",
     available_now: bool = True,
+    n_buckets: int = 16,
 ):
-    """B36 apply-changes via foreachBatch: each micro-batch merges into
-    the keyed table with latest-wins.  (Parquet read-modify-write here;
-    on a real lakehouse the same function body is a Delta/Iceberg MERGE
-    — the transformation logic is identical.)"""
+    """B36 apply-changes via foreachBatch, INCREMENTAL: the target is
+    parquet hash-partitioned on ``__bucket = xxhash64(key) % n_buckets``
+    and each micro-batch merges + rewrites ONLY the bucket partitions
+    containing the batch's keys.  Per-batch I/O is O(touched buckets),
+    not O(table) — a full-table read-modify-write per micro-batch is
+    the classic 100 TB killer (on a lakehouse this same body is a
+    Delta/Iceberg MERGE, which prunes files the same way).
+
+    Crash/reader safety: the merged buckets are fully written to a temp
+    directory FIRST, then swapped in with per-bucket directory renames —
+    the merged plan's lineage (which reads table_dir) is never
+    recomputed over a half-overwritten table, and a crash mid-swap is
+    repaired by the checkpoint replaying the batch (latest-wins merge is
+    idempotent).
+    """
+    import os
+    import shutil
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        batch = batch.persist()
         try:
-            current = spark.read.parquet(table_dir)
-        except Exception:
-            current = None
-        merged = apply_changes(current, batch, key=key, mode="merge")
-        merged.persist()
-        merged.count()
-        merged.write.mode("overwrite").parquet(table_dir)
-        merged.unpersist()
+            batch_key = F.coalesce(F.col(f"newImage.{key}"), F.col("removedId"))
+            touched = sorted(
+                r["b"]
+                for r in batch.select(_key_bucket(batch_key, n_buckets).alias("b"))
+                .distinct()
+                .collect()
+            )
+            if not touched:
+                return
+            has_table = os.path.isdir(table_dir) and any(
+                e.startswith("__bucket=") for e in os.listdir(table_dir)
+            )
+            if has_table:
+                # partition pruning: only the touched bucket dirs are read
+                current = (
+                    spark.read.parquet(table_dir)
+                    .filter(F.col("__bucket").isin(touched))
+                    .drop("__bucket")
+                )
+            else:
+                current = None
+            merged = apply_changes(current, batch, key=key, mode="merge")
+            merged = merged.withColumn("__bucket", _key_bucket(F.col(key), n_buckets))
+            tmp = f"{table_dir}__merging_{batch_id}"
+            merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+            # swap in the rewritten buckets; untouched buckets keep their files
+            os.makedirs(table_dir, exist_ok=True)
+            for b in touched:
+                src = os.path.join(tmp, f"__bucket={b}")
+                dst = os.path.join(table_dir, f"__bucket={b}")
+                old = f"{dst}__old"
+                if os.path.isdir(dst):
+                    os.rename(dst, old)
+                if os.path.isdir(src):
+                    os.rename(src, dst)
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
+            shutil.rmtree(tmp, ignore_errors=True)
+        finally:
+            batch.unpersist()
 
     writer = changes.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_dir

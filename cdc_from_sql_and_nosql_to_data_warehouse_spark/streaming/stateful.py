@@ -26,14 +26,17 @@ OUTPUT_SCHEMA = "id string, last_seq long, n_events long, last_price double"
 def _apply_key_state(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    # no-state ⇒ last_seq None (NOT 0): a strict seq > 0 guard would
+    # silently drop a legitimate first event with seq <= 0
     if state.exists:
         last_seq, n_events, last_price = state.get
     else:
-        last_seq, n_events, last_price = 0, 0, None
+        last_seq, n_events, last_price = None, 0, None
     for pdf in batches:
         pdf = pdf.sort_values("seq")
         for _, row in pdf.iterrows():
-            if row["seq"] > last_seq:  # late/duplicate events don't regress state
+            if last_seq is None or row["seq"] > last_seq:
+                # late/duplicate events don't regress state
                 last_seq = int(row["seq"])
                 last_price = float(row["price"]) if pd.notna(row["price"]) else last_price
             n_events += 1
