@@ -23,10 +23,14 @@ from pyspark.sql.window import Window
 
 
 def assign_dense_ids(
-    df: DataFrame, order_cols: list[str], id_col: str = "row_id", partitions: int | None = None
+    df: DataFrame,
+    order_cols: list[str | Column],
+    id_col: str = "row_id",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Dense, deterministic 0-based ids in the total order given by
-    ``order_cols`` (must be a unique key for full determinism).
+    ``order_cols`` (must be a unique key for full determinism; entries
+    may be names or sort-order Columns like ``desc_nulls_last()``).
 
     Plan: repartitionByRange(order_cols) → sort within partitions →
     per-partition row_number − 1 → add the exclusive prefix sum of
@@ -34,7 +38,7 @@ def assign_dense_ids(
     a few KB even at 100 TB).  Equivalent to the single-task global
     ``row_number() over (order by ...)`` — verified in tests — but
     every stage is parallel."""
-    cols: list[Column] = [F.col(c) for c in order_cols]
+    cols: list[Column] = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     ranged = (
         df.repartitionByRange(partitions, *cols) if partitions else df.repartitionByRange(*cols)
     )

@@ -590,15 +590,30 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B16 multi-key sort with explicit null ordering; the global
-    row_number makes the order checkable under the driver's
-    order-insensitive hash."""
-    w = Window.orderBy(
-        F.col("c_nationkey").asc(), F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey").asc()
+    row position makes the order checkable under the driver's
+    order-insensitive hash.
+
+    The naive form — row_number() over an UNPARTITIONED Window.orderBy —
+    funnels the whole table through one task.  Positions here come from
+    assign_dense_ids (functions/ids.py): range-partition on the sort
+    key, number within partitions, add a driver-side prefix sum of
+    partition counts — same result, every stage parallel."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import assign_dense_ids
+
+    ranked = assign_dense_ids(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal"),
+        [
+            F.col("c_nationkey").asc(),
+            F.col("c_acctbal").desc_nulls_last(),
+            F.col("c_custkey").asc(),
+        ],
+        id_col="sort_pos0",
     )
-    return (
-        load_table(spark, sf_dir, "customer")
-        .select("c_custkey", "c_nationkey", "c_acctbal", F.row_number().over(w).alias("sort_pos"))
-        .orderBy("sort_pos")
+    return ranked.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        (F.col("sort_pos0") + 1).cast("int").alias("sort_pos"),
     )
 
 

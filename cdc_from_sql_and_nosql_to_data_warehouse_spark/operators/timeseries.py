@@ -175,8 +175,12 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = ev.select(
         "ts", "value", F.floor(F.unix_micros("ts") / micros).alias("bucket")
     )
+    # no broadcast hint: the windows side is filtered but unbounded in
+    # principle (incident-heavy data at 100× would OOM a forced
+    # broadcast); the join is already equi on `bucket`, so AQE picks
+    # broadcast while it's small and shuffle-hash once it isn't
     return (
-        probe.join(F.broadcast(windows), "bucket")
+        probe.join(windows, "bucket")
         .filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")))
         .groupBy("window_id", "start_ts")
         .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))

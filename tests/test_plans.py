@@ -61,12 +61,28 @@ def test_asof_join_is_one_window_pass(spark):
 
 
 def test_range_join_is_hash_not_nested_loop(spark):
-    # bucketed interval join must plan as a broadcast HASH join; a
+    # bucketed interval join must plan as an equi join (hash or
+    # sort-merge — AQE picks by the windows side's runtime size; no
+    # forced broadcast hint, which would OOM on incident-heavy data); a
     # BroadcastNestedLoopJoin here would be the O(n*m) plan we rejected
     df = REGISTRY["q_range_join"].fn(spark, SF_DIR)
     text = plans.formatted_plan(df)
-    assert "BroadcastHashJoin" in text
+    assert "HashJoin" in text or "SortMergeJoin" in text
     assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_sort_multi_has_no_single_partition_window(spark):
+    # B16 global positions must come from the range-partitioned
+    # dense-id path: every Window/Sort in the plan is partition-local,
+    # never a single-task global funnel
+    df = REGISTRY["q_sort_multi"].fn(spark, SF_DIR)
+    text = plans.formatted_plan(df)
+    # the old Window.orderBy form planned "Exchange SinglePartition"
+    assert "Exchange SinglePartition" not in text, text
+    # the surviving Window is keyed by the range-partition id, so every
+    # numbering task works one partition (the upstream rangepartitioning
+    # Exchange is hidden behind the localCheckpoint lineage cut)
+    assert "windowspecdefinition(__pid" in text, text
 
 
 def test_sessionize_single_sort_exchange(spark):
