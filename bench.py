@@ -23,6 +23,9 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.session import get_spark
 
 # Representative spread: scan+agg, star join, windows, CDC apply,
 # dedup, similarity, text — the operators that dominate real pipelines.
+# Round 2 adds the heavy hitters of the newly driver-verified set
+# (percentile, pivot, tf-idf, global sort, Q2 shape, md5 minhash) so
+# round-over-round regressions there are visible.
 HEADLINE = [
     "q_pricing_summary",
     "q_star_join",
@@ -38,6 +41,12 @@ HEADLINE = [
     "q_sim_topk",
     "q_text_tokens",
     "q_udf_map_in_pandas",
+    "q_percentile",
+    "q_pivot",
+    "q_text_tfidf",
+    "q_sort_multi",
+    "q_min_cost_supplier",
+    "q_dedup_minhash_md5",
 ]
 
 

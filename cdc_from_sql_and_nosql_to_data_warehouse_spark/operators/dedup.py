@@ -174,49 +174,231 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(docs).filter(F.col("jaccard") >= 0.5)
 
 
-@register(
-    "q_dedup_ngram_jaccard",
-    oracle="""
-    WITH sh AS (
-      SELECT doc_id, source,
+# Cross-engine shingle identity: ONE md5 per shingle, folded to a
+# 60-bit int (15 hex digits — DuckDB parses '0x…'::BIGINT, Spark
+# conv(…,16,10); both positive, both < 2^63).  Identity ints make the
+# Jaccard verify an integer-array intersect and let the MinHash
+# permutations be pure codegen'd integer arithmetic — measured ~4x
+# cheaper than hashing each shingle once per permutation with salted
+# md5 strings.
+_M31 = 2147483647  # fold to < 2^31 so a*h+b stays inside 2^63
+
+# Shared DuckDB CTE: distinct hashed word-3-gram shingles per document,
+# short (< 3-token) documents excluded — generate_series(1, 0) is empty
+# in DuckDB, and the Spark side's _shingle_starts guard matches it.
+_SQL_SHINGLES = """
+    sh AS (
+      SELECT doc_id,
         list_distinct(list_transform(
-          generate_series(1, greatest(length(toks) - 2, 0)),
-          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          list_transform(
+            generate_series(1, greatest(length(toks) - 2, 0)),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS shingles
       FROM (
-        SELECT doc_id, source,
+        SELECT doc_id,
           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
         FROM documents
       )
+    ),
+    shn AS (SELECT * FROM sh WHERE length(shingles) > 0)
+"""
+
+
+def md5_shingle_hashes(toks: F.Column, n: int = 3) -> F.Column:
+    """array<bigint> of 60-bit md5-derived word-n-gram shingle ids —
+    the engine-portable twin of functions/text.shingle_hashes (murmur3);
+    distinct-ness applied by callers."""
+    return F.transform(
+        X.word_shingles(toks, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
     )
-    SELECT a.doc_id AS a, b.doc_id AS b,
-      CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        / length(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE length(list_intersect(a.shingles, b.shingles)) * 4
-          >= length(list_distinct(list_concat(a.shingles, b.shingles)))
+
+
+def _md5_band_keys(sh: DataFrame, n_bands: int, rows_per_band: int = 1) -> DataFrame:
+    """(id, band, key) rows for MinHash LSH over md5-hashed shingles:
+    the k-th minhash is ``min over shingles of (a_k·(h mod 2^31-1)+b_k
+    mod 2^61-1)`` (the same affine permutations as the murmur3 path,
+    _PERMS), and a band key joins ``rows_per_band`` consecutive mins.
+    Every operation is engine-portable integer arithmetic on the shared
+    md5-derived ids, so DuckDB reproduces the buckets bit-for-bit.
+    Computed as explode + codegen'd min-aggregates; the shuffle carries
+    n_bands*rows_per_band longs per doc.  Expects ``sh`` = (id,
+    shingles: array<bigint>) non-empty."""
+    n_hashes = n_bands * rows_per_band
+    # fold to 31 bits ONCE in the projection; the aggs then share the
+    # materialized column instead of re-evaluating the pmod per hash
+    sig = (
+        sh.select("id", F.explode("shingles").alias("s"))
+        .select("id", F.pmod(F.col("s"), F.lit(_M31)).alias("h"))
+        .groupBy("id")
+        .agg(
+            *[
+                F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE61))).alias(f"m{k}")
+                for k, (a, b) in enumerate(_PERMS[:n_hashes])
+            ]
+        )
+    )
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.key")
+
+
+def _sql_band_keys(n_bands: int, rows_per_band: int = 1) -> str:
+    """DuckDB twin of _md5_band_keys over the ``shn`` CTE: ``sig``
+    (affine-min signature) and ``bk`` (exploded band keys)."""
+    n_hashes = n_bands * rows_per_band
+    mins = ",\n        ".join(
+        f"min(({a} * h + {b}) % {_MERSENNE61}) AS m{k}"
+        for k, (a, b) in enumerate(_PERMS[:n_hashes])
+    )
+    bands = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"CAST(m{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    sig AS (
+      SELECT doc_id, {mins}
+      FROM (SELECT doc_id, unnest(shingles) % {_M31} AS h FROM shn)
+      GROUP BY doc_id
+    ),
+    bk AS (
+{bands}
+    )
+"""
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_sql_band_keys(n_bands=4, rows_per_band=1)},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT p.a, p.b,
+      CAST(length(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / length(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+    FROM pairs p
+    JOIN shn sa ON sa.doc_id = p.a
+    JOIN shn sb ON sb.doc_id = p.b
+    WHERE length(list_intersect(sa.shingles, sb.shingles)) * 4
+          >= length(list_distinct(list_concat(sa.shingles, sb.shingles)))
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2 word-3-gram Jaccard similarity, blocked by ``source`` (the
-    blocking key stands in for an LSH bucket so the join is equi, not a
-    full cross product).  Keeps pairs with jaccard >= 0.25 via an
-    integer cross-multiplication (no float threshold ambiguity)."""
+    """C2 word-3-gram Jaccard similarity with md5-derived MinHash band
+    blocking (4 bands of 1 hash): candidate pairs share at least one
+    salted-md5 min-shingle, so block size is bounded by hash-key
+    popularity — corpus-independent, unlike blocking on a metadata
+    column (``source``), whose blocks grow quadratically with corpus
+    size.  md5 makes the blocks bit-identical in DuckDB, so the whole
+    pipeline (not just the verify step) is oracle-checked.  Keeps pairs
+    with jaccard >= 0.25 via integer cross-multiplication (no float
+    threshold ambiguity)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", "source", X.tokens("text").alias("toks")).select(
-        "doc_id",
-        "source",
-        F.array_distinct(X.word_shingles("toks", 3)).alias("shingles"),
+    sh = (
+        docs.select(F.col("doc_id").alias("id"), X.tokens("text").alias("toks"))
+        .select("id", F.array_distinct(md5_shingle_hashes(F.col("toks"), 3)).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=False)  # feeds band keys AND both verify sides
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
-    union = F.size(F.array_union("a.shingles", "b.shingles"))
+    bk = _md5_band_keys(sh, n_bands=4, rows_per_band=1)
+    a, b = bk.alias("a"), bk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        pairs.join(sh.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a")), "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b")), "b")
         .filter(inter * 4 >= union)
         .select(
-            F.col("a.doc_id").alias("a"),
-            F.col("b.doc_id").alias("b"),
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            "a", "b", (inter.cast("double") / union.cast("double")).alias("jaccard")
+        )
+    )
+
+
+@register(
+    "q_dedup_minhash_md5",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_sql_band_keys(n_bands=4, rows_per_band=2)},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT p.a, p.b,
+      CAST(length(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / length(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+    FROM pairs p
+    JOIN shn sa ON sa.doc_id = p.a
+    JOIN shn sb ON sb.doc_id = p.b
+    WHERE length(list_intersect(sa.shingles, sb.shingles)) * 2
+          >= length(list_distinct(list_concat(sa.shingles, sb.shingles)))
+    """,
+)
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 MinHash+LSH near-dup, fully oracle-checked: 8 salted-md5
+    min-hashes in 4 bands of 2, bucket equi-join for candidates, exact
+    Jaccard >= 0.5 verify on bucket-mates.  Same scale shape as
+    q_dedup_near_minhash (explode + codegen'd min-aggs, band-bucket
+    equi-join, verify only on candidates); md5 instead of murmur3 makes
+    every stage engine-portable, at ~2x the hash cost — the murmur3
+    path stays the throughput choice, this one is the correctness
+    anchor the driver can hash-check end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(F.col("doc_id").alias("id"), X.tokens("text").alias("toks"))
+        .select("id", F.array_distinct(md5_shingle_hashes(F.col("toks"), 3)).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=False)
+    )
+    bk = _md5_band_keys(sh, n_bands=4, rows_per_band=2)
+    a, b = bk.alias("a"), bk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(sh.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a")), "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b")), "b")
+        .filter(inter * 2 >= union)
+        .select(
+            "a", "b", (inter.cast("double") / union.cast("double")).alias("jaccard")
         )
     )
 

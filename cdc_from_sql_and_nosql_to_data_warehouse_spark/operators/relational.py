@@ -1419,3 +1419,74 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "source", "lang")
     )
+
+
+@register(
+    "q_min_cost_supplier",
+    oracle="""
+    WITH offer AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), eu_offer AS (
+      SELECT o.l_partkey, o.cost, eu.s_name, eu.s_acctbal, eu.n_name
+      FROM offer o JOIN eu ON eu.s_suppkey = o.l_suppkey
+    )
+    SELECT p.p_partkey, p.p_brand, p.p_type, e.s_name, e.s_acctbal, e.n_name,
+      e.cost AS min_cost
+    FROM part p JOIN eu_offer e ON e.l_partkey = p.p_partkey
+    WHERE p.p_type = 'ECONOMY' AND p.p_size <= 20
+      AND e.cost = (
+        SELECT MIN(e2.cost) FROM eu_offer e2 WHERE e2.l_partkey = p.p_partkey)
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each small ECONOMY
+    part, the EUROPE supplier(s) whose best lineitem price hits the
+    part's regional minimum — part ⋈ supplier ⋈ nation ⋈ region plus a
+    correlated MIN, with lineitem as the part↔supplier bridge (the
+    testdata carries no partsupp table; reference anchor: the Redshift
+    warehouse exists for exactly this dimensional lookup, reference
+    README.md:3).
+
+    Plan shape at 100 TB: the supplier⋈nation⋈region dimension closure
+    is broadcast (bounded by the supplier domain), the offer table
+    partial-aggregates lineitem map-side before its one shuffle on
+    (l_partkey, l_suppkey), and the correlated MIN decorrelates to a
+    per-part aggregate re-joined on l_partkey — the part filter prunes
+    the probe side before any join.  Ties at the minimum survive in
+    both engines (no arbitrary row pick); MIN of doubles picks an
+    existing value, so the equality is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    offer = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_offer = offer.join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey"))
+    min_per_part = eu_offer.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    parts = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 20)
+    )
+    return (
+        parts.join(eu_offer, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            min_per_part.withColumnRenamed("l_partkey", "mp_partkey"),
+            (F.col("mp_partkey") == F.col("p_partkey"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .select(
+            "p_partkey", "p_brand", "p_type", "s_name", "s_acctbal", "n_name", "min_cost"
+        )
+    )

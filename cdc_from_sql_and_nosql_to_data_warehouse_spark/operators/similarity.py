@@ -74,30 +74,99 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _planes(dim: int = 64, n: int = 12, seed: int = 42) -> list[list[float]]:
+# LSH geometry: L hash tables of b hyperplane bits each, query-side
+# multi-probe at Hamming distance <= 1.  For a neighbor at angle θ the
+# per-bit agreement is p = 1 - θ/π, a table hits within one probe with
+# p^b + b·p^(b-1)(1-p), and L independent tables turn that into
+# 1-(1-hit)^L — the two recall knobs (L, probe radius) and the cost
+# knob (b = bucket selectivity) called out in SCALE.md.
+_L_TABLES = 8
+_N_BITS = 8
+
+
+def _table_planes(
+    dim: int = 64, n_tables: int = _L_TABLES, n_bits: int = _N_BITS, seed: int = 42
+) -> list[list[list[float]]]:
     rng = random.Random(seed)
-    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
 
 
-@register("q_sim_topk_lsh")  # bucket recall differs from exact — rows-only
+def _table_signatures(col: F.Column) -> F.Column:
+    """array<struct<table:int, sig:bigint>> — one signature per table,
+    computed in the scan from seeded literal planes (no fit step)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                V.hyperplane_signature(col, planes).alias("sig"),
+            )
+            for t, planes in enumerate(_table_planes())
+        ]
+    )
+
+
+@register("q_sim_topk_lsh")  # ANN: bucket recall != exact — rows-only
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3 ANN: random-hyperplane LSH buckets (12 bits, seeded planes as
-    literal constants — computed in the scan, no fit step), cosine only
-    within the query's bucket, per-query top-k.  This is the plan shape
-    that survives 100× scale: signature scan + equi-join + windowed
-    top-k."""
-    planes = _planes()
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", V.hyperplane_signature("embedding", planes)
+    """C3 ANN: multi-table multi-probe hyperplane LSH — 8 tables x 8
+    bits, query probes its own bucket plus the 8 Hamming-1 neighbors in
+    every table, exact cosine only on candidates, per-query top-5.
+    Measured recall@5 vs the exact q_sim_topk is pinned by
+    tests/test_sim_recall.py (single-table single-probe scored ~0 on
+    this corpus — its neighbors sit at cosine ~0.3, where one 12-bit
+    bucket almost never agrees on all bits).
+
+    The 100 TB shape: candidates carry only (table, sig, id) into the
+    equi-join — a few bytes/row, never the embedding; embeddings are
+    re-attached per distinct candidate pair.  Probe fan-out lives on
+    the (tiny, broadcast) query side.  Candidate volume per query is
+    L·(1+b) buckets ≈ L·(1+b)/2^b of the corpus — the cost knob:
+    raising b sharpens buckets, raising L or the probe radius buys
+    recall with more candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = emb.select(
+        "vec_id", F.explode(_table_signatures(F.col("embedding"))).alias("ts")
+    ).select("vec_id", "ts.table", "ts.sig")
+    cand = sigs.select(F.col("vec_id").alias("cand_id"), "table", "sig")
+    probes = (
+        sigs.filter(F.col("vec_id") < 50)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "table",
+            F.explode(
+                F.array(
+                    F.col("sig"),
+                    *[F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(_N_BITS)],
+                )
+            ).alias("sig"),
+        )
     )
-    q = emb.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
-    )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket")
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    pairs = (
+        cand.join(F.broadcast(probes), ["table", "sig"])
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", V.cosine("q_emb", "c_emb").alias("cosine"))
+        .select("query_id", "cand_id")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    c_side = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        V.norm2("embedding").alias("c_norm"),
+    )
+    q_side = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        V.norm2("embedding").alias("q_norm"),
+    )
+    scored = (
+        pairs.join(c_side, "cand_id")
+        .join(F.broadcast(q_side), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (V.dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -150,8 +219,8 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(F.col("label").alias("cell"), F.transform("pm", lambda s: s["m"]).alias("centroid"))
     )
-    # assign every vector to its nearest centroid (broadcast centroids)
-    assigned = (
+    # rank every vector's cells by centroid distance (broadcast centroids)
+    ranked = (
         emb.crossJoin(F.broadcast(cents))
         .withColumn("dist", -V.cosine("embedding", "centroid"))
         .withColumn(
@@ -160,11 +229,15 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
             ),
         )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
     )
-    q = assigned.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell"
+    # candidates live in exactly their nearest cell; queries PROBE the 3
+    # nearest cells (IVF nprobe — the recall knob: candidate volume
+    # scales linearly with it, recall saturates as probes cover the
+    # neighbor's true cell)
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "cell")
+    q = (
+        ranked.filter((F.col("rn") <= 3) & (F.col("vec_id") < 20))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell")
     )
     c = assigned.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "cell")
     scored = (

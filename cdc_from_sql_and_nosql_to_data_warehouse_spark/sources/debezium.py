@@ -66,6 +66,32 @@ def decode_debezium(
     )
 
 
+def decode_kafka_frames(raw: DataFrame, payload: T.StructType) -> DataFrame:
+    """Kafka wire frames (``key``/``value``, binary or string) →
+    decoded change events.  Shared by the broker-backed stream below
+    and the file-fed test harness (tests/test_cdc.py) — everything
+    after `.load()` is broker-independent, so the whole decode path is
+    exercised without a Kafka container."""
+    return decode_debezium(
+        raw.select(F.col("key").cast("string").alias("key"), "value"), payload
+    )
+
+
+def to_change_events(decoded: DataFrame, key: str = "id") -> DataFrame:
+    """Bridge decoded Debezium events onto the engine's change-event
+    envelope (streaming/cdc.py: eventName/seq/newImage/removedId), so
+    the Kafka path feeds the same apply_changes / start_merge_stream
+    machinery as the file-drop protocol.  REMOVEs carry the key from
+    the before-image (`image` holds `before` for op=d)."""
+    return decoded.select(
+        "eventName",
+        "seq",
+        F.when(F.col("eventName") != "REMOVE", F.col("image")).alias("newImage"),
+        F.when(F.col("eventName") == "REMOVE", F.col(f"image.{key}").cast("string"))
+        .alias("removedId"),
+    )
+
+
 def kafka_debezium_stream(
     spark: SparkSession,
     payload: T.StructType,
@@ -78,9 +104,10 @@ def kafka_debezium_stream(
     """Production source: readStream from a Debezium Kafka topic and
     decode.  `maxOffsetsPerTrigger` is the micro-batch bound — the
     analog of the reference's ≤100-records/≤5-s event-source mapping
-    (cdk_infrastructure/__init__.py:441-442).  Not exercised by tests
-    (no broker in the test environment); the decode body is the same
-    `decode_debezium` the batch oracle checks."""
+    (cdk_infrastructure/__init__.py:441-442).  Only the `.load()` line
+    needs a broker; the decode applied to it (`decode_kafka_frames`)
+    is integration-tested on file-fed Kafka-shaped frames and
+    oracle-checked in q_debezium_roundtrip."""
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -89,5 +116,4 @@ def kafka_debezium_stream(
     )
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    raw = reader.load().select(F.col("key").cast("string").alias("key"), "value")
-    return decode_debezium(raw, payload)
+    return decode_kafka_frames(reader.load(), payload)
