@@ -97,6 +97,17 @@ _R01_CHECKED = frozenset(
     }
 )
 
+# Queries added AFTER the round-2 window was frozen at exactly 50
+# group-0 entries: parked just behind the window so they don't push a
+# window member past position 50; they roll into the next round's
+# window when _R01_CHECKED absorbs CORRECTNESS_r02.
+_R03_QUEUE = frozenset(
+    {
+        "q_corpus_curation",
+        "q_local_supplier_volume",
+    }
+)
+
 # Unchecked extras whose §2 component already went green via a sibling
 # query in round 1 — deferred behind the component-critical set.
 _DEFER_REDUNDANT = frozenset(
@@ -115,10 +126,12 @@ _DEFER_REDUNDANT = frozenset(
 
 def _window_priority(spec: QuerySpec) -> int:
     if spec.name in _R01_CHECKED:
-        return 3
+        return 4
     if not spec.oracle:
-        return 2
+        return 3
     if spec.name in _DEFER_REDUNDANT:
+        return 2
+    if spec.name in _R03_QUEUE:
         return 1
     return 0
 

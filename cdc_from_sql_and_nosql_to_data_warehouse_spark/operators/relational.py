@@ -1490,3 +1490,64 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey", "p_brand", "p_type", "s_name", "s_acctbal", "n_name", "min_cost"
         )
     )
+
+
+@register(
+    "q_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue by nation for
+    orders where customer and supplier share the nation, one region,
+    one year.  Five-way join exercising supplier alongside the
+    customer-side star.
+
+    Plan: supplier⋈nation⋈region closes to a broadcast dimension; the
+    c_nationkey = s_nationkey residual rides the supplier join; orders'
+    date filter is pushed to its scan so the fact-fact shuffle carries
+    one year.  Exact decimal revenue, cast to double at the edge."""
+    cutoff_lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    cutoff_hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        one - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(dim),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )

@@ -324,3 +324,81 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates the same regex in DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", F.size(X.bpe_ish_tokens("text")).cast("bigint").alias("n_bpe_tokens"))
+
+
+_SW_SQL = "['the','and','of','to','a','in','is','it','for','on','with','as','at','by']"
+
+
+@register(
+    "q_corpus_curation",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+        {_SQL_TOKS} AS toks,
+        CAST(length(text) AS BIGINT) AS n_char,
+        CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), surv AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM t
+      ) WHERE rn = 1
+    ), s AS (
+      SELECT doc_id, n_char, n_punct,
+        CAST(length(toks) AS BIGINT) AS n_tok,
+        CAST(length(list_filter(toks, t -> list_contains({_SW_SQL}, t))) AS BIGINT) AS n_sw,
+        list_distinct(toks) AS dtoks
+      FROM surv
+    ), q AS (
+      SELECT doc_id, n_tok,
+        (least(CAST(n_char AS DOUBLE) / 400.0, 1.0)
+         + (1.0 - least((CASE WHEN n_char = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_char END) * 4.0, 1.0))
+         + least((CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_sw AS DOUBLE) / n_tok END) * 2.0, 1.0)
+        ) / 3.0 AS quality,
+        CAST(length(list_intersect(dtoks, {_MARKER_SQL['en']})) AS BIGINT) AS h_en,
+        CAST(length(list_intersect(dtoks, {_MARKER_SQL['es']})) AS BIGINT) AS h_es,
+        CAST(length(list_intersect(dtoks, {_MARKER_SQL['fr']})) AS BIGINT) AS h_fr,
+        CAST(length(list_intersect(dtoks, {_MARKER_SQL['de']})) AS BIGINT) AS h_de
+      FROM s
+    )
+    SELECT doc_id, n_tok, quality
+    FROM q
+    WHERE greatest(h_en, h_es, h_fr, h_de) > 0
+      AND h_de <> greatest(h_en, h_es, h_fr, h_de)
+      AND h_en = greatest(h_en, h_es, h_fr)
+      AND quality >= 0.45
+      AND n_tok BETWEEN 30 AND 20000
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+C4 composite corpus-curation pipeline — the end-to-end
+    training-data filter chain in ONE declarative plan: exact-dup
+    survivor (min doc_id per md5 fingerprint) → language gate
+    (marker-argmax = 'en') → quality gate (>= 0.45) → length gate
+    (30..20000 tokens).
+
+    Composition costs one window shuffle (the dedup survivor pick);
+    every gate after it is a scan-local column predicate, so the whole
+    curation of a 100 TB corpus is one shuffle + one filtered pass —
+    the reason declarative beats per-stage materialization.  The
+    oracle replays the identical chain in DuckDB, including the
+    tie-break semantics of the language argmax."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(X.fingerprint("text")).orderBy("doc_id")
+    surv = docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        surv.select(
+            "doc_id",
+            X.token_count("text").alias("n_tok"),
+            X.quality_score("text").alias("quality"),
+            X.lang_id("text").alias("lang_pred"),
+        )
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("quality") >= 0.45)
+            & F.col("n_tok").between(30, 20000)
+        )
+        .select("doc_id", "n_tok", "quality")
+    )
