@@ -105,6 +105,10 @@ _R03_QUEUE = frozenset(
     {
         "q_corpus_curation",
         "q_local_supplier_volume",
+        "q_returned_item_revenue",
+        "q_bpe_pair_freqs",
+        "q_embedding_normalize",
+        "q_embedding_centroids",
     }
 )
 

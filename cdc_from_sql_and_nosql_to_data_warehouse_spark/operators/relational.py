@@ -1551,3 +1551,50 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "q_returned_item_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned item reporting): top-20 customers by
+    revenue lost to returns in one quarter.  Nation broadcast, order
+    date pushed to the orders scan, returnflag pushed to lineitem's,
+    exact decimal revenue so the top-20 cut is deterministic
+    (c_custkey tie-break), TakeOrderedAndProject for the limit."""
+    lo = F.lit("1996-07-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-10-01 00:00:00").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = load_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        one - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

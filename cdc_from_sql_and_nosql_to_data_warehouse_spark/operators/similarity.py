@@ -308,3 +308,78 @@ def q_sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import _SQL_DOT_FOLD  # noqa: E402
+
+
+@register(
+    "q_embedding_normalize",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+        sqrt({_SQL_DOT_FOLD.format(a='embedding', b='embedding')}) AS norm
+      FROM embeddings
+    )
+    SELECT vec_id, norm,
+      list_transform(embedding, x -> CAST(x AS DOUBLE) / norm) AS unit
+    FROM n
+    """,
+)
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 embedding L2-normalization — the standard pre-pass that turns
+    cosine into a plain dot product downstream.  The norm is computed
+    ONCE into a materialized column and the per-element division
+    references that column: a norm expression inside the transform
+    lambda would be re-evaluated per element (the measured
+    higher-order-function trap, SCALE.md)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select("vec_id", "embedding", V.norm2("embedding").alias("norm"))
+    return n.select(
+        "vec_id",
+        "norm",
+        F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("norm")).alias("unit"),
+    )
+
+
+@register(
+    "q_embedding_centroids",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+      list_reduce(
+        list_prepend(CAST(0 AS DOUBLE),
+          list_sort(list(CAST(embedding[i] AS DOUBLE)))),
+        (a, b) -> a + b) / COUNT(*) AS c
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
+    GROUP BY label, i - 1
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 per-label centroid (the k-means update step / IVF cell
+    build): posexplode the vectors and aggregate per (label, dim).
+
+    Determinism: the per-group sum is a left fold over the SORTED
+    values, so the result is independent of partitioning and identical
+    across engines.  (float→DECIMAL casts round differently between
+    engines — measured — so the usual decimal-exact-sum trick doesn't
+    survive a float column; the sorted fold does.)  The collect is
+    bounded by vectors-per-label; at 10^10 vectors per label the
+    deterministic-replay requirement is dropped and this becomes a
+    plain partial-aggregated double sum — the engine keeps both forms
+    one line apart."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.col("v").cast("double"))),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )

@@ -402,3 +402,39 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tok", "quality")
     )
+
+
+@register(
+    "q_bpe_pair_freqs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_SQL_TOKS} AS toks FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(
+        generate_series(1, greatest(length(toks) - 1, 0)),
+        i -> toks[i] || ' ' || toks[i+1])) AS pair
+      FROM toks
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 50
+    """,
+)
+def q_bpe_pair_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 BPE merge-candidate statistics: the 50 most frequent adjacent
+    token pairs over the corpus — the inner loop of byte-pair-encoding
+    vocabulary induction, run as explode + hash-agg + top-k.  Partial
+    aggregation keeps the shuffle at one row per (partition, pair);
+    the limit is TakeOrderedAndProject (per-partition heaps), so a
+    vocabulary round over 100 TB is a scan + one small exchange —
+    the reason BPE stats belong in the engine, not a driver loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(X.tokens("text").alias("toks")).select(
+        F.explode(X.word_shingles(F.col("toks"), 2)).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(50)
+    )
