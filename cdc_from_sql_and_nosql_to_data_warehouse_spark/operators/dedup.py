@@ -104,29 +104,33 @@ def minhash_candidates(
     """MinHash+LSH candidate pairs: shingle → minhash → band → bucket
     equi-join (SURVEY.md north star).  Returns (a, b, jaccard) for
     bucket-mates with exact Jaccard computed on distinct shingle sets."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.text import _shingle_starts
+
     rows = n_hashes // bands
-    # Materialize tokens → shingles as real columns between projections:
-    # each stage's output is an attribute reference, so downstream
-    # expressions don't re-evaluate the whole upstream expression tree
-    # per element (15s → sub-second at sf0.1).  The relation feeds three
-    # consumers (signature explode and both sides of the pair-verify
-    # join); truncate lineage so shingling runs once, not three times.
-    # Shingles as murmur3 ints (shingle_hashes), never strings: MinHash
-    # and the Jaccard verify only need shingle identity, and skipping
-    # the per-shingle string allocation halves shingling cost.
-    sh = (
+    # FLAT (id, h) shingle-hash rows: explode the start positions first
+    # so murmur3 runs in a whole-stage-codegen projection — building
+    # per-doc shingle arrays with transform lambdas runs interpreted
+    # (the measured trap; md5_shingle_rows records the 4x number).
+    # Shingles as murmur3 ints, never strings: MinHash and the Jaccard
+    # verify only need shingle identity.  The flat relation feeds the
+    # signature agg and (as collect_set) both verify sides; truncate
+    # lineage so shingling runs once, not three times.
+    ex = (
         docs.select(F.col(id_col).alias("id"), X.tokens(text_col).alias("toks"))
-        .select("id", F.array_distinct(X.shingle_hashes("toks", shingle_n)).alias("shingles"))
+        .select("id", "toks", F.explode(_shingle_starts(F.col("toks"), shingle_n)).alias("i"))
+        .select(
+            "id",
+            F.hash(
+                *[F.element_at("toks", F.col("i") + k) for k in range(shingle_n)]
+            ).alias("h"),
+        )
         .localCheckpoint(eager=False)
     )
-    # Signature via explode + codegen'd hash aggregate (see
-    # minhash_min_aggs): 16 affine-permuted mins computed map-side; the
-    # exchange carries 16 longs per doc, not per shingle.
-    sig = (
-        sh.select("id", F.explode("shingles").alias("h"))
-        .groupBy("id")
-        .agg(*minhash_min_aggs("h", n_hashes))
-    )
+    sh = ex.groupBy("id").agg(F.collect_set("h").alias("shingles"))
+    # Signature via codegen'd hash aggregate (see minhash_min_aggs): 16
+    # affine-permuted mins computed map-side; the exchange carries 16
+    # longs per doc, not per shingle (duplicates cannot change a min).
+    sig = ex.groupBy("id").agg(*minhash_min_aggs("h", n_hashes))
     # Band rows carry only (id, band, bucket) — never the shingle arrays
     # — so the candidate-generation shuffle moves a few bytes per row.
     # Shingles are re-attached only for the (rare) candidate pairs.
