@@ -108,3 +108,42 @@ def test_correlated_subquery_is_decorrelated(spark):
     text = plans.formatted_plan(df)
     assert "Join" in text and "HashAggregate" in text
     assert "ScalarSubquery" not in text
+
+
+def test_min_cost_supplier_partial_agg_and_broadcast(spark):
+    # Q2 shape: the lineitem offer table must partial-aggregate before
+    # its shuffle; the supplier/nation/region closure must broadcast
+    df = REGISTRY["q_min_cost_supplier"].fn(spark, SF_DIR)
+    text = plans.formatted_plan(df)
+    assert "partial_min" in text
+    assert plans.has_broadcast_join(df)
+
+
+def test_local_supplier_volume_pushdown_and_broadcast(spark):
+    # Q5 shape: the year filter reaches the orders scan; the dimension
+    # closure broadcasts
+    df = REGISTRY["q_local_supplier_volume"].fn(spark, SF_DIR)
+    assert plans.has_pushed_filter(df, "o_orderdate")
+    assert plans.has_broadcast_join(df)
+
+
+def test_returned_item_revenue_topk_and_pushdown(spark):
+    # Q10 shape: returnflag pushed to lineitem's scan, limit compiles
+    # to TakeOrderedAndProject (per-partition heaps, no global sort)
+    df = REGISTRY["q_returned_item_revenue"].fn(spark, SF_DIR)
+    assert plans.has_pushed_filter(df, "l_returnflag")
+    assert "TakeOrderedAndProject" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bpe_pair_freqs_partial_agg_topk(spark):
+    # pair counting must map-side combine; top-50 is per-partition heaps
+    df = REGISTRY["q_bpe_pair_freqs"].fn(spark, SF_DIR)
+    text = plans.formatted_plan(df)
+    assert "partial_count" in text
+    assert "TakeOrderedAndProject" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_corpus_curation_prunes_scan(spark):
+    # the curation chain needs only (doc_id, text) from the scan
+    df = REGISTRY["q_corpus_curation"].fn(spark, SF_DIR)
+    assert plans.reads_only_columns(df, {"doc_id", "text"})
