@@ -421,26 +421,33 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash64(hashes_col: F.Column, n_bits: int = 16) -> F.Column:
-    """SimHash over a column of PRE-HASHED tokens (array<bigint>,
-    xxhash64 computed once upstream): per-bit signed counts over the
-    hash's own bits, packed to a BIGINT.  The n_bits passes are
-    integer mask-and-add over the materialized hash column — the
-    string hashing cost is paid once, not n_bits times.  n_bits kept
-    small so the expression tree stays codegen-friendly; the real
-    spread comes from the 64-bit token hash."""
-    def bit_sum(i: int) -> F.Column:
-        mask = F.lit(1 << i)
-        return F.aggregate(
-            hashes_col,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
-
-    out = F.lit(0).cast("bigint")
+def simhash_signatures(docs: DataFrame, n_bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) via the flat explode+aggregate shape: tokens
+    explode to (doc_id, xxhash64) rows and each signature bit is a
+    codegen'd conditional SUM over the hash's own bits (+1/-1), packed
+    back to a BIGINT in the post-agg projection.  Per-bit array folds
+    (`F.aggregate` lambdas) run interpreted — the same measured trap as
+    MinHash shingling — while these n_bits sums partial-aggregate
+    map-side like any hash aggregate.  Documents with no tokens drop
+    out at the explode (an all-empty bucket would otherwise match every
+    empty doc against every other)."""
+    ex = docs.select("doc_id", F.explode(X.tokens("text")).alias("t")).select(
+        "doc_id", F.xxhash64("t").alias("h")
+    )
+    bit_sums = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(n_bits)
+        ]
+    )
+    packed = F.lit(0).cast("bigint")
     for i in range(n_bits):
-        out = out + F.when(bit_sum(i) > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
-    return out
+        packed = packed + F.when(
+            F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0))
+    return bit_sums.select("doc_id", packed.alias("simhash"))
 
 
 @register("q_dedup_simhash")  # xxhash64-based — rows-only check
@@ -448,9 +455,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 SimHash near-dup: signature per doc, candidates = equal
     signature (bucket join), no pairwise scan."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = docs.select(
-        "doc_id", F.transform(X.tokens("text"), lambda t: F.xxhash64(t)).alias("hs")
-    ).select("doc_id", simhash64(F.col("hs")).alias("simhash"))
+    sig = simhash_signatures(docs)
     a, b = sig.alias("a"), sig.alias("b")
     return a.join(
         b,
