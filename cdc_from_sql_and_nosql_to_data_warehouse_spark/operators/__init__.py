@@ -53,12 +53,14 @@ def oracle_sql() -> dict[str, str]:
 # Import operator modules for their registration side effects.
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (  # noqa: E402,F401
     cdc_batch,
+    curation,
     dedup,
     multimodal,
     relational,
     similarity,
     textops,
     timeseries,
+    tpch_shapes,
     udfs,
 )
 
@@ -109,6 +111,22 @@ _R03_QUEUE = frozenset(
         "q_bpe_pair_freqs",
         "q_embedding_normalize",
         "q_embedding_centroids",
+        # TPC-H breadth shapes (operators/tpch_shapes.py)
+        "q_volume_shipping",
+        "q_market_share",
+        "q_product_profit",
+        "q_shipmode_priority",
+        "q_customer_distribution",
+        "q_promo_revenue",
+        "q_small_qty_revenue",
+        "q_large_volume_customer",
+        "q_disjunctive_join",
+        "q_global_sales_opportunity",
+        # corpus-curation passes (operators/curation.py)
+        "q_text_repetition",
+        "q_decontaminate",
+        "q_pii_redact",
+        "q_dedup_report",
     }
 )
 

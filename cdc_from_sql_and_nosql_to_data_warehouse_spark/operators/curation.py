@@ -1,0 +1,206 @@
+"""Training-data curation operators beyond near-dup detection
+(SURVEY.md §2.3 Tier C extensions): repetition-based quality filtering,
+eval-set decontamination, PII redaction, and per-source dedup reporting.
+
+These are the corpus-hygiene passes a 100 TB pretraining pipeline runs
+between ingest and tokenization (public designs: Gopher/MassiveText
+repetition filters, GPT-3/The-Pile n-gram decontamination).  Everything
+is built-in column expressions or flat explode + hash-aggregate — no
+Python in the hot path — and every query carries a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import md5_shingle_rows
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+# Shared DuckDB tokenization CTE (mirror of functions.text.tokens).
+_SQL_TOKS = """
+    toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    )
+"""
+
+
+@register(
+    "q_text_repetition",
+    oracle=f"""
+    WITH {_SQL_TOKS},
+    big AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+      FROM (
+        SELECT doc_id, toks, unnest(generate_series(1, length(toks) - 1)) AS i
+        FROM toks WHERE length(toks) >= 2
+      )
+    ),
+    cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg),
+    agg AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total, COUNT(*) AS n_uniq
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id,
+      CAST(top_c AS DOUBLE) / CAST(total AS DOUBLE) AS top_bigram_frac,
+      CAST(1 AS DOUBLE) - CAST(n_uniq AS DOUBLE) / CAST(total AS DOUBLE)
+        AS dup_bigram_frac
+    FROM agg
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (Gopher/MassiveText-style filters,
+    public design): per document, the fraction of bigrams taken by the
+    single most frequent bigram, and the fraction of bigram slots that
+    are duplicates.  High values on either mark boilerplate / spam /
+    degenerate generations for removal before training.
+
+    Plan: explode bigram start positions → flat (doc_id, bigram) rows
+    in whole-stage codegen (the measured shape — per-doc array lambdas
+    run interpreted), two hash aggregations with map-side partials.
+    Ratios divide identical-valued integers in both engines, so the
+    doubles hash-match.  Documents with fewer than 2 tokens drop out at
+    the explode, exactly like the oracle's length guard."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = (
+        docs.select("doc_id", X.tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.element_at("toks", F.col("i")), F.element_at("toks", F.col("i") + 1)
+            ).alias("bg"),
+        )
+    )
+    cnt = ex.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("n_uniq"),
+    )
+    return agg.select(
+        "doc_id",
+        (F.col("top_c").cast("double") / F.col("total").cast("double")).alias(
+            "top_bigram_frac"
+        ),
+        (
+            F.lit(1).cast("double")
+            - F.col("n_uniq").cast("double") / F.col("total").cast("double")
+        ).alias("dup_bigram_frac"),
+    )
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH {_SQL_TOKS},
+    g AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         || ' ' || toks[i+3] || ' ' || toks[i+4]), 1, 15))::BIGINT AS h
+      FROM (
+        SELECT doc_id, toks, unnest(generate_series(1, length(toks) - 4)) AS i
+        FROM toks WHERE length(toks) >= 5
+      )
+    ),
+    ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+    tr AS (SELECT DISTINCT doc_id, h FROM g WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, COUNT(*) AS n_shared_grams
+    FROM tr JOIN ev ON tr.h = ev.h
+    GROUP BY tr.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3 / The-Pile n-gram overlap,
+    public design): flag training documents sharing any 5-gram with the
+    held-out eval slice (here the deterministic doc_id % 97 == 0
+    subset), reporting how many distinct 5-grams leak.  Downstream the
+    flagged docs are dropped or audited before training.
+
+    Plan: ONE shingling pass over the corpus (flat 60-bit md5 ids —
+    md5_shingle_rows, the codegen shape shared with the MinHash
+    anchor), split into eval/train sides; the eval gram set is tiny
+    relative to the corpus, so it broadcasts and the overlap check is a
+    broadcast hash join — the training side never shuffles.  At 100 TB
+    the eval set (benchmarks) is megabytes: this exact plan holds."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = md5_shingle_rows(docs, 5).localCheckpoint(eager=False)
+    ev = g.filter(F.col("id") % 97 == 0).select("h").distinct()
+    tr = g.filter(F.col("id") % 97 != 0).dropDuplicates(["id", "h"])
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+@register(
+    "q_pii_redact",
+    oracle="""
+    SELECT c_custkey,
+      regexp_replace(c_name, '[0-9]', '*', 'g') AS redacted_name,
+      CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+           AS INTEGER) AS n_digits
+    FROM customer
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: mask digit characters in an identifier
+    column and count how many were masked (the audit metric a redaction
+    job reports).  Regex-based scrubbing is the standard first PII pass
+    over web corpora; the digit class is identical in Java regex and
+    RE2, so the oracle checks the rewrite exactly.
+
+    Plan: pure per-row projection — no shuffle at all; at 100 TB this
+    is a map-only pass at full scan speed."""
+    c = load_table(spark, sf_dir, "customer")
+    stripped = F.regexp_replace(F.col("c_name"), "[0-9]", "")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(F.col("c_name"), "[0-9]", "*").alias("redacted_name"),
+        (F.length("c_name") - F.length(stripped)).cast("int").alias("n_digits"),
+    )
+
+
+@register(
+    "q_dedup_report",
+    oracle="""
+    SELECT source,
+      COUNT(*) AS n_docs,
+      COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+        AS n_unique,
+      CAST(1 AS DOUBLE)
+        - CAST(COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+               AS DOUBLE) / COUNT(*) AS dup_frac
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: document count, distinct
+    canonical fingerprints, and the duplicate fraction — the corpus
+    health dashboard number that decides which sources need the full
+    near-dup pass.
+
+    Plan: COUNT(DISTINCT fp) expands to the standard two-phase expand +
+    partial-agg (fingerprints partially deduped map-side before the one
+    shuffle on source); no row ever carries more than a 32-char hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = X.fingerprint("text")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (
+            F.lit(1).cast("double")
+            - F.countDistinct(fp).cast("double") / F.count(F.lit(1))
+        ).alias("dup_frac"),
+    )
