@@ -254,9 +254,12 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 TF-IDF: term frequency per doc × ln(N/df).  Three hash-aggs +
-    a broadcast-sized token-df join; idf is rounded to 6dp on both
-    engines before the multiply so libm ulp differences can't leak."""
+    """C4 TF-IDF: term frequency per doc × ln(N/df).  Three hash-aggs;
+    the token→df join is unhinted because the vocabulary grows with the
+    corpus (a hard broadcast of df would OOM at 100 TB) — AQE broadcasts
+    while it fits and shuffles on `token` once it doesn't.  idf is
+    rounded to 6dp on both engines before the multiply so libm ulp
+    differences can't leak."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -264,7 +267,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
     return (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(df_, "token")
         .crossJoin(F.broadcast(n))
         .filter(F.col("tf") >= 3)
         .select(

@@ -322,10 +322,13 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): 3-way join, filtered on both
     fact and dimension sides, top-10 unshipped orders by revenue.
 
-    The customer filter is applied before the join so Catalyst
-    broadcasts the reduced dimension; lineitem's date filter is pushed
-    to the parquet scan.  Top-k is TakeOrderedAndProject — each
-    partition keeps 10 rows, the driver merges, no global sort.
+    The customer filter is applied before the join and the side is left
+    unhinted: customer scales with the data, so a hard broadcast would
+    OOM at 100×; AQE broadcasts it while its runtime size is under the
+    threshold and falls back to shuffle-hash once it isn't.  lineitem's
+    date filter is pushed to the parquet scan.  Top-k is
+    TakeOrderedAndProject — each partition keeps 10 rows, the driver
+    merges, no global sort.
     Revenue sums through DECIMAL (exact, order-insensitive) so the
     top-10 cut is deterministic; l_orderkey breaks ties.
     """
@@ -339,7 +342,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))

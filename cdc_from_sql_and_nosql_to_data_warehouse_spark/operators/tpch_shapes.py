@@ -126,10 +126,10 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     The share is a conditional-sum / total-sum ratio computed in ONE
     aggregation pass (no self-join, no second scan).
 
-    Plan: part (filtered to PROMO) and the customer-side nation⋈region
-    closure broadcast; the supplier⋈nation lookup carries no hint (the
-    supplier domain is unbounded in principle — AQE broadcasts it only
-    when small).  The big shuffles are lineitem⋈orders and ⋈customer.
+    Plan: the customer-side nation⋈region closure broadcasts (bounded
+    domain); the PROMO-filtered part and the supplier⋈nation lookup
+    carry no hint — part and supplier scale with the data, so AQE
+    broadcasts them only while their runtime size allows.  The big shuffles are lineitem⋈orders and ⋈customer.
     Both decimal sums exit exact; the double division of two
     identical-valued doubles is bitwise deterministic."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -154,7 +154,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = _volume()
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cust_dim), F.col("c_nationkey") == F.col("cn_key"))
@@ -193,8 +193,9 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (part-name LIKE filter driving a 5-way join, two-key group)
     is what's being exercised.
 
-    Plan: the LIKE-filtered part broadcasts; the supplier⋈nation lookup
-    is unhinted (AQE decides); lineitem⋈orders is the one big shuffle;
+    Plan: the LIKE-filtered part and the supplier⋈nation lookup are
+    unhinted (both scale with the data; AQE broadcasts them while they
+    fit); lineitem⋈orders is the one big shuffle;
     year extraction happens in the aggregate projection, not a
     pre-pass."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -206,7 +207,7 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "n_name")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(supp_dim, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
@@ -353,7 +354,8 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-part average quantity) decorrelates to a grouped aggregate
     joined back on the part key.
 
-    Plan: part filter broadcast; the per-part average is a map-side
+    Plan: the brand/size-filtered part is unhinted (AQE broadcasts it
+    while small); the per-part average is a map-side
     partial-agg of (partkey, sum, count) — one shuffle — then joined to
     the filtered lineitem on the same key.  l_quantity is an
     integer-valued double, so AVG is exact in any order and the 0.2×
@@ -366,7 +368,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2).cast("double") * F.avg("l_quantity")).alias("qty_thresh")
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(pa, F.col("pa_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
@@ -443,9 +445,10 @@ def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the factored prefilters (brand ∈ {12,23,3}, size ∈ [1,15],
     quantity ∈ [1,30] — each implied by every OR branch) are applied
-    explicitly so they reach the scans; the filtered part broadcasts;
-    Catalyst keeps the OR residual out of the join condition so the
-    build side stays hashable."""
+    explicitly so they reach the scans; the filtered part side is
+    unhinted (AQE broadcasts it while small); Catalyst keeps the OR
+    residual out of the join condition so the build side stays
+    hashable."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity").between(1, 30)
     )
@@ -467,7 +470,7 @@ def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(branch)
         .agg(F.sum(_volume()).cast("double").alias("revenue"))
     )
