@@ -72,3 +72,53 @@ def assign_dense_ids(
         ranged.withColumn(id_col, F.row_number().over(w) - 1 + offset_col)
         .drop("__pid")
     )
+
+
+def running_total(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    total_col: str = "running_total",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive global prefix sum of ``value_col`` in the total order
+    of ``order_cols`` — the value analogue of ``assign_dense_ids``
+    (same plan: range-partition, in-partition window cumsum, add the
+    exclusive prefix sum of per-partition totals collected to the
+    driver — one long per partition).  Equivalent to the single-task
+    ``sum(v) over (order by …)`` but every stage is parallel; this is
+    what sequence packing / shard sizing use to place 10^9 documents
+    on token-offset boundaries without a global sort bottleneck."""
+    cols: list[Column] = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(partitions, *cols) if partitions else df.repartitionByRange(*cols)
+    )
+    ranged = (
+        ranged.sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = {
+        r["__pid"]: r["t"]
+        for r in ranged.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    offset_col = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in sorted(offsets)]),
+            F.array(*[F.lit(offsets[p]) for p in sorted(offsets)]),
+        ),
+        F.col("__pid"),
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn(total_col, F.sum(value_col).over(w) + offset_col)
+        .drop("__pid")
+    )

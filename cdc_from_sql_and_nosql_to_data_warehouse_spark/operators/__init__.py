@@ -56,6 +56,7 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (  # noqa: 
     curation,
     dedup,
     multimodal,
+    packing,
     relational,
     similarity,
     textops,
@@ -127,6 +128,12 @@ _R03_QUEUE = frozenset(
         "q_decontaminate",
         "q_pii_redact",
         "q_dedup_report",
+        # tokenization-prep ops (operators/packing.py)
+        "q_chunk_documents",
+        "q_pack_sequences",
+        "q_embedding_quantize",
+        # oracle-checked simhash (operators/dedup.py)
+        "q_dedup_simhash_md5",
     }
 )
 

@@ -465,6 +465,94 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_BITS = 16
+
+_SQL_MD5_SIMHASH_SIG = """
+    st AS (
+      SELECT doc_id, toks,
+        unnest(generate_series(1, greatest(length(toks) - 2, 0))) AS i
+      FROM (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+        FROM documents
+      )
+    ),
+    flat AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT AS h
+      FROM st
+    ),
+    bits AS (
+      SELECT doc_id,
+        {sums}
+      FROM flat GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, {pack} AS simhash FROM bits
+    )
+""".format(
+    sums=",\n        ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    ),
+    pack=" + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(_SIMHASH_BITS)
+    ),
+)
+
+
+@register(
+    "q_dedup_simhash_md5",
+    oracle=f"""
+    WITH {_SQL_MD5_SIMHASH_SIG}
+    SELECT a.doc_id AS a, b.doc_id AS b, a.simhash AS simhash
+    FROM sig a JOIN sig b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 SimHash near-dup, fully oracle-checked: 16-bit weighted
+    SimHash over the shared md5-derived shingle ids (duplicates kept —
+    repeated shingles vote repeatedly, the standard weighting), then
+    candidates = equal signature.  The xxhash64 twin
+    (`q_dedup_simhash`) stays rows-only; this variant proves the
+    algorithm end-to-end against DuckDB.
+
+    Plan: flat (id, h) shingle rows in codegen (md5_shingle_rows) →
+    ONE hash-aggregate computing all 16 conditional bit sums with
+    map-side partials (the shuffle carries 16 longs per doc) → packed
+    signature → self-equi-join on the signature.  No pairwise scan at
+    any scale; the signature join side is unhinted so AQE picks the
+    strategy."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = md5_shingle_rows(docs)
+    bit_sums = ex.groupBy(F.col("id").alias("doc_id")).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    packed = F.lit(0).cast("bigint")
+    for b in range(_SIMHASH_BITS):
+        packed = packed + F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    sig = bit_sums.select("doc_id", packed.alias("simhash"))
+    a, b = sig.alias("a"), sig.alias("b")
+    return a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("a"),
+        F.col("b.doc_id").alias("b"),
+        F.col("a.simhash").alias("simhash"),
+    )
+
+
 _SQL_DOT_FOLD = """
   list_reduce(
     list_prepend(CAST(0 AS DOUBLE),

@@ -1,0 +1,185 @@
+"""Tokenization-prep operators (SURVEY.md §2.3 Tier C extensions):
+document chunking, sequence packing, and embedding quantization — the
+steps between a curated corpus and a training shard.
+
+Chunking is a stateless flat explode (zero shuffles: each task chunks
+its own rows).  Packing places documents on global token-offset
+boundaries with ``functions.ids.running_total`` — the parallel prefix
+sum — instead of a single-task global window.  Quantization is a pure
+per-vector expression.  Every query carries a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import running_total
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+# DuckDB tokenization CTE (mirror of functions.text.tokens).
+_SQL_TOKS = """
+    toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    )
+"""
+
+# Small window/stride so the ~54-token testdata documents produce
+# several overlapping chunks each; a production context window only
+# changes the constants, not the plan.
+CHUNK_SIZE = 16
+CHUNK_STRIDE = 12
+
+PACK_CAPACITY = 256
+
+
+@register(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH {_SQL_TOKS},
+    nz AS (SELECT doc_id, toks FROM toks WHERE length(toks) >= 1),
+    st AS (
+      SELECT doc_id, toks, unnest(generate_series(1, length(toks), {CHUNK_STRIDE})) AS i
+      FROM nz
+    )
+    SELECT doc_id,
+      CAST((i - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+      CAST(length(toks[i:i + {CHUNK_SIZE - 1}]) AS BIGINT) AS n_tokens,
+      array_to_string(toks[i:i + {CHUNK_SIZE - 1}], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into fixed-size overlapping token windows
+    (CHUNK_SIZE=16, CHUNK_STRIDE=12) — the context-window chunking
+    step of a RAG / pretraining shard builder.
+
+    Plan: tokenize → explode the stride-spaced start positions →
+    slice per start.  Entirely within whole-stage codegen, no shuffle,
+    no state: chunking 100 TB is a map-only job whose output size is
+    input × (size/stride) overlap factor.  Both engines clamp the
+    final short chunk the same way, and the <1-token guard matches
+    DuckDB's empty generate_series."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", X.tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 1)
+    )
+    st = base.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_STRIDE))
+        ).alias("i"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("i"), CHUNK_SIZE)
+    return st.select(
+        "doc_id",
+        F.floor((F.col("i") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH {_SQL_TOKS},
+    counts AS (
+      SELECT doc_id, CAST(length(toks) AS BIGINT) AS n_tok
+      FROM toks WHERE length(toks) >= 1
+    ),
+    cum AS (
+      SELECT doc_id, n_tok,
+        SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum_tok
+      FROM counts
+    ),
+    binned AS (
+      SELECT doc_id, n_tok, CAST((cum_tok - 1) // {PACK_CAPACITY} AS BIGINT) AS bin_id
+      FROM cum
+    )
+    SELECT bin_id, COUNT(*) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM binned GROUP BY bin_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-capacity token bins (PACK_CAPACITY=256
+    tokens) in deterministic doc_id order — the sequence-packing /
+    shard-boundary step of a training-data pipeline (each doc lands in
+    the bin containing its last token).
+
+    Plan: the global token cumsum comes from
+    ``functions.ids.running_total`` — range-partition by doc_id,
+    in-partition window cumsum, plus a driver-side prefix sum of one
+    long per partition — NOT a single-task ``sum() over (order by)``
+    global window; every stage is parallel at 10^9 documents.  The
+    oracle uses the naive global window (DuckDB is single-node anyway)
+    and must agree bit-for-bit.  Zero-token docs are excluded on both
+    sides (their bin would differ between floor and truncating int
+    division)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", X.token_count("text").alias("n_tok"))
+        .filter(F.col("n_tok") >= 1)
+    )
+    cum = running_total(counts, ["doc_id"], "n_tok", "cum_tok")
+    binned = cum.withColumn(
+        "bin_id", F.floor((F.col("cum_tok") - 1) / PACK_CAPACITY).cast("bigint")
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+    WITH sc AS (
+      SELECT vec_id,
+        greatest(
+          list_aggregate(
+            list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
+          / 127.0,
+          1e-12) AS scale,
+        embedding
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+      list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER)) AS q
+    FROM sc
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per embedding: scale = max|x|/127,
+    q_i = round(x_i/scale) — the storage/ANN-memory reduction step for
+    a vector index (4× smaller than float32 before any codec).
+
+    Rounding is the explicit ``floor(x/scale + 0.5)`` on BOTH engines:
+    `round()` half-case rules differ across engines/types, floor does
+    not.  The per-element lambda is interpreted (outside codegen) but
+    does two flops per element; for a hot 100 TB pass the same kernel
+    drops into the Arrow ``mapInPandas`` path of
+    operators/similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    sc = emb.select(
+        "vec_id",
+        F.greatest(absmax / F.lit(127.0), F.lit(1e-12)).alias("scale"),
+        "embedding",
+    )
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast("int"),
+    )
+    return sc.select("vec_id", "scale", q.alias("q"))

@@ -178,3 +178,25 @@ def test_schema_drift_merge_and_by_name_append(spark, tmp_path):
     aligned = incoming.select(*target_cols)
     out = spark.createDataFrame([(1, "a")], "id long, name string").unionByName(aligned)
     assert out.count() == 2 and set(out.columns) == {"id", "name"}
+
+
+def test_running_total_matches_global_window_cumsum(spark):
+    # scalable range-partitioned prefix sum == the single-task global
+    # cumulative window, on a shuffled input
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import running_total
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", F.length("text").alias("v"))
+        .repartition(13)
+    )
+    got = running_total(docs, ["doc_id"], "v", "cum", partitions=7)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expect = docs.withColumn("cum", F.sum("v").over(w))
+    g = {r["doc_id"]: r["cum"] for r in got.collect()}
+    e = {r["doc_id"]: r["cum"] for r in expect.collect()}
+    assert g == e

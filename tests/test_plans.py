@@ -147,3 +147,19 @@ def test_corpus_curation_prunes_scan(spark):
     # the curation chain needs only (doc_id, text) from the scan
     df = REGISTRY["q_corpus_curation"].fn(spark, SF_DIR)
     assert plans.reads_only_columns(df, {"doc_id", "text"})
+
+
+def test_chunk_documents_is_map_only(spark):
+    # chunking must be a stateless flat explode: no Exchange (shuffle)
+    # anywhere in the plan — a map-only job at any corpus size
+    df = REGISTRY["q_chunk_documents"].fn(spark, SF_DIR)
+    text = plans.formatted_plan(df)
+    assert "Exchange" not in text, text
+
+
+def test_pack_sequences_no_global_window(spark):
+    # the token cumsum must come from the range-partitioned prefix sum,
+    # never a single-partition global window
+    df = REGISTRY["q_pack_sequences"].fn(spark, SF_DIR)
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in text, text
