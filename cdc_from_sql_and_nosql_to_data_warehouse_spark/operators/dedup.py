@@ -395,6 +395,14 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     path stays the throughput choice, this one is the correctness
     anchor the driver can hash-check end-to-end."""
     docs = load_table(spark, sf_dir, "documents")
+    return md5_minhash_pairs(docs)
+
+
+def md5_minhash_pairs(docs: DataFrame) -> DataFrame:
+    """(a, b, jaccard) near-dup pairs from the engine-portable md5
+    MinHash path (4 bands × 2 rows, exact Jaccard ≥ 0.5 verify) — the
+    pair feed shared by q_dedup_minhash_md5 and the oracle-checked
+    cluster resolution."""
     ex = md5_shingle_rows(docs, 3).localCheckpoint(eager=False)
     sh = ex.groupBy("id").agg(F.collect_set("h").alias("shingles"))
     bk = _md5_band_keys(ex, n_bands=4, rows_per_band=2)
@@ -657,6 +665,48 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidates(docs).filter(F.col("jaccard") >= 0.5)
     return dedup_clusters(pairs)
+
+
+@register(
+    "q_dedup_clusters_md5",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_sql_band_keys(n_bands=4, rows_per_band=2)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.a, c.b FROM cand c
+      JOIN shn sa ON sa.doc_id = c.a
+      JOIN shn sb ON sb.doc_id = c.b
+      WHERE length(list_intersect(sa.shingles, sb.shingles)) * 2
+            >= length(list_distinct(list_concat(sa.shingles, sb.shingles)))
+    ),
+    edges AS (
+      SELECT a AS x, b AS y FROM verified
+      UNION SELECT b, a FROM verified
+    ),
+    reach(x, y) AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+    )
+    SELECT x AS doc_id, least(x, MIN(y)) AS cluster_id
+    FROM reach GROUP BY x
+    """,
+)
+def q_dedup_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 cluster resolution, fully oracle-checked: the md5 MinHash
+    pair feed (engine-portable buckets + exact Jaccard ≥ 0.5) resolved
+    to connected components — each doc labeled with the min doc_id in
+    its component.  The DuckDB twin computes the same components by
+    recursive transitive closure (fine at oracle scale; component
+    closures are tiny), while the Spark side runs the O(diameter)
+    min-label propagation of ``dedup_clusters`` — one shuffle per
+    round, lineage truncated, convergence-tested — which is the shape
+    that survives 10^9-node near-dup graphs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(md5_minhash_pairs(docs))
 
 
 @register(

@@ -66,3 +66,36 @@ def enrich_stream(stream_df: DataFrame, dim_df: DataFrame, key: str) -> DataFram
     """B37 stream-static join: change events enriched against a
     dimension table (broadcast — never shuffle a stream against a dim)."""
     return stream_df.join(F.broadcast(dim_df), key, "left")
+
+
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "rts",
+    watermark: str = "10 minutes",
+    within: str = "5 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """B37′ stream-stream interval join (impression↔click attribution
+    shape): rows pair when keys match and the right event lands within
+    ``within`` AFTER the left event.
+
+    Both sides carry watermarks and the join condition bounds
+    right_ts ∈ [left_ts, left_ts + within] — that pair is what lets the
+    state store EVICT: without the time bound Spark would buffer both
+    streams forever; with it, each side's state is capped at
+    watermark + within of data per key regardless of stream length.
+    ``how='leftOuter'`` emits unmatched left rows (with nulls) once the
+    watermark passes their eviction point — exactly the "impression
+    with no click" attribution output.  Column names must be disjoint
+    (rename the right side before calling)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how)

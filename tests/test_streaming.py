@@ -284,3 +284,40 @@ def test_checkpoint_resume_no_reprocessing(spark, tdir):
     n_valid = len([e for e in events if e["eventName"] in ("INSERT", "MODIFY")])
     # exactly-once: first-half rows appear once, not re-read on resume
     assert total == n_valid
+
+
+def test_stream_stream_interval_join(spark, tdir):
+    # B37': impression->click attribution as a watermarked stream-stream
+    # join; only clicks within 5 minutes AFTER the impression pair, and
+    # the time bound is what lets the state store evict
+    import json
+    import os
+
+    imp_dir, clk_dir = f"{tdir}/imps", f"{tdir}/clicks"
+    os.makedirs(imp_dir)
+    os.makedirs(clk_dir)
+    with open(f"{imp_dir}/a.json", "w") as f:
+        for ad, ts in [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:00")]:
+            f.write(json.dumps({"ad_id": ad, "ts": ts}) + "\n")
+    with open(f"{clk_dir}/b.json", "w") as f:
+        for ad, ts in [
+            (1, "2024-01-01 00:03:00"),  # within 5 min -> pairs
+            (1, "2024-01-01 00:20:00"),  # too late -> no pair
+            (3, "2024-01-01 00:01:00"),  # no matching impression
+        ]:
+            f.write(json.dumps({"r_ad_id": ad, "rts": ts}) + "\n")
+    imps = spark.readStream.schema("ad_id long, ts timestamp").json(imp_dir)
+    clicks = spark.readStream.schema("r_ad_id long, rts timestamp").json(clk_dir)
+    joined = windows.join_streams(imps, clicks, "ad_id")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name).collect()
+    assert len(out) == 1
+    assert out[0]["ad_id"] == 1 and out[0]["r_ad_id"] == 1
