@@ -123,6 +123,9 @@ _R03_QUEUE = frozenset(
         "q_large_volume_customer",
         "q_disjunctive_join",
         "q_global_sales_opportunity",
+        "q_forecast_revenue",
+        "q_top_supplier",
+        "q_waiting_supplier",
         # corpus-curation passes (operators/curation.py)
         "q_text_repetition",
         "q_decontaminate",
