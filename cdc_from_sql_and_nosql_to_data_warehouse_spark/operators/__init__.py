@@ -55,6 +55,7 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (  # noqa: 
     cdc_batch,
     curation,
     dedup,
+    layout,
     multimodal,
     packing,
     relational,
@@ -138,6 +139,8 @@ _R03_QUEUE = frozenset(
         # oracle-checked simhash + clusters (operators/dedup.py)
         "q_dedup_simhash_md5",
         "q_dedup_clusters_md5",
+        # z-order layout (operators/layout.py)
+        "q_zorder_layout",
     }
 )
 

@@ -1,0 +1,125 @@
+"""Data-layout operators: Z-order clustering for multi-dimensional
+scan pruning (SURVEY.md §4.3 physical design).
+
+Parquet scans prune by row-group/file min-max statistics.  A table
+sorted on one column prunes only on that column; interleaving the bits
+of TWO columns into one Z-value and range-sorting on it keeps BOTH
+columns' min-max ranges narrow per file, so predicates on either
+column (or both) skip files.  This is the same layout trick lakehouse
+OPTIMIZE ZORDER applies; here it's ~30 lines of codegen'd bit
+arithmetic plus `repartitionByRange` — no engine extension needed.
+
+The Z-value is plain integer arithmetic, so DuckDB reproduces it
+bit-for-bit and the driver hash-checks the whole layout computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+Z_BITS = 16
+
+
+def z_value(x: Column, y: Column, bits: int = Z_BITS) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative ints:
+    x's bit b lands at position 2b, y's at 2b+1.  A flat sum of
+    shift/mask terms — whole-stage codegen, no lambda, no UDF."""
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        z = z + F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b).cast(
+            "bigint"
+        )
+        z = z + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1).cast(
+            "bigint"
+        )
+    return z
+
+
+def _sql_z_value(x: str, y: str, bits: int = Z_BITS) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def write_zordered(
+    df: DataFrame, x: str, y: str, path: str, partitions: int = 8
+) -> None:
+    """Cluster ``df`` on z(x, y) and write parquet: range-partition by
+    the z-value (contiguous disjoint z-ranges per output file), sort
+    within partitions so row groups inherit the clustering.  Scans
+    filtering on x, y, or both then prune files by parquet min-max
+    stats — the whole point of the layout.
+
+    Both columns are first normalized to the full 16-bit range from
+    their min/max (one tiny aggregate — four longs to the driver).
+    Without this, the wider-ranged column owns every high interleaved
+    bit and the file splits degenerate to a single-column sort — the
+    measured failure mode the layout test pins."""
+    mm = df.agg(
+        F.min(x).alias("xlo"), F.max(x).alias("xhi"),
+        F.min(y).alias("ylo"), F.max(y).alias("yhi"),
+    ).collect()[0]
+    top = (1 << Z_BITS) - 1
+
+    def norm(col: str, lo: int, hi: int) -> Column:
+        span = max(int(hi) - int(lo), 1)
+        return F.floor(
+            (F.col(col).cast("bigint") - F.lit(int(lo))) * top / F.lit(span)
+        ).cast("bigint")
+
+    zed = df.withColumn(
+        "__z", z_value(norm(x, mm["xlo"], mm["xhi"]), norm(y, mm["ylo"], mm["yhi"]))
+    )
+    (
+        zed.repartitionByRange(partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+_DAY0 = "TIMESTAMP '1995-01-01 00:00:00'"
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH z AS (
+      SELECT {_sql_z_value("CAST(o_custkey AS BIGINT)", "datediff('day', " + _DAY0 + ", o_orderdate)")} AS zval
+      FROM orders
+    )
+    SELECT CAST(zval // 65536 AS BIGINT) AS z_bucket,
+      COUNT(*) AS n,
+      CAST(MIN(zval) AS BIGINT) AS z_min,
+      CAST(MAX(zval) AS BIGINT) AS z_max
+    FROM z GROUP BY CAST(zval // 65536 AS BIGINT)
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit over orders clustered on
+    (o_custkey, order day): per 2^16-wide z-range, the row count and
+    actual z-extent — the statistics a layout optimizer uses to decide
+    file boundaries.  The z-value itself is the engine-portable bit
+    interleave of `z_value` (hash-checked against DuckDB); at scale
+    the same expression feeds `write_zordered`'s repartitionByRange,
+    and this audit is the (cheap) check that the clustering is tight.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp"))
+    zval = z_value(F.col("o_custkey").cast("bigint"), day.cast("bigint"))
+    return (
+        o.select(zval.alias("zval"))
+        .groupBy(F.floor(F.col("zval") / 65536).cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zval").cast("bigint").alias("z_min"),
+            F.max("zval").cast("bigint").alias("z_max"),
+        )
+    )

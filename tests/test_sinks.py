@@ -119,3 +119,42 @@ def test_compact_partition_reduces_files(spark, tmp_path):
     after = len(glob.glob(f"{path}/*.parquet"))
     assert n == 1 and after == 1
     assert spark.read.parquet(path).count() == 5000
+
+
+def test_write_zordered_clusters_both_columns(spark, tmp_path):
+    # z-order layout: each output file must cover a narrow slice of
+    # BOTH interleaved columns, so min-max stats prune scans on either
+    from pyspark.sql import functions as F
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import write_zordered
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_custkey",
+        F.datediff(
+            "o_orderdate", F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).alias("day"),
+    )
+    path = f"{tmp_path}/zorders"
+    write_zordered(o, "o_custkey", "day", path, partitions=8)
+    per_file = (
+        spark.read.parquet(path)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("ck_extent"),
+            (F.max("day") - F.min("day")).alias("day_extent"),
+        )
+        .collect()
+    )
+    glob = o.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+        (F.max("day") - F.min("day")).alias("day"),
+    ).collect()[0]
+    assert len(per_file) >= 4
+    avg_ck = sum(r["ck_extent"] for r in per_file) / len(per_file)
+    avg_day = sum(r["day_extent"] for r in per_file) / len(per_file)
+    # a single-column sort would leave the OTHER column's extent at
+    # ~100% of global per file; z-order keeps both well below
+    assert avg_ck < glob["ck"] * 0.8, (avg_ck, glob["ck"])
+    assert avg_day < glob["day"] * 0.8, (avg_day, glob["day"])
