@@ -141,6 +141,8 @@ _R03_QUEUE = frozenset(
         "q_dedup_clusters_md5",
         # z-order layout (operators/layout.py)
         "q_zorder_layout",
+        # lateral subquery (operators/relational.py)
+        "q_lateral_topk",
     }
 )
 

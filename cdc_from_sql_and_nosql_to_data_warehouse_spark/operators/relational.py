@@ -1598,3 +1598,38 @@ def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q_lateral_topk",
+    oracle="""
+    SELECT n_name, c.c_custkey, c.c_acctbal
+    FROM nation, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) c
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19′ correlated LATERAL subquery: per nation, the two customers
+    with the highest account balance — the dependent-join surface the
+    SQL frontend must accept beyond plain IN/EXISTS/scalar subqueries.
+
+    Catalyst DECORRELATES the lateral limit into a ranking window
+    partitioned by the correlation key (verified in the plan: no
+    per-row re-execution of the inner query) — the same plan a
+    hand-written row_number()<=2 produces, so it scales like any
+    window, not like a nested loop.  Ties break on c_custkey, so the
+    top-2 cut is deterministic in both engines."""
+    _views(spark, sf_dir, "nation", "customer")
+    return spark.sql(
+        """
+        SELECT n_name, c.c_custkey, c.c_acctbal
+        FROM nation JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) c
+        """
+    )

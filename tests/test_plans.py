@@ -163,3 +163,36 @@ def test_pack_sequences_no_global_window(spark):
     df = REGISTRY["q_pack_sequences"].fn(spark, SF_DIR)
     text = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in text, text
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    # B30/§4: joining a date-partitioned fact to a filtered dim must
+    # insert a dynamic pruning subquery into the fact scan -- at scale
+    # this is what turns a full-table scan into a few partitions
+    from pyspark.sql import functions as F
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = f"{tmp_path}/part_orders"
+    o.withColumn("od", F.to_date("o_orderdate")).write.partitionBy("od").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        o.select(F.to_date("o_orderdate").alias("od"))
+        .distinct()
+        .filter(F.col("od") >= "1996-01-01")
+        .limit(3)
+    )
+    j = fact.join(dim, "od")
+    txt = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in txt.lower(), txt
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    # the correlated LATERAL LIMIT must rewrite to a ranking window
+    # partitioned by the correlation key, never a per-row re-scan
+    df = REGISTRY["q_lateral_topk"].fn(spark, SF_DIR)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in txt, txt
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
