@@ -141,8 +141,9 @@ _R03_QUEUE = frozenset(
         "q_dedup_clusters_md5",
         # z-order layout (operators/layout.py)
         "q_zorder_layout",
-        # lateral subquery (operators/relational.py)
+        # lateral subquery + profiling (operators/relational.py)
         "q_lateral_topk",
+        "q_table_profile",
     }
 )
 

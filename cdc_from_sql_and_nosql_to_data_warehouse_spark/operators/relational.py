@@ -1633,3 +1633,54 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c
         """
     )
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "q_table_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+          COUNT(*) AS n_rows,
+          COUNT(*) - COUNT({c}) AS n_nulls,
+          COUNT(DISTINCT {c}) AS n_distinct,
+          CAST(MIN({c}) AS DOUBLE) AS min_val,
+          CAST(MAX({c}) AS DOUBLE) AS max_val
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style numeric column profile of lineitem: per column,
+    row/null/distinct counts and min/max — the statistics a warehouse
+    keeps for optimizer cardinality estimates and data-quality
+    monitoring.
+
+    Plan: ONE scan computes every metric for every column (a single
+    aggregate with 4 exact distinct counts — Catalyst plans the
+    multi-distinct through one Expand, not four scans; the oracle's
+    UNION ALL of per-column scans is the shape we explicitly avoid),
+    then a stack() unpivot emits one row per column.  At 100 TB the
+    scan dominates and it happens once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__dist, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    )
