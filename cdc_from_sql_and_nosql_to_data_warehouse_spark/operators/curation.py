@@ -204,3 +204,74 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.countDistinct(fp).cast("double") / F.count(F.lit(1))
         ).alias("dup_frac"),
     )
+
+
+@register(
+    "q_lm_score",
+    oracle=f"""
+    WITH {_SQL_TOKS},
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (
+        SELECT doc_id, toks, unnest(generate_series(1, length(toks) - 1)) AS i
+        FROM toks WHERE length(toks) >= 2
+      )
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1),
+    sc AS (
+      SELECT c2.w1, c2.w2,
+        round(ln(CAST(n2 AS DOUBLE) / n1), 6) AS logp
+      FROM c2 JOIN c1 ON c2.w1 = c1.w1
+    )
+    SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      CAST(SUM(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_logp
+    FROM bg JOIN sc ON bg.w1 = sc.w1 AND bg.w2 = sc.w2
+    GROUP BY bg.doc_id
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score per document (the
+    CCNet-style perplexity filter, self-trained on the corpus): each
+    document's mean log-probability under the corpus bigram model —
+    low scores flag gibberish/boilerplate for the curation gate.
+
+    Plan: one flat bigram explode feeds three aggregations; the
+    bigram→logp model is built VOCABULARY-side (c2⋈c1 joins two
+    aggregated tables, not the corpus), and the corpus-side cost is a
+    single equi-join of the exploded bigrams against the scored model
+    — skew on stop-bigrams is the known hazard at 100 TB and the
+    salted-join helper (functions/skew.py) drops in on the same keys.
+    ln is rounded to 6dp on both engines (libm ulp guard, the
+    q_text_tfidf precedent) and per-doc summation is DECIMAL-exact, so
+    the mean is order-independent and hash-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bg = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        F.element_at("toks", F.col("i")).alias("w1"),
+        F.element_at("toks", F.col("i") + 1).alias("w2"),
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy(F.col("w1").alias("m1")).agg(F.count(F.lit(1)).alias("n1"))
+    sc = c2.join(c1, F.col("w1") == F.col("m1")).select(
+        "w1",
+        "w2",
+        F.round(F.log(F.col("n2").cast("double") / F.col("n1")), 6).alias("logp"),
+    )
+    return (
+        bg.join(sc, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(F.col("logp").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_logp"),
+        )
+    )

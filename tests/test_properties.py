@@ -141,3 +141,54 @@ def test_range_join_containment(spark):
         r = got[inc.event_id]
         assert r["n_events"] == len(inside)
         assert r["max_value"] == inside.value.max()
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=65535), min_size=1, max_size=8),
+    ys=st.lists(st.integers(min_value=0, max_value=65535), min_size=1, max_size=8),
+)
+def test_z_value_matches_python_interleave(spark, xs, ys):
+    # the codegen'd bit interleave must equal the obvious python one
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import z_value
+
+    n = min(len(xs), len(ys))
+    rows = [(xs[i], ys[i]) for i in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", z_value(F.col("x"), F.col("y"))).collect()
+    }
+
+    def py_z(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for x, y in rows:
+        assert got[(x, y)] == py_z(x, y)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=40),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_running_total_property(spark, vals, parts):
+    # the parallel prefix sum equals the sequential cumsum for any
+    # input and any partition count
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import running_total
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(3)
+    got = {
+        r["k"]: r["cum"]
+        for r in running_total(df, ["k"], "v", "cum", partitions=parts).collect()
+    }
+    acc, expect = 0, {}
+    for i, v in enumerate(vals):
+        acc += v
+        expect[i] = acc
+    assert got == expect
