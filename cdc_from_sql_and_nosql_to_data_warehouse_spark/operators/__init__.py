@@ -137,6 +137,7 @@ _R03_QUEUE = frozenset(
         "q_pack_sequences",
         "q_embedding_quantize",
         "q_lm_score",
+        "q_dataset_mixture",
         # oracle-checked simhash + clusters (operators/dedup.py)
         "q_dedup_simhash_md5",
         "q_dedup_clusters_md5",

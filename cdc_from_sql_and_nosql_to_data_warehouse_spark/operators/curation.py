@@ -275,3 +275,73 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logp"),
         )
     )
+
+
+_MIX_CAP = 15  # expected docs kept per source
+
+
+@register(
+    "q_dataset_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_in FROM documents GROUP BY source
+    ),
+    gated AS (
+      SELECT d.source, n_in,
+        least(1.0, CAST({_MIX_CAP} AS DOUBLE) / n_in) AS keep_prob,
+        CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             AS DOUBLE) / 1152921504606846976.0 AS u,
+        length(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                           t -> t <> '')) AS n_tok
+      FROM documents d JOIN counts USING (source)
+    )
+    SELECT source, n_in, keep_prob,
+      COUNT(*) FILTER (WHERE u < keep_prob) AS n_kept,
+      CAST(COALESCE(SUM(n_tok) FILTER (WHERE u < keep_prob), 0) AS BIGINT)
+        AS n_tokens_kept
+    FROM gated GROUP BY source, n_in, keep_prob
+    """,
+)
+def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture rebalancing: downsample each source to an
+    expected cap of _MIX_CAP (=15) documents with a DETERMINISTIC
+    md5-threshold sampler — the domain-reweighting step that sets a
+    pretraining mixture without a second pass or an RNG (rerunning the
+    pipeline keeps the same documents; both engines draw the same u).
+
+    Plan: per-source counts are a vocabulary-sized aggregate joined
+    back unhinted (source cardinality grows with the corpus — AQE
+    broadcasts while it fits); u = md5(doc_id)/2^60 is a flat codegen
+    projection; the kept-set aggregate is one shuffle keyed by source.
+    The same u-threshold pattern yields the kept ROWS at scale — here
+    the audit emits per-source totals to stay oracle-small."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy(F.col("source").alias("csource")).agg(
+        F.count(F.lit(1)).alias("n_in")
+    )
+    keep_prob = F.least(
+        F.lit(1.0), F.lit(float(_MIX_CAP)) / F.col("n_in").cast("double")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    gated = (
+        docs.join(counts, F.col("source") == F.col("csource"))
+        .select(
+            "source",
+            "n_in",
+            keep_prob.alias("keep_prob"),
+            u.alias("u"),
+            F.size(X.tokens("text")).alias("n_tok"),
+        )
+    )
+    kept = F.col("u") < F.col("keep_prob")
+    return gated.groupBy("source", "n_in", "keep_prob").agg(
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens_kept"),
+    )
