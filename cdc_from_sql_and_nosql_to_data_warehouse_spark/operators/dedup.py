@@ -593,9 +593,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH signature in similarity.hyperplane_signature).  Cosine is a
     left-fold in doubles on both sides, so the 0.35 threshold compares
     bit-identical values."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", V.norm2("embedding").alias("nrm")
+    )
     a, b = emb.alias("a"), emb.alias("b")
-    cos = V.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # norms precomputed ONCE per vector (N folds), not per pair (3N²
+    # interpreted folds — measured 3x of the query's cost); the dot
+    # fold and the na*nb product are bit-identical to V.cosine, so the
+    # oracle is unchanged
+    cos = V.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b"), cos.alias("cosine"))
@@ -740,10 +748,14 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a, b = c.alias("a"), c.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    # thresholded levenshtein runs the banded O(threshold·len) DP and
+    # returns -1 over the bound — same accepted pairs and distances as
+    # the unbounded form the oracle computes, at a fraction of the
+    # per-pair cost (measured ~3x on the suffix blocks)
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2)
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.c_custkey") < F.col("b.c_custkey")))
-        .filter(dist <= 2)
+        .filter(dist >= 0)
         .select(
             F.col("a.c_custkey").alias("a"),
             F.col("b.c_custkey").alias("b"),
