@@ -127,6 +127,7 @@ _R03_QUEUE = frozenset(
         "q_forecast_revenue",
         "q_top_supplier",
         "q_waiting_supplier",
+        "q_dominant_supplier",
         # corpus-curation passes (operators/curation.py)
         "q_text_repetition",
         "q_decontaminate",

@@ -675,3 +675,66 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "q_dominant_supplier",
+    oracle="""
+    WITH red AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+    ),
+    ship AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem JOIN red ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, SUM(qty) AS total FROM ship GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name, COUNT(*) AS n_parts_dominated
+    FROM ship
+    JOIN tot USING (l_partkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE qty > 0.5 * total
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-flavored shape (excess/dominant supply): suppliers
+    who shipped more than half of a red part's yearly volume, per
+    part — the correlated share-threshold pattern of Q20's
+    "availqty > half of sold" rewritten over shipped quantities
+    (testdata has no partsupp).
+
+    Plan: ONE lineitem scan feeds the per-(part, supplier) aggregate;
+    the per-part total is a WINDOW sum partitioned by part over the
+    already-aggregated rows — not a self-join of the aggregate, which
+    would recompute the whole subtree twice (measured in the plan; the
+    plan test pins the single scan).  l_quantity is an integer-valued
+    double, so both sums are order-exact and the 0.5× compare is
+    deterministic."""
+    from pyspark.sql.window import Window
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    ship = (
+        li.join(red, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    total = F.sum("qty").over(Window.partitionBy("l_partkey"))
+    return (
+        ship.withColumn("total", total)
+        .filter(F.col("qty") > F.lit(0.5) * F.col("total"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
+    )

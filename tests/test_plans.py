@@ -196,3 +196,12 @@ def test_lateral_topk_decorrelates_to_window(spark):
     assert "Window" in txt, txt
     assert "CartesianProduct" not in txt, txt
     assert "BroadcastNestedLoopJoin" not in txt, txt
+
+
+def test_dominant_supplier_single_fact_scan(spark):
+    # the per-part windowed total must not duplicate the aggregate
+    # subtree: one scan per table (lineitem, part, supplier), no more
+    df = REGISTRY["q_dominant_supplier"].fn(spark, SF_DIR)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = sum(1 for line in txt.splitlines() if "FileScan" in line)
+    assert n_scans == 3, txt
