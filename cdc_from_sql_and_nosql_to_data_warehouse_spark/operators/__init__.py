@@ -144,9 +144,11 @@ _R03_QUEUE = frozenset(
         "q_dedup_clusters_md5",
         # z-order layout (operators/layout.py)
         "q_zorder_layout",
-        # lateral subquery + profiling (operators/relational.py)
+        # lateral subquery + profiling + join/window breadth (operators/relational.py)
         "q_lateral_topk",
         "q_table_profile",
+        "q_join_null_safe",
+        "q_window_ntile",
     }
 )
 

@@ -1684,3 +1684,68 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(c_nationkey % 5, 0) AS cust_key, COUNT(*) AS n_cust
+      FROM customer GROUP BY nullif(c_nationkey % 5, 0)
+    ),
+    b AS (
+      SELECT nullif(s_nationkey % 5, 0) AS supp_key, COUNT(*) AS n_supp
+      FROM supplier GROUP BY nullif(s_nationkey % 5, 0)
+    )
+    SELECT cust_key, supp_key, n_cust, n_supp
+    FROM a FULL JOIN b ON a.cust_key IS NOT DISTINCT FROM b.supp_key
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4′ null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of dropping — the semantics a plain
+    equi-join silently loses when the join key is nullable (the
+    synthetic nullif here stands in for any nullable dimension key).
+
+    Null-safe equality is still a HASH join key in Spark (EqualNullSafe
+    is an equi-condition, not a theta residual), so the plan is the
+    same shuffle/broadcast hash join as `=` — no nested-loop penalty
+    for the safer semantics."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = c.groupBy(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("cust_key")
+    ).agg(F.count(F.lit(1)).alias("n_cust"))
+    b = s.groupBy(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("supp_key")
+    ).agg(F.count(F.lit(1)).alias("n_supp"))
+    return a.join(b, F.col("cust_key").eqNullSafe(F.col("supp_key")), "full").select(
+        "cust_key", "supp_key", "n_cust", "n_supp"
+    )
+
+
+@register(
+    "q_window_ntile",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+      CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+    FROM customer
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13″ ntile bucketing: account-balance quartiles within each
+    nation — the equi-depth binning used for stratified reporting and
+    skew diagnosis.  Both engines share the SQL-standard ntile fill
+    rule (larger buckets first); the c_custkey tie-break makes the
+    assignment deterministic.  Partitioned by nation, so no global
+    single-task window."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
