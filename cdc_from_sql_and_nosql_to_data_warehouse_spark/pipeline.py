@@ -92,7 +92,15 @@ def tick_nosql_path(spark: SparkSession, ndjson_path: str, paths: PipelinePaths)
         incoming = docs.withColumn("__seq", F.lit(2))  # put_item: new image wins
         merged = cdc.latest_wins(current.unionByName(incoming), "id", "__seq").drop("__seq")
     except Exception:
-        merged = docs.dropDuplicates(["id"])
+        # first tick (no table yet): deterministic survivor per id —
+        # lexicographic max over the non-key struct, never
+        # dropDuplicates (whose survivor depends on partitioning)
+        others = [c for c in docs.columns if c != "id"]
+        merged = (
+            docs.groupBy("id")
+            .agg(F.max(F.struct(*others)).alias("__s"))
+            .select("id", "__s.*")
+        )
     merged.persist()
     merged.count()
     merged.write.mode("overwrite").parquet(paths.keyed_trades)
