@@ -149,6 +149,9 @@ _R03_QUEUE = frozenset(
         "q_table_profile",
         "q_join_null_safe",
         "q_window_ntile",
+        # event analytics (operators/timeseries.py)
+        "q_event_funnel",
+        "q_retention_cohorts",
     }
 )
 

@@ -417,3 +417,133 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("click_ts")).alias("click_ts"),
         F.when(fresh, F.col("click_value")).alias("click_value"),
     )
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_type, event_id,
+        min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS v1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND v1 IS NOT NULL
+                          AND ts > v1 THEN ts END) OVER w AS c1
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND c1 IS NOT NULL
+                          AND ts > c1 THEN ts END) OVER w AS p1
+      FROM s2
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    u AS (
+      SELECT user_id, min(v1) AS t1, min(c1) AS t2, min(p1) AS t3
+      FROM s3 GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users, COUNT(t1) AS n_viewed,
+      COUNT(t2) AS n_clicked, COUNT(t3) AS n_purchased
+    FROM u
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click after it → purchase
+    after that) per user, reduced to stage counts — the product-
+    analytics query sessionization exists to serve.
+
+    Plan: ONE shuffle (partition by user) and ONE sort feed all three
+    chained cumulative-min windows (Catalyst stacks the Window nodes
+    on the shared sort order — no re-exchange, no self-joins; the
+    naive formulation is three join-backs of per-stage aggregates).
+    Strictly-after semantics compare VALUES, not row positions, so
+    equal-timestamp edges resolve identically in both engines under
+    the event_id tie-broken order."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    typ = F.col("event_type")
+    s = e.withColumn("v1", F.min(F.when(typ == "view", F.col("ts"))).over(w))
+    s = s.withColumn(
+        "c1",
+        F.min(
+            F.when(
+                (typ == "click") & F.col("v1").isNotNull() & (F.col("ts") > F.col("v1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s = s.withColumn(
+        "p1",
+        F.min(
+            F.when(
+                (typ == "purchase")
+                & F.col("c1").isNotNull()
+                & (F.col("ts") > F.col("c1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    u = s.groupBy("user_id").agg(
+        F.min("v1").alias("t1"), F.min("c1").alias("t2"), F.min("p1").alias("t3")
+    )
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked"),
+        F.count("t3").alias("n_purchased"),
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    coh AS (SELECT user_id, MIN(wk) AS cohort_week FROM act GROUP BY user_id)
+    SELECT cohort_week,
+      CAST(date_diff('day', cohort_week, wk) // 7 AS BIGINT) AS week_offset,
+      COUNT(DISTINCT act.user_id) AS n_users
+    FROM act JOIN coh ON act.user_id = coh.user_id
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by their first active
+    week, counted in each later week they return — the cohort
+    triangle behind every retention dashboard.
+
+    Plan: the distinct (user, week) activity table is the only pass
+    over raw events; the cohort (min week per user) joins back on
+    user_id — a join between two ALREADY-AGGREGATED user-sized
+    tables, not a second event scan.  Week offsets are day
+    differences / 7 on week-truncated DATEs (both engines truncate to
+    Monday; DuckDB's date_diff('week') counts boundary crossings and
+    is avoided)."""
+    e = load_table(spark, sf_dir, "events")
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    coh = act.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        act.join(coh, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
