@@ -152,6 +152,7 @@ _R03_QUEUE = frozenset(
         # event analytics (operators/timeseries.py)
         "q_event_funnel",
         "q_retention_cohorts",
+        "q_event_transitions",
     }
 )
 

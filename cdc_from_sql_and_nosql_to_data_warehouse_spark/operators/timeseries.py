@@ -547,3 +547,40 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+        lead(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event transition matrix: counts of consecutive
+    (event_type → next event_type) pairs per user — the first-order
+    Markov view of user behavior (feeds journey analysis and anomaly
+    scoring).
+
+    Plan: one user-partitioned sort, one lead() window, one hash
+    aggregate over a 25-cell domain — partial-aggregated map-side, so
+    the post-window shuffle carries at most |types|² rows per task.
+    The (ts, event_id) order is a total order, so the successor of
+    every event is deterministic in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        s.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
