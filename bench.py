@@ -47,6 +47,9 @@ HEADLINE = [
     "q_sort_multi",
     "q_min_cost_supplier",
     "q_dedup_minhash_md5",
+    "q_market_share",
+    "q_lm_score",
+    "q_chunk_documents",
 ]
 
 
