@@ -257,6 +257,10 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("toks", F.col("i")).alias("w1"),
         F.element_at("toks", F.col("i") + 1).alias("w2"),
     )
+    # three consumers (c2, c1, final join) — checkpoint so the corpus
+    # is scanned and exploded ONCE, not three times (measured: 3
+    # FileScans without this)
+    bg = bg.localCheckpoint(eager=False)
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = bg.groupBy(F.col("w1").alias("m1")).agg(F.count(F.lit(1)).alias("n1"))
     sc = c2.join(c1, F.col("w1") == F.col("m1")).select(
