@@ -463,7 +463,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 SimHash near-dup: signature per doc, candidates = equal
     signature (bucket join), no pairwise scan."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = simhash_signatures(docs)
+    sig = simhash_signatures(docs).localCheckpoint(eager=False)
     a, b = sig.alias("a"), sig.alias("b")
     return a.join(
         b,
@@ -549,7 +549,11 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         packed = packed + F.when(
             F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
-    sig = bit_sums.select("doc_id", packed.alias("simhash"))
+    # the self-join consumes sig twice: checkpoint so the shingle
+    # explode + bit-sum aggregate run once, not per join side
+    sig = bit_sums.select("doc_id", packed.alias("simhash")).localCheckpoint(
+        eager=False
+    )
     a, b = sig.alias("a"), sig.alias("b")
     return a.join(
         b,

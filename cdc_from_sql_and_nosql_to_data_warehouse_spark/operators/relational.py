@@ -1474,7 +1474,14 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eu_offer = offer.join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey"))
+    # eu (region-filtered SUPPLIER closure) scales with the data — no
+    # broadcast hint, AQE decides.  eu_offer is deliberately NOT
+    # checkpointed although two consumers recompute it: the recompute
+    # is two column-pruned scans + cheap partial aggs, while a
+    # checkpoint would materialize a lineitem-proportional
+    # intermediate (measured slower at sf0.1, and a storage write of
+    # the same order at 100 TB)
+    eu_offer = offer.join(eu, F.col("s_suppkey") == F.col("l_suppkey"))
     min_per_part = eu_offer.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
     parts = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 20)

@@ -261,7 +261,11 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6dp on both engines before the multiply so libm ulp
     differences can't leak."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    # tf and df both consume the exploded tokens: checkpoint so the
+    # corpus is tokenized once, not once per aggregate
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens("text")).alias("token")
+    ).localCheckpoint(eager=False)
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))

@@ -533,9 +533,13 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Monday; DuckDB's date_diff('week') counts boundary crossings and
     is avoided)."""
     e = load_table(spark, sf_dir, "events")
-    act = e.select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
-    ).distinct()
+    # act feeds the cohort aggregate AND the join: checkpoint so raw
+    # events are scanned and deduplicated once
+    act = (
+        e.select("user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     coh = act.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
     return (
         act.join(coh, "user_id")

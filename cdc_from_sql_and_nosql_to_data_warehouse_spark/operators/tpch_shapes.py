@@ -598,8 +598,12 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= cutlo) & (F.col("l_shipdate") < cuthi)
     )
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_volume()).cast("double").alias("total_revenue")
+    # rev feeds both the max subquery and the equality filter:
+    # checkpoint so lineitem is scanned and aggregated once
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_volume()).cast("double").alias("total_revenue"))
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     sup = load_table(spark, sf_dir, "supplier")
