@@ -153,6 +153,7 @@ _R03_QUEUE = frozenset(
         "q_event_funnel",
         "q_retention_cohorts",
         "q_event_transitions",
+        "q_sliding_active_users",
     }
 )
 

@@ -588,3 +588,46 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_SLIDE_MICROS = 600 * 1_000_000  # 10-minute slide, 30-minute window
+
+
+@register(
+    "q_sliding_active_users",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ),
+    sl AS (
+      SELECT user_id,
+        make_timestamp((us // {_SLIDE_MICROS} + k) * {_SLIDE_MICROS}) AS slot
+      FROM x CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) t
+    )
+    SELECT slot, COUNT(DISTINCT user_id) AS n_active
+    FROM sl GROUP BY slot
+    """,
+)
+def q_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users (30-minute window, 10-minute
+    slide): the rolling active-user series — B32's batch twin with an
+    EXACT distinct count, which streaming sliding windows approximate.
+
+    Plan: each event explodes into the 3 slots whose window covers it
+    (the same window-explode decomposition Spark's own F.window uses),
+    then one distinct-aggregate shuffle keyed by slot.  Slot
+    arithmetic is integer division on epoch micros in both engines —
+    no float boundary risk."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    sl = e.select("user_id", F.unix_micros(F.col("ts")).alias("us")).select(
+        "user_id", "us", k
+    )
+    slot = F.timestamp_micros(
+        (F.expr(f"us div {_SLIDE_MICROS}") + F.col("k")) * F.lit(_SLIDE_MICROS)
+    )
+    return (
+        sl.select("user_id", slot.alias("slot"))
+        .groupBy("slot")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
