@@ -321,3 +321,51 @@ def test_stream_stream_interval_join(spark, tdir):
     out = spark.table(name).collect()
     assert len(out) == 1
     assert out[0]["ad_id"] == 1 and out[0]["r_ad_id"] == 1
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tdir):
+    # B37' leftOuter: an impression with no click must emit with nulls
+    # once the watermark passes its eviction point -- which requires a
+    # LATER batch to advance the watermark (checkpointed second trigger)
+    import json
+    import os
+
+    imp_dir, clk_dir, ck = f"{tdir}/o_imps", f"{tdir}/o_clicks", f"{tdir}/o_ck"
+    os.makedirs(imp_dir)
+    os.makedirs(clk_dir)
+    with open(f"{imp_dir}/a.json", "w") as f:
+        f.write(json.dumps({"ad_id": 1, "ts": "2024-01-01 00:00:00"}) + "\n")
+        f.write(json.dumps({"ad_id": 2, "ts": "2024-01-01 00:00:00"}) + "\n")
+    with open(f"{clk_dir}/a.json", "w") as f:
+        # ad 1 clicks in-window; ad 2 never clicks
+        f.write(json.dumps({"r_ad_id": 1, "rts": "2024-01-01 00:03:00"}) + "\n")
+
+    out = f"{tdir}/o_out"
+
+    def run_once():
+        imps = spark.readStream.schema("ad_id long, ts timestamp").json(imp_dir)
+        clicks = spark.readStream.schema("r_ad_id long, rts timestamp").json(clk_dir)
+        joined = windows.join_streams(imps, clicks, "ad_id", how="leftOuter")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    run_once()  # batch 1: the match emits; the unmatched row is held in state
+    # second batch far in the future advances the watermark past ad 2's
+    # eviction point (10 min watermark + 5 min window)
+    with open(f"{clk_dir}/b.json", "w") as f:
+        f.write(json.dumps({"r_ad_id": 9, "rts": "2024-01-01 01:00:00"}) + "\n")
+    with open(f"{imp_dir}/b.json", "w") as f:
+        f.write(json.dumps({"ad_id": 9, "ts": "2024-01-01 01:00:00"}) + "\n")
+    second = run_once()
+
+    got = {(r["ad_id"], r["r_ad_id"]) for r in second}
+    assert (1, 1) in got  # matched pair
+    assert (2, None) in got  # unmatched impression emitted with nulls
