@@ -69,15 +69,15 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (  # noqa: 
 # ---------------------------------------------------------------- ordering
 #
 # The driver's CORRECTNESS check covers the FIRST 50 registry entries per
-# round.  Round 1 verified the 50 below (all green); the registry is
-# reordered so the round's verification window covers the queries that do
-# not yet have a driver CORRECTNESS row:
+# round.  Rounds 1 and 2 verified the 100 names below (all green); the
+# registry is reordered so the round-3 verification window covers the
+# queries that do not yet have a driver CORRECTNESS row:
 #   group 0 — never driver-checked, oracle-bearing (can go green), incl.
 #             every operator newly registered this round;
 #   group 1 — never checked but redundant for §2 component coverage
 #             (their component already has a green row from round 1);
 #   group 2 — never checked, rows-only (no oracle, can't go green);
-#   group 3 — already green in CORRECTNESS_r01.json.
+#   group 3 — already green in CORRECTNESS_r01/r02.json.
 # Registration order is preserved within each group.
 
 _R01_CHECKED = frozenset(
@@ -101,10 +101,36 @@ _R01_CHECKED = frozenset(
     }
 )
 
-# Queries added AFTER the round-2 window was frozen at exactly 50
-# group-0 entries: parked just behind the window so they don't push a
-# window member past position 50; they roll into the next round's
-# window when _R01_CHECKED absorbs CORRECTNESS_r02.
+# Round-2 window (CORRECTNESS_r02.json keys, all green) — absorbed so
+# the round-3 window promotes the still-unchecked queries.
+_R02_CHECKED = frozenset(
+    {
+        "q_dedup_minhash_md5", "q_sort_multi", "q_topk", "q_union",
+        "q_intersect", "q_except", "q_subquery_in", "q_subquery_scalar",
+        "q_subquery_exists", "q_case_when", "q_string_funcs",
+        "q_date_funcs", "q_date_trunc_agg", "q_math_funcs",
+        "q_money_parse", "q_array_explode", "q_array_lambda",
+        "q_map_funcs", "q_json_get", "q_json_from_schema",
+        "q_null_handling", "q_pivot", "q_explode_outer",
+        "q_regexp_extract_all", "q_correlated_min", "q_sample_per_group",
+        "q_min_cost_supplier", "q_sim_topk", "q_sim_range",
+        "q_text_tokens", "q_token_count", "q_text_quality",
+        "q_text_langid", "q_text_lexicon", "q_fingerprint",
+        "q_text_ngrams", "q_text_tfidf", "q_udtf_tokens",
+        "q_token_count_bpe", "q_asof_join", "q_range_join",
+        "q_sessionize", "q_grouping_sets", "q_shipping_priority",
+        "q_late_shipment_priority", "q_asof_tolerance", "q_udf_scalar",
+        "q_udf_grouped_agg", "q_udf_apply_in_pandas",
+        "q_udf_map_in_pandas",
+    }
+)
+
+_DRIVER_CHECKED = _R01_CHECKED | _R02_CHECKED
+
+# The round-3 window: every remaining never-driver-checked oracle-bearing
+# query (48 = this queue + _DEFER_REDUNDANT).  Newly-registered round-3
+# queries default to group 0 as well; the window-budget test
+# (tests/test_registry_window.py) asserts the 48 still fit in the first 50.
 _R03_QUEUE = frozenset(
     {
         "q_corpus_curation",
@@ -174,15 +200,17 @@ _DEFER_REDUNDANT = frozenset(
 
 
 def _window_priority(spec: QuerySpec) -> int:
-    if spec.name in _R01_CHECKED:
+    if spec.name in _DRIVER_CHECKED:
         return 4
     if not spec.oracle:
         return 3
-    if spec.name in _DEFER_REDUNDANT:
-        return 2
     if spec.name in _R03_QUEUE:
+        return 0
+    if spec.name in _DEFER_REDUNDANT:
         return 1
-    return 0
+    # oracle-bearing queries registered this round: behind the 48 so a new
+    # addition can never push a queued query past position 50
+    return 2
 
 
 def _reorder_registry() -> None:

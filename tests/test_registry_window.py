@@ -1,0 +1,48 @@
+"""Registry verification-window budget (SURVEY.md §5.2.1).
+
+The driver's CORRECTNESS gate checks only the FIRST 50 entries of
+``operators.REGISTRY`` per round.  These tests pin the round-3 contract:
+every oracle-bearing query that has never received a driver CORRECTNESS
+row sits inside the first 50 positions, and nothing already verified in
+rounds 1-2 wastes a window slot while unchecked work remains.
+"""
+
+from __future__ import annotations
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark import operators as ops
+
+WINDOW = 50
+
+
+def _window_names() -> list[str]:
+    return list(ops.REGISTRY)[:WINDOW]
+
+
+def test_all_unchecked_oracle_queries_fit_in_window():
+    unchecked = [
+        s.name
+        for s in ops.REGISTRY.values()
+        if s.oracle and s.name not in ops._DRIVER_CHECKED
+    ]
+    window = set(_window_names())
+    missing = [n for n in unchecked if n not in window]
+    assert not missing, (
+        f"{len(unchecked)} unchecked oracle-bearing queries but these fell "
+        f"outside the 50-entry driver window: {missing} — park extras in a "
+        f"_R04_QUEUE-style deferral instead of letting them displace the queue"
+    )
+
+
+def test_checked_queries_do_not_occupy_window_while_unchecked_remain():
+    n_unchecked = sum(
+        1 for s in ops.REGISTRY.values() if s.name not in ops._DRIVER_CHECKED
+    )
+    if n_unchecked < WINDOW:
+        return  # window has spare room; checked entries may legitimately fill it
+    rechecked = [n for n in _window_names() if n in ops._DRIVER_CHECKED]
+    assert not rechecked, f"window slots wasted on already-green queries: {rechecked}"
+
+
+def test_queue_names_are_registered():
+    for name in ops._R03_QUEUE | ops._DEFER_REDUNDANT | ops._DRIVER_CHECKED:
+        assert name in ops.REGISTRY, f"stale name in ordering sets: {name}"
