@@ -172,8 +172,50 @@ def _key_bucket(col: F.Column, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(col.cast("string")), F.lit(n_buckets)).cast("int")
 
 
+def recover_merge_table(table_dir: str) -> None:
+    """Repair a merge target after a crash mid-bucket-swap.
+
+    The swap in ``start_merge_stream`` per touched bucket is
+    ``rename(dst, dst__old); rename(tmp/src, dst); rmtree(dst__old)``,
+    so on-disk state alone tells which step a crash interrupted:
+
+    - ``__bucket=N__old`` present and ``__bucket=N`` missing → crashed
+      between the two renames: restore by renaming old back.  The
+      checkpoint then replays the batch against the intact table.
+    - both present → crashed before ``rmtree``: the swap completed, the
+      old dir is garbage (and would otherwise be discovered as a bogus
+      ``N__old`` partition value): delete it.
+    - leftover ``<table>__merging_*`` temp dirs are always garbage
+      (either the swap consumed their bucket dirs or replay will
+      rewrite them): delete them.
+
+    Idempotent; crash during recovery re-runs the same rules.  Called
+    by the merge sink before every batch and by ``read_merge_table``.
+    """
+    import os
+    import shutil
+
+    parent, name = os.path.split(os.path.abspath(table_dir))
+    if os.path.isdir(parent):
+        for entry in os.listdir(parent):
+            if entry.startswith(f"{name}__merging_"):
+                shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+    if not os.path.isdir(table_dir):
+        return
+    for entry in os.listdir(table_dir):
+        if not (entry.startswith("__bucket=") and entry.endswith("__old")):
+            continue
+        old = os.path.join(table_dir, entry)
+        dst = os.path.join(table_dir, entry[: -len("__old")])
+        if os.path.isdir(dst):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, dst)
+
+
 def read_merge_table(spark: SparkSession, table_dir: str) -> DataFrame:
     """Read a merge-mode target without its internal bucket column."""
+    recover_merge_table(table_dir)
     return spark.read.parquet(table_dir).drop("__bucket")
 
 
@@ -196,15 +238,19 @@ def start_merge_stream(
     Crash/reader safety: the merged buckets are fully written to a temp
     directory FIRST, then swapped in with per-bucket directory renames —
     the merged plan's lineage (which reads table_dir) is never
-    recomputed over a half-overwritten table, and a crash mid-swap is
-    repaired by the checkpoint replaying the batch (latest-wins merge is
-    idempotent).
+    recomputed over a half-overwritten table.  A crash anywhere in the
+    swap is repaired by ``recover_merge_table`` (run before every batch
+    and by readers): a bucket stranded in ``__old`` with no replacement
+    is renamed back, a completed-but-uncleaned swap has its ``__old``
+    deleted, temp dirs are purged — then the checkpoint replays the
+    batch against the intact table (latest-wins merge is idempotent).
     """
     import os
     import shutil
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        recover_merge_table(table_dir)
         batch = batch.persist()
         try:
             batch_key = F.coalesce(F.col(f"newImage.{key}"), F.col("removedId"))
