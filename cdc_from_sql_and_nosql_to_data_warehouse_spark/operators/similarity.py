@@ -80,7 +80,11 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # p^b + b·p^(b-1)(1-p), and L independent tables turn that into
 # 1-(1-hit)^L — the two recall knobs (L, probe radius) and the cost
 # knob (b = bucket selectivity) called out in SCALE.md.
-_L_TABLES = 8
+# L=12 measured recall@5 0.76 (sf0.001) / 0.80 (sf0.01) vs 0.68/0.64 at
+# L=8 on this corpus (true neighbors at cosine ~0.32 ⇒ ~60% per-bit
+# agreement — an adversarially flat geometry); candidate fraction
+# L·(1+b)/2^b ≈ 0.42 expected, 0.37 measured.
+_L_TABLES = 12
 _N_BITS = 8
 
 
@@ -201,28 +205,64 @@ def q_sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF knobs: k cells, nprobe probed cells per query.  k=12/nprobe=4
+# measured recall@5 0.72 (sf0.001) / 0.64 (sf0.01) vs 0.36 with the old
+# untrained label-mean centroids; probe fraction nprobe/k ≈ 1/3 — this
+# corpus's neighbors sit at cosine ~0.32, so ANY coarse quantizer must
+# probe a large corpus fraction for high recall (recall and probed
+# fraction trade linearly; a clustered real corpus sharpens both).
+_IVF_K = 12
+_IVF_NPROBE = 4
+_IVF_TRAIN_CAP = 100_000  # train on a bounded sample, never the corpus
+
+
+def _ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Train IVF coarse centroids with k-means|| on L2-normalized
+    vectors (spherical k-means: on unit vectors Euclidean k-means
+    minimizes 2-2·cos, so Euclidean training ≈ cosine objective).
+    Training reads a bounded sample (≤ _IVF_TRAIN_CAP rows) — at 100 TB
+    the fit never scans the corpus; only assignment does, broadcast."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    # norm materialized once per row, NOT inside the transform lambda
+    # (a lambda-embedded norm re-runs the fold per element — SCALE.md)
+    unit = emb.select("embedding", V.norm2("embedding").alias("nrm")).select(
+        F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("unit")
+    )
+    n = unit.count()
+    if n > _IVF_TRAIN_CAP:
+        unit = unit.sample(False, _IVF_TRAIN_CAP / n, seed=7)
+    train = unit.select(array_to_vector(F.col("unit")).alias("features"))
+    model = KMeans(k=_IVF_K, seed=7, initMode="k-means||").fit(train)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+
+
 @register("q_sim_ivf")  # centroid assignment is float-order sensitive — rows-only
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3 IVF-style ANN: coarse quantization by nearest centroid (here
-    the per-label mean embedding — on a real corpus, k-means centroids),
-    then exact cosine only within the query's cell.  Same plan shape as
-    the 100 TB version: centroid table is broadcast, assignment happens
-    in the scan, search is an equi-join on the cell id."""
+    """C3 IVF ANN: coarse quantization by nearest trained k-means
+    centroid, then exact cosine only within the query's probed cells.
+    The 100 TB shape: the centroid table (k×dim floats) is broadcast,
+    assignment happens in the scan, search is an equi-join on cell id.
+    Recall floor pinned by tests/test_sim_recall.py at both SFs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = 64
-    # centroids: mean vector per label (a stand-in for trained k-means)
-    cents = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select(F.col("label").alias("cell"), F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    cents = _ivf_centroids(emb).withColumn(
+        "half_c2", F.lit(0.5) * V.dot("centroid", "centroid")
     )
-    # rank every vector's cells by centroid distance (broadcast centroids)
+    # rank every vector's cells by the KMeans assignment rule: for unit
+    # u, argmin ||u-c||² = argmax (u·c - ||c||²/2) — matches training.
+    # per-side invariants (row norm, ||c||²/2) are materialized BEFORE
+    # the n×k join so neither fold re-runs per pair.
     ranked = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("dist", -V.cosine("embedding", "centroid"))
+        emb.withColumn("nrm", V.norm2("embedding"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "dist", F.col("half_c2") - V.dot("embedding", "centroid") / F.col("nrm")
+        )
         .withColumn(
             "rn",
             F.row_number().over(
@@ -230,13 +270,13 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # candidates live in exactly their nearest cell; queries PROBE the 3
-    # nearest cells (IVF nprobe — the recall knob: candidate volume
+    # candidates live in exactly their nearest cell; queries PROBE the
+    # _IVF_NPROBE nearest cells (the recall knob — candidate volume
     # scales linearly with it, recall saturates as probes cover the
     # neighbor's true cell)
     assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "cell")
     q = (
-        ranked.filter((F.col("rn") <= 3) & (F.col("vec_id") < 20))
+        ranked.filter((F.col("rn") <= _IVF_NPROBE) & (F.col("vec_id") < 20))
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell")
     )
     c = assigned.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "cell")

@@ -1,17 +1,24 @@
 """ANN recall measurement (SURVEY.md §2.3 C3): an approximate index
 without a recall number is unquantified.  Both ANN paths are compared
 against the exact brute-force top-k on the same corpus and pinned to a
-floor; the knobs that buy recall (LSH tables / probe radius, IVF
-nprobe) are documented at the operator definitions and in SCALE.md.
+floor AT BOTH sf0.001 AND sf0.01; the knobs that buy recall (LSH tables
+/ probe radius, IVF k / nprobe) are documented at the operator
+definitions and in SCALE.md.
 """
 
 from __future__ import annotations
+
+import os
+
+import pytest
 
 from pyspark.sql import functions as F
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import REGISTRY
 
 from conftest import SF_DIR
+
+SF_DIRS = [SF_DIR, os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")]
 
 
 def _topk_sets(rows):
@@ -26,35 +33,43 @@ def _recall(exact: dict[int, set[int]], got: dict[int, set[int]]) -> float:
     return sum(per_q) / len(per_q)
 
 
-def test_lsh_recall_at_5(spark):
-    # exact top-5 for the 5 shared query vectors (q_sim_topk runs k=10)
-    exact = _topk_sets(REGISTRY["q_sim_topk"].fn(spark, SF_DIR).filter("rank <= 5").collect())
+def _exact5(spark, sf_dir):
+    return _topk_sets(
+        REGISTRY["q_sim_topk"].fn(spark, sf_dir).filter("rank <= 5").collect()
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=["sf0.001", "sf0.01"])
+def test_lsh_recall_at_5(spark, sf_dir):
+    exact = _exact5(spark, sf_dir)
     lsh = _topk_sets(
-        REGISTRY["q_sim_topk_lsh"].fn(spark, SF_DIR).filter("query_id < 5").collect()
+        REGISTRY["q_sim_topk_lsh"].fn(spark, sf_dir).filter("query_id < 5").collect()
     )
     r = _recall(exact, lsh)
-    # measured 0.68 at sf0.001 / 0.64 at sf0.01 with 8 tables x 8 bits,
-    # Hamming-1 probes; the single-table 12-bit form scored 0.0 on this
-    # corpus (true neighbors at cosine ~0.3 ⇒ ~62% per-bit agreement)
-    assert r >= 0.45, f"LSH recall@5 = {r}"
+    # measured 0.76 at sf0.001 / 0.80 at sf0.01 with 12 tables x 8 bits,
+    # Hamming-1 probes (0.68/0.64 at 8 tables; the single-table 12-bit
+    # form scored 0.0 — true neighbors at cosine ~0.32 ⇒ ~60% per-bit
+    # agreement)
+    assert r >= 0.7, f"LSH recall@5 = {r} at {sf_dir}"
 
 
-def test_ivf_recall_at_5(spark):
-    exact = _topk_sets(REGISTRY["q_sim_topk"].fn(spark, SF_DIR).filter("rank <= 5").collect())
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=["sf0.001", "sf0.01"])
+def test_ivf_recall_at_5(spark, sf_dir):
+    exact = _exact5(spark, sf_dir)
     ivf = _topk_sets(
-        REGISTRY["q_sim_ivf"].fn(spark, SF_DIR).filter("query_id < 5").collect()
+        REGISTRY["q_sim_ivf"].fn(spark, sf_dir).filter("query_id < 5").collect()
     )
     r = _recall(exact, ivf)
-    # label-mean centroids are a stand-in for trained k-means, and the
-    # corpus labels are geometrically weak — nprobe=3 lifts recall
-    # roughly 3x over nprobe=1; a real deployment trains centroids
-    assert r >= 0.2, f"IVF recall@5 = {r}"
+    # k-means|| centroids (k=12, nprobe=4) measured 0.72 at sf0.001 /
+    # 0.64 at sf0.01 — vs ~0.36 with the untrained label-mean centroids
+    # they replaced.  The corpus is geometrically flat (neighbors at
+    # cosine ~0.32), so recall tracks probed fraction (~nprobe/k).
+    assert r >= 0.5, f"IVF recall@5 = {r} at {sf_dir}"
 
 
 def test_lsh_candidate_fraction_bounded(spark):
     # the point of the index: the exact-cosine stage must touch a small
     # fraction of (query x corpus) — here just the band-join fan-in
-    emb = REGISTRY["q_sim_topk"].fn.__module__  # noqa: F841 — import side only
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.similarity import (
         _table_signatures,
     )
@@ -80,5 +95,23 @@ def test_lsh_candidate_fraction_bounded(spark):
         .count()
     )
     frac = pairs / (5 * n)
-    # L·(1+b)/2^b = 8·9/256 ≈ 0.28 expected; allow slack for collisions
+    # L·(1+b)/2^b = 12·9/256 ≈ 0.42 expected, 0.37 measured; the flat
+    # geometry makes this corpus's recall/candidate trade-off worst-case
     assert frac < 0.5, f"candidate fraction {frac}"
+
+
+def test_ivf_probe_fraction_bounded(spark):
+    # IVF's cost bound: candidates scanned ≈ nprobe/k of the corpus
+    ivf = REGISTRY["q_sim_ivf"].fn(spark, SF_DIR)
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    # rank<=5 output implies candidates were generated; re-derive the
+    # candidate count bound from the operator's own knobs instead
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.similarity import (
+        _IVF_K,
+        _IVF_NPROBE,
+    )
+
+    assert _IVF_NPROBE / _IVF_K <= 0.4
+    assert ivf.count() > 0  # and the probe set still finds neighbors
