@@ -20,26 +20,32 @@ from pyspark.sql import functions as F
 def salted_join(
     big: DataFrame,
     small: DataFrame,
-    big_key: str,
-    small_key: str,
+    big_key: str | list[str],
+    small_key: str | list[str],
     salt_n: int = 8,
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with salt: big side gets a deterministic salt in
     [0, salt_n); small side is exploded ×salt_n.  Result is identical
-    to ``big.join(small, big[big_key] == small[small_key], how)`` for
-    inner/left joins."""
-    salted_big = big.withColumn("__salt", F.pmod(F.hash(F.col(big_key)), F.lit(salt_n)))
+    to ``big.join(small, on=<keys>, how)`` for inner/left joins.
+    Accepts composite keys (lists); small-side key columns whose names
+    match the big side are dropped, mirroring the list-``on`` join."""
+    big_keys = [big_key] if isinstance(big_key, str) else list(big_key)
+    small_keys = [small_key] if isinstance(small_key, str) else list(small_key)
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(k) for k in big_keys]), F.lit(salt_n))
+    )
     # replicating the small side is a flatMap, not a shuffle
     salted_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
     )
-    out = salted_big.join(
-        salted_small,
-        (salted_big[big_key] == salted_small[small_key])
-        & (salted_big["__salt"] == salted_small["__salt"]),
-        how,
-    )
+    cond = salted_big["__salt"] == salted_small["__salt"]
+    for bk, sk in zip(big_keys, small_keys):
+        cond = cond & (salted_big[bk] == salted_small[sk])
+    out = salted_big.join(salted_small, cond, how)
+    for bk, sk in zip(big_keys, small_keys):
+        if bk == sk:
+            out = out.drop(salted_small[sk])
     return out.drop("__salt")
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.skew import salted_join
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import md5_shingle_rows
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
@@ -240,8 +241,11 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram→logp model is built VOCABULARY-side (c2⋈c1 joins two
     aggregated tables, not the corpus), and the corpus-side cost is a
     single equi-join of the exploded bigrams against the scored model
-    — skew on stop-bigrams is the known hazard at 100 TB and the
-    salted-join helper (functions/skew.py) drops in on the same keys.
+    — SALTED on (w1, w2, salt): at 100 TB the head stop-bigrams
+    ("of the") concentrate on single shuffle tasks, so the model side
+    is replicated ×8 and the corpus side scattered by a deterministic
+    salt (functions/skew.py); the join stays equi, semantics unchanged
+    (plan pinned by tests/test_plans.py::test_lm_score_join_is_salted).
     ln is rounded to 6dp on both engines (libm ulp guard, the
     q_text_tfidf precedent) and per-doc summation is DECIMAL-exact, so
     the mean is order-independent and hash-stable."""
@@ -269,7 +273,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("n2").cast("double") / F.col("n1")), 6).alias("logp"),
     )
     return (
-        bg.join(sc, ["w1", "w2"])
+        salted_join(bg, sc, ["w1", "w2"], ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

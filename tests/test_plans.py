@@ -205,3 +205,14 @@ def test_dominant_supplier_single_fact_scan(spark):
     txt = df._jdf.queryExecution().executedPlan().toString()
     n_scans = sum(1 for line in txt.splitlines() if "FileScan" in line)
     assert n_scans == 3, txt
+
+
+def test_lm_score_join_is_salted(spark):
+    # the corpus-bigrams ⋈ model join must carry the skew salt: the
+    # equi-join keys include __salt so a hot stop-bigram's rows spread
+    # over salt_n shuffle tasks instead of one (functions/skew.py)
+    df = REGISTRY["q_lm_score"].fn(spark, SF_DIR)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    joins = [ln for ln in txt.splitlines() if "Join" in ln and "__salt" in ln]
+    assert joins, f"no join keyed on __salt in plan:\n{txt}"
+    assert "CartesianProduct" not in txt and "BroadcastNestedLoopJoin" not in txt, txt
