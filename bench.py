@@ -60,11 +60,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # Local-bench sizing: testdata files are ~20 MB, so the default
     # 128 MB maxPartitionBytes yields 1-3 splits and idles the other
-    # cores; 4 MB gives every core a slice.  (On a real cluster with
-    # 128 MB+ row groups the default is correct — this is a bench-host
-    # knob, not an engine semantic.)  Bigger Arrow batches cut the
-    # pandas-UDF exchange overhead ~20%.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    # cores.  8 MB measured best across the headline mix: 4 MB over-
+    # splits and the r2 q_udf_map_in_pandas "+43%" turned out to be
+    # exactly this — per-partition Python-worker/Arrow-stream setup
+    # (0.605 s at 4 MB → 0.47 at 8 MB → 0.43 at 16 MB), while 16 MB
+    # under-parallelizes the join-heavy queries (q_min_cost_supplier
+    # 1.01 → 1.44 s).  (On a real cluster with 128 MB+ row groups the
+    # default is correct — this is a bench-host knob, not an engine
+    # semantic.)  Bigger Arrow batches cut pandas-UDF overhead ~20%.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
 
     # Warmup: JVM/codegen on a trivial job, then one pass over the input
@@ -87,18 +91,21 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # best-of-2: one timed run can eat a stray GC/compaction pause; the
-    # min of two still measures full plan+execute cost end-to-end
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = ops.REGISTRY[name].fn
-        best = float("inf")
-        for _ in range(2):
+    # median-of-3, measured in interleaved ROUNDS (q1 q2 … qN, three
+    # times) rather than back-to-back repeats: a stray GC/compaction
+    # pause then lands in one round of one query and the median drops
+    # it, and every query sees comparable accumulated session state —
+    # round-over-round deltas mean something (r2 post-mortem: best-of-2
+    # back-to-back showed a phantom +15.9% from shared-session drift)
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            fn = ops.REGISTRY[name].fn
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs[name].append(time.perf_counter() - t0)
+    timings = {name: round(sorted(ts)[1], 3) for name, ts in runs.items()}
 
     total = round(sum(timings.values()), 3)
     print(

@@ -293,7 +293,24 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sim_topk_arrow")  # numpy pairwise sum order ≠ the fold oracle — rows-only
+@register(
+    "q_sim_topk_arrow",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        {_sql_cosine('q.embedding', 'c.embedding')} AS cosine
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, cand_id, round(cosine, 6) AS cosine,
+      CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
 def q_sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 brute-force cosine top-k, Arrow/numpy scale path: the
     candidate matrix is multiplied against the (tiny, driver-collected)
@@ -303,7 +320,10 @@ def q_sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     local top-k per query (top-k is decomposable), and a final window
     pass merges the partials — the shuffle carries k·partitions rows,
     never the full score matrix.  Results equal q_sim_topk up to float
-    summation order (numpy pairwise vs left fold), hence rows-only.
+    summation order (numpy pairwise vs the oracle's left fold, ~1e-15
+    relative), so the emitted cosine is rounded to 6dp on both sides
+    — ranking happens at full precision in each engine and this
+    corpus's adjacent-rank gaps (~1e-3) dwarf the summation noise.
     """
     import numpy as np
 
@@ -346,7 +366,7 @@ def q_sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cosine", "rank")
+        .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
 
 
@@ -391,7 +411,10 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
           list_sort(list(CAST(embedding[i] AS DOUBLE)))),
         (a, b) -> a + b) / COUNT(*) AS c
     FROM embeddings
-    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
+    CROSS JOIN (
+      SELECT unnest(generate_series(
+        1, (SELECT MAX(length(embedding)) FROM embeddings))) AS i
+    ) t
     GROUP BY label, i - 1
     """,
 )

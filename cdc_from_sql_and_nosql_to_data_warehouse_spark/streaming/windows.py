@@ -73,7 +73,8 @@ def join_streams(
     right: DataFrame,
     key: str,
     left_ts: str = "ts",
-    right_ts: str = "rts",
+    right_key: str | None = None,
+    right_ts: str | None = None,
     watermark: str = "10 minutes",
     within: str = "5 minutes",
     how: str = "inner",
@@ -82,20 +83,39 @@ def join_streams(
     shape): rows pair when keys match and the right event lands within
     ``within`` AFTER the left event.
 
+    The right side's key/ts columns are named by ``right_key`` /
+    ``right_ts`` (defaulting to the left side's names) and are renamed
+    INTERNALLY to the output's ``r_{key}`` / ``rts`` — callers never
+    pre-rename.  A right stream already carrying the ``r_``-prefixed
+    names is accepted as-is; a right stream with neither name raises
+    immediately instead of failing with an unresolved-column error at
+    join resolution.
+
     Both sides carry watermarks and the join condition bounds
-    right_ts ∈ [left_ts, left_ts + within] — that pair is what lets the
+    rts ∈ [left_ts, left_ts + within] — that pair is what lets the
     state store EVICT: without the time bound Spark would buffer both
     streams forever; with it, each side's state is capped at
     watermark + within of data per key regardless of stream length.
     ``how='leftOuter'`` emits unmatched left rows (with nulls) once the
     watermark passes their eviction point — exactly the "impression
-    with no click" attribution output.  Column names must be disjoint
-    (rename the right side before calling)."""
+    with no click" attribution output."""
+
+    def _as(df: DataFrame, src: str, dst: str) -> DataFrame:
+        if dst in df.columns:
+            return df
+        if src not in df.columns:
+            raise ValueError(
+                f"right stream has neither {src!r} nor {dst!r}; columns: {df.columns}"
+            )
+        return df.withColumnRenamed(src, dst)
+
+    r = _as(right, right_key or key, f"r_{key}")
+    r = _as(r, right_ts or left_ts, "rts")
     lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    rw = r.withWatermark("rts", watermark)
     cond = (
         (F.col(key) == F.col(f"r_{key}"))
-        & (F.col(right_ts) >= F.col(left_ts))
-        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+        & (F.col("rts") >= F.col(left_ts))
+        & (F.col("rts") <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, how)

@@ -305,9 +305,10 @@ def test_stream_stream_interval_join(spark, tdir):
             (1, "2024-01-01 00:20:00"),  # too late -> no pair
             (3, "2024-01-01 00:01:00"),  # no matching impression
         ]:
-            f.write(json.dumps({"r_ad_id": ad, "rts": ts}) + "\n")
+            f.write(json.dumps({"ad_id": ad, "ts": ts}) + "\n")
     imps = spark.readStream.schema("ad_id long, ts timestamp").json(imp_dir)
-    clicks = spark.readStream.schema("r_ad_id long, rts timestamp").json(clk_dir)
+    # right side uses its NATURAL names — join_streams renames internally
+    clicks = spark.readStream.schema("ad_id long, ts timestamp").json(clk_dir)
     joined = windows.join_streams(imps, clicks, "ad_id")
     name = f"ssj_{uuid.uuid4().hex[:8]}"
     q = (
@@ -369,3 +370,57 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tdir):
     got = {(r["ad_id"], r["r_ad_id"]) for r in second}
     assert (1, 1) in got  # matched pair
     assert (2, None) in got  # unmatched impression emitted with nulls
+
+
+def test_join_streams_rejects_missing_right_columns(spark):
+    left = spark.createDataFrame([], "ad_id long, ts timestamp")
+    right = spark.createDataFrame([], "other long, later timestamp")
+    with pytest.raises(ValueError, match="right stream has neither"):
+        windows.join_streams(left, right, "ad_id")
+
+
+def test_stateful_op_on_rocksdb_state_store(spark, tdir):
+    # SURVEY §4.3: at 100 TB streaming state outgrows the JVM heap —
+    # the RocksDB provider spills to local disk with changelog
+    # checkpointing.  Run a real stateful op (watermarked dedup) with
+    # the provider enabled and prove it engaged (SST files in the
+    # checkpoint state dir), not just that the conf was set.
+    import os
+
+    drop, ck = f"{tdir}/rocks_drop", f"{tdir}/rocks_ck"
+    os.makedirs(drop)
+    events = _load_fixture_events()
+    _drop_events_file(drop, events + events)  # dupes within the batch
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = cdc.read_change_stream(spark, drop).withColumn(
+            "ts", F.timestamp_seconds(F.col("seq") * 60)
+        )
+        deduped = cdc.streaming_dedup(stream, ["seq"], "ts", "10 minutes")
+        name = f"rocks_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.table(name).count() == len(events)
+        ssts = [
+            f
+            for root, _, files in os.walk(f"{ck}/state")
+            for f in files
+            if f.endswith(".sst") or f.endswith(".zip")
+        ]
+        assert ssts, "no RocksDB SST/snapshot files in checkpoint state dir"
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
