@@ -742,3 +742,84 @@ def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
     )
+
+
+# ---------------------------------------------------------------- Q11/Q16
+#
+# The two remaining classic shapes need a partsupp table, which the
+# driver's testdata does not ship (SURVEY.md §2.4) and which must NOT be
+# faked out of lineitem.  They are therefore plain DataFrame→DataFrame
+# operators over a caller-provided partsupp, verified in pytest against
+# a DuckDB oracle on a generated fixture (tests/test_partsupp_shapes.py)
+# instead of carrying a driver registry entry.
+
+
+def important_stock(
+    partsupp: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_1",
+    fraction: float = 0.0001,
+) -> DataFrame:
+    """TPC-H Q11 plan shape (important stock): per-part inventory value
+    within one nation, kept when above a fraction of the national total.
+
+    100 TB plan: nation is domain-bounded → broadcast; the national
+    total is a ONE-ROW aggregate cross-joined back (broadcast), so the
+    HAVING-scalar-subquery never rescans partsupp; per-part sums
+    partial-aggregate map-side before the single ps_partkey shuffle.
+    Value sums are DECIMAL-exact, cast to double at the edge."""
+    nat = nation.filter(F.col("n_name") == nation_name).select("n_nationkey")
+    supp = supplier.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val = F.col("ps_supplycost").cast("decimal(12,2)") * F.col("ps_availqty").cast(
+        "decimal(10,0)"
+    )
+    per_part = (
+        partsupp.join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum(val).alias("value_dec"))
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") * F.lit(fraction)
+        )
+        .select("ps_partkey", F.col("value_dec").cast("double").alias("value"))
+    )
+
+
+def parts_supplier_count(
+    partsupp: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    brand: str = "BRAND_1",
+    type_prefix: str = "TYPE_1",
+    sizes: tuple[int, ...] = (1, 5, 9, 13),
+) -> DataFrame:
+    """TPC-H Q16 plan shape (parts/supplier relationship): distinct
+    suppliers per (brand, type, size) for parts outside one brand/type,
+    excluding flagged suppliers (testdata has no s_comment, so the
+    'Customer Complaints' exclusion substitutes s_acctbal < 0 — same
+    anti-join shape).
+
+    100 TB plan: the exclusion list is an anti-join (never NOT IN over
+    a collected list); part's filters push to its scan; the distinct
+    count shuffles once on the (brand, type, size) grouping key."""
+    flagged = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = partsupp.join(
+        flagged, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    p = part.filter(
+        (F.col("p_brand") != brand)
+        & ~F.col("p_type").startswith(type_prefix)
+        & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(p, F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("ps_suppkey")).alias("supplier_cnt"))
+    )
