@@ -199,15 +199,24 @@ _DEFER_REDUNDANT = frozenset(
 )
 
 
+# Round-3 additions beyond the window budget (48 queued + q_sim_topk_arrow
+# + q_semdedup fill all 50 slots): parked just past the window; they go to
+# the FRONT of the round-4 window when _DRIVER_CHECKED absorbs
+# CORRECTNESS_r03.
+_R04_QUEUE = frozenset({"q_token_budget", "q_cross_dedup"})
+
+
 def _window_priority(spec: QuerySpec) -> int:
     if spec.name in _DRIVER_CHECKED:
-        return 4
+        return 5
     if not spec.oracle:
-        return 3
+        return 4
     if spec.name in _R03_QUEUE:
         return 0
     if spec.name in _DEFER_REDUNDANT:
         return 1
+    if spec.name in _R04_QUEUE:
+        return 3
     # oracle-bearing queries registered this round: behind the 48 so a new
     # addition can never push a queued query past position 50
     return 2

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.skew import salted_join
@@ -353,3 +354,103 @@ def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens_kept"),
     )
+
+
+_TOKEN_BUDGET = 600  # tokens kept per source
+
+
+@register(
+    "q_token_budget",
+    oracle=f"""
+    WITH {_SQL_TOKS},
+    ranked AS (
+      SELECT d.doc_id, d.source,
+        CAST(length(t.toks) AS BIGINT) AS n_tok,
+        md5(CAST(d.doc_id AS VARCHAR)) AS u
+      FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+      WHERE length(t.toks) >= 1
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tok,
+        CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+      FROM ranked
+    )
+    SELECT doc_id, source, n_tok, cum_tok
+    FROM cum WHERE cum_tok <= {_TOKEN_BUDGET}
+    """,
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgets: keep documents, in a deterministic
+    md5-shuffled order, until each source's running token total reaches
+    _TOKEN_BUDGET (=600) — how a pretraining mixture enforces "at most
+    N tokens of domain X" without an RNG (rerun = same documents) and
+    without materializing the rejected tail.
+
+    Plan: one scan computes (n_tok, u=md5(doc_id)); the cumsum is a
+    PER-SOURCE window — sources parallelize across tasks, and the
+    window state is one running long.  Caveat recorded honestly: a
+    single source far larger than a task (a 10^9-doc crawl dump) makes
+    that source's window a single task; there the budget gate drops to
+    ``functions.ids.running_total`` applied per-source (range-partition
+    WITHIN the source), same answer, all-parallel — the per-source
+    window is the right default because real mixtures have many
+    sources, and the shuffle key (source) is the grouping key anyway."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        X.token_count("text").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("u"),
+    ).filter(F.col("n_tok") >= 1)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("u", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= _TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tok", "cum_tok")
+    )
+
+
+@register(
+    "q_cross_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+        CAST(substr(source, 4) AS INTEGER) AS src_n
+      FROM documents
+    )
+    SELECT n.doc_id, n.source
+    FROM (SELECT * FROM fp WHERE src_n >= 10) n
+    ANTI JOIN (SELECT DISTINCT fp FROM fp WHERE src_n < 10) e
+      ON n.fp = e.fp
+    """,
+)
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus (incremental-ingest) dedup: drop every INCOMING
+    document whose canonical-text fingerprint already exists in the
+    BASE corpus — the "dedup the new crawl against what we already
+    trained on" pass, distinct from corpus-internal dedup
+    (q_dedup_exact) because only the new side may be dropped and the
+    base side is never rewritten.  Here sources src10+ play the
+    incoming batch and src0-src9 the base corpus.
+
+    Plan: fingerprints are 16-byte md5 (X.fingerprint, identical
+    expression to q_dedup_exact); the decision is ONE left-anti
+    equi-join on the fingerprint — at 100 TB the base side is a
+    fingerprint-only silver table (16 bytes/doc, bucketed on fp so
+    nightly batches anti-join with zero shuffle on the base side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        X.fingerprint("text").alias("fp"),
+        F.substring("source", 4, 10).cast("int").alias("src_n"),
+    )
+    base = fp.filter(F.col("src_n") < 10).select("fp").distinct()
+    incoming = fp.filter(F.col("src_n") >= 10)
+    return incoming.join(base, "fp", "left_anti").select("doc_id", "source")

@@ -615,6 +615,59 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_semdedup",
+    oracle=f"""
+    WITH dropped AS (
+      SELECT DISTINCT b.vec_id AS vec_id
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.35
+    )
+    SELECT e.vec_id, e.label, (d.vec_id IS NULL) AS kept
+    FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 semantic dedup, SemDeDup-style (Abbas et al. 2023, public):
+    cluster the corpus coarsely, then inside each cluster keep/drop by
+    near-identity (cosine ≥ 0.35) — the *decision* that turns
+    q_dedup_embedding's candidate pairs into a curated corpus.  Policy:
+    an item is dropped iff it has ANY lower-vec_id neighbor over the
+    threshold (one-pass, deterministic — the anti-join analog of
+    SemDeDup's keep-one-per-ε-ball; slightly more aggressive than
+    sequential greedy on chains a~b~c, by design: no iteration).
+
+    Scale: identical candidate generation to q_dedup_embedding
+    (cluster-blocked self-join — here ``label``, at 100 TB the trained
+    IVF cell from similarity._ivf_centroids); the decision adds ONE
+    distinct + ONE left join keyed by vec_id.  Nothing quadratic
+    outside a cluster."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", V.norm2("embedding").alias("nrm")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = V.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.35)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(dropped, "vec_id", "left")
+        .select("vec_id", "label", F.col("__dropped").isNull().alias("kept"))
+    )
+
+
 def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components over near-dup candidate pairs → one cluster
     id per document (the min doc id in its component).  This is the

@@ -232,10 +232,12 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("unit")
     )
     n = unit.count()
+    if n == 0:  # empty corpus: no cells, downstream joins yield 0 rows
+        return spark.createDataFrame([], "cell int, centroid array<double>")
     if n > _IVF_TRAIN_CAP:
         unit = unit.sample(False, _IVF_TRAIN_CAP / n, seed=7)
     train = unit.select(array_to_vector(F.col("unit")).alias("features"))
-    model = KMeans(k=_IVF_K, seed=7, initMode="k-means||").fit(train)
+    model = KMeans(k=min(_IVF_K, n), seed=7, initMode="k-means||").fit(train)
     return spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",

@@ -22,15 +22,21 @@ def test_all_unchecked_oracle_queries_fit_in_window():
     unchecked = [
         s.name
         for s in ops.REGISTRY.values()
-        if s.oracle and s.name not in ops._DRIVER_CHECKED
+        if s.oracle
+        and s.name not in ops._DRIVER_CHECKED
+        and s.name not in ops._R04_QUEUE  # explicitly parked for round 4
     ]
     window = set(_window_names())
     missing = [n for n in unchecked if n not in window]
     assert not missing, (
         f"{len(unchecked)} unchecked oracle-bearing queries but these fell "
-        f"outside the 50-entry driver window: {missing} — park extras in a "
-        f"_R04_QUEUE-style deferral instead of letting them displace the queue"
+        f"outside the 50-entry driver window: {missing} — park extras in "
+        f"_R04_QUEUE instead of letting them displace the queue"
     )
+    # parked queries sit immediately behind the window, nothing lost
+    order = list(ops.REGISTRY)
+    for n in ops._R04_QUEUE:
+        assert order.index(n) >= WINDOW, f"{n} is parked but inside the window"
 
 
 def test_checked_queries_do_not_occupy_window_while_unchecked_remain():
@@ -44,5 +50,7 @@ def test_checked_queries_do_not_occupy_window_while_unchecked_remain():
 
 
 def test_queue_names_are_registered():
-    for name in ops._R03_QUEUE | ops._DEFER_REDUNDANT | ops._DRIVER_CHECKED:
+    for name in (
+        ops._R03_QUEUE | ops._DEFER_REDUNDANT | ops._DRIVER_CHECKED | ops._R04_QUEUE
+    ):
         assert name in ops.REGISTRY, f"stale name in ordering sets: {name}"
