@@ -106,6 +106,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs[name].append(time.perf_counter() - t0)
     timings = {name: round(sorted(ts)[1], 3) for name, ts in runs.items()}
+    timings_min = {name: round(min(ts), 3) for name, ts in runs.items()}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -115,6 +116,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # r1/r2 reported best-of-2 minima; medians read ~15% higher
+                # by construction, so the min view is kept for
+                # round-over-round comparison at equal footing
+                "queries_min": timings_min,
+                "total_min": round(sum(timings_min.values()), 3),
+                "protocol": "median-of-3 interleaved rounds (r1/r2: best-of-2)",
                 "sf": sf,
             }
         )

@@ -819,3 +819,82 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
     )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_sql_band_keys(n_bands=4, rows_per_band=2)},
+    roles AS (
+      SELECT doc_id, CAST(substr(source, 4) AS INTEGER) AS src_n FROM documents
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS base_id, b.doc_id AS new_id
+      FROM bk a
+      JOIN bk b ON a.band = b.band AND a.key = b.key
+      JOIN roles ra ON ra.doc_id = a.doc_id
+      JOIN roles rb ON rb.doc_id = b.doc_id
+      WHERE ra.src_n < 10 AND rb.src_n >= 10
+    )
+    SELECT p.base_id, p.new_id,
+      CAST(length(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / length(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+    FROM pairs p
+    JOIN shn sa ON sa.doc_id = p.base_id
+    JOIN shn sb ON sb.doc_id = p.new_id
+    WHERE length(list_intersect(sa.shingles, sb.shingles)) * 2
+          >= length(list_distinct(list_concat(sa.shingles, sb.shingles)))
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 incremental NEAR-dup: new-batch documents (sources src10+)
+    checked against the base corpus (src0-src9) by MinHash band
+    buckets — the fuzzy companion of q_cross_dedup's exact-fingerprint
+    anti-join, and the shape of nightly crawl ingestion at 100 TB: the
+    base side's band keys are a persisted index (16 longs/doc) bucketed
+    on (band, key), so each new batch shuffles ONLY its own signatures;
+    the base corpus is never re-shingled, never rewritten.
+
+    Here both sides' signatures are computed in-query (testdata has no
+    persisted index), but the candidate join is already base⋈new only —
+    no new×new or base×base pairs — and exact Jaccard ≥ 0.5 runs solely
+    on bucket-mates."""
+    docs = load_table(spark, sf_dir, "documents")
+    roles = docs.select(
+        F.col("doc_id").alias("rid"),
+        F.substring("source", 4, 10).cast("int").alias("src_n"),
+    )
+    ex = md5_shingle_rows(docs, 3).localCheckpoint(eager=False)
+    sh = ex.groupBy("id").agg(F.collect_set("h").alias("shingles"))
+    bk = _md5_band_keys(ex, n_bands=4, rows_per_band=2).join(
+        roles, F.col("id") == F.col("rid")
+    )
+    base_bk = bk.filter(F.col("src_n") < 10).select(
+        F.col("id").alias("base_id"), "band", "key"
+    )
+    new_bk = bk.filter(F.col("src_n") >= 10).select(
+        F.col("id").alias("new_id"), "band", "key"
+    )
+    pairs = (
+        base_bk.join(new_bk, ["band", "key"])
+        .select("base_id", "new_id")
+        .dropDuplicates(["base_id", "new_id"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(
+            sh.select(F.col("id").alias("base_id"), F.col("shingles").alias("sh_a")),
+            "base_id",
+        )
+        .join(
+            sh.select(F.col("id").alias("new_id"), F.col("shingles").alias("sh_b")),
+            "new_id",
+        )
+        .filter(inter * 2 >= union)
+        .select(
+            "base_id",
+            "new_id",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
