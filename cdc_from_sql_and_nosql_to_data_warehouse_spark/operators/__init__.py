@@ -203,7 +203,16 @@ _DEFER_REDUNDANT = frozenset(
 # + q_semdedup fill all 50 slots): parked just past the window; they go to
 # the FRONT of the round-4 window when _DRIVER_CHECKED absorbs
 # CORRECTNESS_r03.
-_R04_QUEUE = frozenset({"q_token_budget", "q_cross_dedup", "q_dedup_incremental"})
+_R04_QUEUE = frozenset(
+    {
+        "q_token_budget",
+        "q_cross_dedup",
+        "q_dedup_incremental",
+        "q_dedup_segments",
+        "q_split_train_eval",
+        "q_length_quantile_filter",
+    }
+)
 
 
 def _window_priority(spec: QuerySpec) -> int:

@@ -454,3 +454,190 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = fp.filter(F.col("src_n") < 10).select("fp").distinct()
     incoming = fp.filter(F.col("src_n") >= 10)
     return incoming.join(base, "fp", "left_anti").select("doc_id", "source")
+
+
+@register(
+    "q_dedup_segments",
+    oracle=f"""
+    WITH {_SQL_TOKS},
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+        ('0x' || substr(md5(array_to_string(toks[(i*10+1):(i*10+10)], ' ')),
+                        1, 15))::BIGINT AS h
+      FROM (
+        SELECT doc_id, toks, unnest(generate_series(0, (length(toks) - 1) // 10)) AS i
+        FROM toks WHERE length(toks) > 0
+      )
+    ),
+    w AS (SELECT h, MIN(doc_id * 1000000 + seg_idx) AS wkey FROM segs GROUP BY h),
+    k AS (SELECT wkey // 1000000 AS doc_id, COUNT(*) AS n_kept FROM w GROUP BY 1),
+    t AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id)
+    SELECT t.doc_id, t.n_segs,
+      COALESCE(k.n_kept, 0) AS n_kept,
+      CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / t.n_segs AS frac_kept
+    FROM t LEFT JOIN k ON t.doc_id = k.doc_id
+    """,
+)
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup (MassiveText/RefinedWeb line-dedup,
+    public design, over fixed 10-token windows since the synthetic
+    corpus has no newlines): every disjoint 10-token segment is hashed
+    corpus-wide and only its FIRST occurrence — lowest (doc_id,
+    seg_idx) — survives; per document we report how many of its
+    segments are the surviving copy.  Downstream the kept fraction
+    decides whether the doc is rewritten (drop duplicated segments) or
+    dropped outright.
+
+    Plan: ONE shingling scan (flat 60-bit md5 segment ids, the same
+    codegen'd conv(substr(md5)) shape as md5_shingle_rows), then two
+    thin shuffles: min-key per segment hash (16 bytes/row, map-side
+    partial min) and a per-doc count; the winner→doc attribution rides
+    the packed bigint key back out of the min, so no self-join against
+    the segment rows.  At 100 TB rows never carry text past the first
+    projection — shuffle traffic is (h, key) longs only."""
+    K = 10
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    segs = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    ((F.size("toks") - 1) / K).cast("bigint"),
+                )
+            ).alias("seg_idx"),
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.slice(
+                                F.col("toks"),
+                                (F.col("seg_idx") * K + 1).cast("int"),
+                                K,
+                            ),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    winners = segs.groupBy("h").agg(
+        F.min(F.col("doc_id") * 1000000 + F.col("seg_idx")).alias("wkey")
+    )
+    kept = (
+        winners.select(F.expr("wkey div 1000000").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    total = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint"))
+    return total.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_segs",
+        n_kept.alias("n_kept"),
+        (n_kept.cast("double") / F.col("n_segs")).alias("frac_kept"),
+    )
+
+
+@register(
+    "q_split_train_eval",
+    oracle="""
+    WITH s AS (
+      SELECT source, n_chars,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+      FROM documents
+    )
+    SELECT
+      CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+      source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) by hashing the
+    document id — the standard content-stable split for pretraining
+    corpora: membership depends only on the id, so re-runs, corpus
+    growth, and re-partitioning never move a document across splits
+    (no random() anywhere).  Reported as the per-split × per-source
+    audit matrix a data-version release ships with.
+
+    Plan: the split label is a pure projection (md5 prefix → bucket
+    0-99), so the whole operator is one map + one hash-aggregate on
+    (split, source) — at 100 TB the map side combines down to
+    |splits|×|sources| rows before the only shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(b < 90, F.lit("train")).when(b < 95, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@register(
+    "q_length_quantile_filter",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+        CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    thr AS (SELECT lang, quantile_cont(n_tok, 0.25) AS thr FROM d GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.n_tok, thr.thr
+    FROM d JOIN thr USING (lang)
+    WHERE d.n_tok >= thr.thr
+    """,
+)
+def q_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-quantile filter: drop the shortest quartile
+    of documents WITHIN each language (a global cutoff would gut the
+    lower-resource languages first — the per-group quantile is the
+    published C4/CCNet-style shape).  The metric is the integer token
+    count, so the exact Type-7 interpolated quantile is reproducible
+    bitwise across engines (dyadic fractions over integers).
+
+    Plan: threshold pass is a hash-aggregate to |langs| rows that then
+    BROADCASTS back over the corpus — never a per-language global sort
+    (percent_rank over PARTITION BY lang would funnel each language
+    into one task; at 100 TB that's the anti-pattern this operator
+    exists to avoid).  Two column-pruned scans beat materializing a
+    corpus-wide token-count table; at cluster scale the exact
+    percentile aggregate can be swapped for approx_percentile with the
+    same broadcast-join shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", X.token_count("text").alias("n_tok"))
+    thr = d.groupBy("lang").agg(F.percentile("n_tok", F.lit(0.25)).alias("thr"))
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .filter(F.col("n_tok") >= F.col("thr"))
+        .select("doc_id", "lang", "n_tok", "thr")
+    )
