@@ -211,6 +211,7 @@ _R04_QUEUE = frozenset(
         "q_dedup_segments",
         "q_split_train_eval",
         "q_length_quantile_filter",
+        "q_corpus_shuffle",
     }
 )
 

@@ -641,3 +641,37 @@ def q_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_tok") >= F.col("thr"))
         .select("doc_id", "lang", "n_tok", "thr")
     )
+
+
+@register(
+    "q_corpus_shuffle",
+    oracle="""
+    SELECT doc_id,
+      CAST(row_number() OVER (
+        ORDER BY md5(CAST(doc_id AS VARCHAR) || '_epoch0')) - 1 AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle for training order: every
+    document gets a dense position 0..n-1 in the order of
+    md5(doc_id || epoch-salt) — reproducible across runs and engines
+    (no random()), re-saltable per epoch, and statistically uniform, so
+    sequential shard readers see an unbiased source/time mix.
+
+    Plan: positions come from assign_dense_ids (functions/ids.py) —
+    range-partition on the md5 key, number within partitions, add a
+    driver-side prefix sum of the per-partition counts — NOT a
+    row_number() over a global ORDER BY, which would funnel 100 TB
+    through one task.  Writing shards afterwards is a
+    repartitionByRange on pos, which reuses this partitioning."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import assign_dense_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_epoch0"))).alias("k"),
+    )
+    return assign_dense_ids(keyed, ["k"], id_col="pos").select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos")
+    )
