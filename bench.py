@@ -11,6 +11,7 @@ so the number is full pipeline cost without driver-collect overhead.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -106,7 +107,13 @@ def main() -> None:
         fn = ops.REGISTRY[name].fn
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        # drop py4j refs promptly so ContextCleaner can unpersist
+        # localCheckpoint blocks instead of letting them pile up
+        # (spark.cleaner.periodicGC default is 30 min — longer than
+        # the whole bench)
+        gc.collect()
+        return dt
 
     for name in HEADLINE:
         for _ in range(3):
