@@ -55,6 +55,7 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (  # noqa: 
     cdc_batch,
     curation,
     dedup,
+    graph,
     layout,
     multimodal,
     packing,
@@ -212,6 +213,11 @@ _R04_QUEUE = frozenset(
         "q_split_train_eval",
         "q_length_quantile_filter",
         "q_corpus_shuffle",
+        "q_knn_classify",
+        "q_quality_classifier",
+        "q_feature_drift",
+        "q_winsorize",
+        "q_pagerank",
     }
 )
 

@@ -675,3 +675,134 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_dense_ids(keyed, ["k"], id_col="pos").select(
         "doc_id", F.col("pos").cast("bigint").alias("pos")
     )
+
+
+@register(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH {_SQL_TOKS},
+    scored AS (
+      SELECT doc_id, length(toks) AS n_toks,
+        list_reduce(
+          list_prepend(CAST(0 AS DOUBLE),
+            list_transform(toks, t ->
+              CAST((('0x' || substr(md5('w' || t), 1, 8))::BIGINT % 2001) - 1000
+                   AS DOUBLE) / 1000.0)),
+          (a, b) -> a + b) / length(toks) AS z
+      FROM toks WHERE length(toks) > 0
+    )
+    SELECT doc_id, CAST(n_toks AS INTEGER) AS n_toks,
+      round(1.0 / (1.0 + exp(-8.0 * z)), 6) AS score,
+      round(1.0 / (1.0 + exp(-8.0 * z)), 6) > 0.5 AS keep
+    FROM scored
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (the fastText-style gate every
+    public pretraining pipeline runs — CCNet/GPT-3 quality filtering):
+    score = sigmoid(w·x) where x is the document's token stream under
+    the hashing trick and w is a fixed weight table addressed by
+    feature hash.  The weights here are derived from md5 so the oracle
+    can reproduce them exactly; swapping in trained weights changes one
+    expression, not the plan.
+
+    Plan: ZERO shuffles — per-token weight lookup is a pure hash
+    expression (no weight-table join: the hashing trick turns the
+    model into compute), the dot product is a sequential fold over the
+    token list (order-deterministic, same fold both engines), and the
+    sigmoid is a projection.  Map-only at any corpus size, so the gate
+    runs at scan throughput alongside the other curation passes.
+    Rounded to 6dp: exp() may differ in the last ulp between libm and
+    java.lang.Math; the keep decision compares the ROUNDED score so
+    both engines gate identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    w = lambda t: (  # noqa: E731
+        (F.conv(F.substring(F.md5(F.concat(F.lit("w"), t)), 1, 8), 16, 10).cast("bigint") % 2001)
+        - 1000
+    ).cast("double") / 1000.0
+    z = (
+        F.aggregate(
+            F.transform(F.col("toks"), w), F.lit(0.0), lambda a, x: a + x
+        )
+        / F.size("toks")
+    )
+    score = F.round(1.0 / (1.0 + F.exp(-8.0 * z)), 6)
+    return toks.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        score.alias("score"),
+        (score > 0.5).alias("keep"),
+    )
+
+
+@register(
+    "q_feature_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT least(CAST(n_chars // 64 AS BIGINT), 9) AS bin,
+        CAST(substr(source, 4) AS INTEGER) >= 10 AS is_new
+      FROM documents
+    ),
+    counts AS (
+      SELECT bin,
+        COUNT(*) FILTER (WHERE NOT is_new) AS c_base,
+        COUNT(*) FILTER (WHERE is_new) AS c_new
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT SUM(c_base) AS t_base, SUM(c_new) AS t_new FROM counts
+    )
+    SELECT bin,
+      CAST(c_base AS DOUBLE) / t_base AS p_base,
+      CAST(c_new AS DOUBLE) / t_new AS p_new,
+      CASE WHEN c_base > 0 AND c_new > 0 THEN
+        round((CAST(c_base AS DOUBLE) / t_base - CAST(c_new AS DOUBLE) / t_new)
+              * ln((CAST(c_base AS DOUBLE) / t_base)
+                   / (CAST(c_new AS DOUBLE) / t_new)), 6)
+      END AS psi
+    FROM counts CROSS JOIN tot
+    """,
+)
+def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (PSI — population stability index)
+    between the base corpus (src0-9) and the incoming batch (src10+)
+    over a document-length histogram: the data-quality alarm a
+    continuously-ingesting pipeline runs before admitting a new crawl
+    into the training mix (PSI > 0.2 ⇒ the new batch is differently
+    distributed; investigate before training).
+
+    Plan: one scan → 10-bin conditional-count aggregate (map-side
+    partial, 10 rows out) → single-row totals broadcast back.  The
+    whole monitor moves 10 rows over the network regardless of corpus
+    size.  p ratios are exact int/int double divisions (deterministic);
+    only the ln() term is rounded (libm-vs-JVM last-ulp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.substring("source", 4, 10).cast("int") >= 10
+    counts = (
+        docs.select(
+            F.least(F.floor(F.col("n_chars") / 64), F.lit(9)).alias("bin"),
+            is_new.alias("is_new"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count_if(~F.col("is_new")).alias("c_base"),
+            F.count_if(F.col("is_new")).alias("c_new"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c_base").alias("t_base"), F.sum("c_new").alias("t_new")
+    )
+    p_base = F.col("c_base").cast("double") / F.col("t_base")
+    p_new = F.col("c_new").cast("double") / F.col("t_new")
+    return counts.join(F.broadcast(tot)).select(
+        "bin",
+        p_base.alias("p_base"),
+        p_new.alias("p_new"),
+        F.when(
+            (F.col("c_base") > 0) & (F.col("c_new") > 0),
+            F.round((p_base - p_new) * F.log(p_base / p_new), 6),
+        ).alias("psi"),
+    )

@@ -1,0 +1,140 @@
+"""Graph analytics over warehouse tables (SURVEY.md §2.3 Tier C
+extension — iterative algorithms on DataFrames).
+
+The engine already ships one iterative graph op (connected components,
+operators/dedup.py min-label propagation); this module adds weighted
+PageRank over the nation-level trade graph derived from the fact
+tables.  The pattern both share is the 100 TB story: the EXPENSIVE part
+(aggregating 10^11 fact rows into edges) is a one-shuffle groupBy; the
+ITERATIVE part then runs on the aggregated edge table, whose size is
+bounded by the key domain (here |nation|² ≤ 625 rows), so per-iteration
+cost is independent of corpus size.  Iterating over the raw fact table
+would be the anti-pattern.
+
+Determinism across engines: edge weights are exact DECIMAL sums cast to
+DOUBLE at the edge (functions/exact.py policy); every per-node float
+sum inside the iteration is a sorted fold (the q_embedding_centroids
+trick), so Spark and DuckDB add in the same order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.tpch_shapes import (
+    _SQL_VOLUME,
+    _volume,
+)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+_DAMP = 0.85
+_ITERS = 3
+
+_SQL_SORTED_SUM = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list({t}))),"
+    " (a, b) -> a + b)"
+)
+
+
+def _sql_iteration(k: int) -> str:
+    """One unrolled PageRank step: incoming mass via the edge join,
+    then the damped update over ALL nodes (left join keeps rank-sinks
+    alive)."""
+    inc = _SQL_SORTED_SUM.format(t=f"r{k - 1}.r * e.p")
+    return f"""
+    i{k} AS (
+      SELECT e.dst AS id, {inc} AS inc
+      FROM e JOIN r{k - 1} ON e.src = r{k - 1}.id GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT n.id, (1.0 - {_DAMP}) / (SELECT nc FROM nn)
+               + {_DAMP} * COALESCE(i{k}.inc, 0.0) AS r
+      FROM nodes n LEFT JOIN i{k} USING (id)
+    )"""
+
+
+@register(
+    "q_pagerank",
+    oracle=f"""
+    WITH edges AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst,
+        CAST(SUM({_SQL_VOLUME}) AS DOUBLE) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey, c_nationkey
+    ),
+    outw AS (SELECT src, {_SQL_SORTED_SUM.format(t='w')} AS tot
+             FROM edges GROUP BY src),
+    e AS (SELECT src, dst, w / tot AS p FROM edges JOIN outw USING (src)),
+    nodes AS (SELECT n_nationkey AS id FROM nation),
+    nn AS (SELECT COUNT(*) AS nc FROM nodes),
+    r0 AS (SELECT id, 1.0 / (SELECT nc FROM nn) AS r FROM nodes),
+    {','.join(_sql_iteration(k) for k in range(1, _ITERS + 1))}
+    SELECT n_nationkey, n_name, round(r{_ITERS}.r, 10) AS rank
+    FROM r{_ITERS} JOIN nation ON id = n_nationkey
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 3 fixed iterations) over the
+    trade graph: nations are nodes, supplier-nation → customer-nation
+    revenue flows are edges.  Ranks answer "which market is central to
+    the trade network" — the same shape as domain-authority ranking in
+    a web-crawl curation pipeline (rank → per-domain quality prior).
+
+    Plan: the fact-table pass (lineitem⋈orders⋈customer⋈supplier →
+    edge aggregate) is the only data-scaled work — two fact-fact
+    shuffles plus one bounded-key groupBy, after which the graph is
+    ≤|nation|² rows.  Each iteration is a join + aggregate on that
+    bounded table; with 10^11 fact rows the iterations still cost
+    microseconds because iteration cost is bounded by the key domain,
+    not the data.  The per-node sums are sorted folds so the result is
+    partition-order-independent and engine-exact; out-degree
+    normalization and edge weights go through the exact-decimal
+    policy (functions/exact.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.select("l_orderkey", "l_suppkey", _volume().alias("vol"))
+        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .agg(F.sum("vol").cast("double").alias("w"))
+    )
+
+    def sorted_sum(col: F.Column) -> F.Column:
+        return F.aggregate(
+            F.array_sort(F.collect_list(col)), F.lit(0.0), lambda a, x: a + x
+        )
+
+    outw = edges.groupBy("src").agg(sorted_sum(F.col("w")).alias("tot"))
+    e = edges.join(outw, "src").select("src", "dst", (F.col("w") / F.col("tot")).alias("p"))
+
+    nodes = nat.select(F.col("n_nationkey").alias("id"))
+    n_count = nodes.count()  # bounded by the nation domain (25), not the data
+    base = (1.0 - _DAMP) / n_count
+
+    ranks = nodes.select("id", F.lit(1.0 / n_count).alias("r"))
+    for _ in range(_ITERS):
+        inc = (
+            e.join(ranks, e["src"] == ranks["id"])
+            .select(F.col("dst").alias("id"), (F.col("r") * F.col("p")).alias("t"))
+            .groupBy("id")
+            .agg(sorted_sum(F.col("t")).alias("inc"))
+        )
+        ranks = nodes.join(inc, "id", "left").select(
+            "id",
+            (F.lit(base) + _DAMP * F.coalesce(F.col("inc"), F.lit(0.0))).alias("r"),
+        )
+
+    return ranks.join(
+        F.broadcast(nat), ranks["id"] == nat["n_nationkey"]
+    ).select("n_nationkey", "n_name", F.round("r", 10).alias("rank"))

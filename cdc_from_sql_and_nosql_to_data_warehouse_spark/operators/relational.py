@@ -1756,3 +1756,46 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH th AS (
+      SELECT l_returnflag AS flag,
+        round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+        round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_orderkey, l_linenumber, lo, hi,
+      least(greatest(l_extendedprice, lo), hi) AS clamped_price
+    FROM lineitem JOIN th ON l_returnflag = flag
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9″/numeric-curation winsorization: clamp each line item's price
+    to its return-flag group's [p5, p95] — the outlier-capping pass a
+    feature/training pipeline applies before normalization so heavy
+    tails don't dominate the loss (the numeric twin of the text
+    length-quantile gate, q_length_quantile_filter).
+
+    Plan: the quantiles aggregate to |groups| rows (3 here; bounded by
+    the group domain, not the data) and broadcast back onto the scan —
+    never a percent_rank window over the fact table, which would sort
+    100 TB per group.  Thresholds are rounded to 4dp at the aggregate
+    (the same interpolation-ulp guard as q_percentile); the clamp
+    itself is then exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    th = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("hi"),
+    )
+    return li.join(F.broadcast(th), F.col("l_returnflag") == F.col("flag")).select(
+        "l_orderkey",
+        "l_linenumber",
+        "lo",
+        "hi",
+        F.least(F.greatest("l_extendedprice", F.col("lo")), F.col("hi")).alias(
+            "clamped_price"
+        ),
+    )

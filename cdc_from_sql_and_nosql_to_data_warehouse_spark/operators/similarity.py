@@ -448,3 +448,86 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     )
+
+
+@register(
+    "q_knn_classify",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id AS cand_id, embedding AS ce, label AS cand_label
+      FROM embeddings WHERE vec_id >= 10
+    ),
+    scored AS (
+      SELECT query_id, true_label, cand_id, cand_label,
+        {_sql_cosine('qe', 'ce')} AS cosine
+      FROM q CROSS JOIN c
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, cand_label, COUNT(*) AS votes
+      FROM top GROUP BY query_id, true_label, cand_label
+    )
+    SELECT query_id, true_label, cand_label AS pred_label, votes
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY votes DESC, cand_label) AS rn2
+      FROM votes
+    ) WHERE rn2 = 1
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 k-NN classification (k=5, cosine): label the held-out query
+    vectors (vec_id < 10) by majority vote over their 5 nearest
+    neighbors in the rest of the corpus — the label-transfer /
+    auto-labeling pass of a training-data pipeline (weak supervision
+    from an embedded seed set).
+
+    Plan: identical scan shape to q_sim_topk — the bounded query side
+    is broadcast, the corpus scan is embarrassingly parallel, and the
+    only shuffles are the per-query top-k window and the vote
+    aggregate, both keyed on query_id (cardinality = |queries|, never
+    |corpus|).  At 100 TB the brute-force score stage swaps for the
+    LSH/IVF candidate join (q_sim_topk_lsh / q_sim_ivf) with the vote
+    unchanged.  Ties are deterministic end-to-end: neighbor rank
+    breaks on cand_id, the vote breaks on the smaller label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+        V.norm2("embedding").alias("q_norm"),
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("c_emb"),
+        V.norm2("embedding").alias("c_norm"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        "cand_id",
+        "cand_label",
+        (V.dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = top.groupBy("query_id", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("cand_label"))
+    return (
+        votes.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") == 1)
+        .select("query_id", "true_label", F.col("cand_label").alias("pred_label"), "votes")
+    )

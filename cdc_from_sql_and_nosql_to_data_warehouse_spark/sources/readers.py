@@ -48,11 +48,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata parquet table (column-pruned, filter-pushed by
     Catalyst — the physical plan must show PushedFilters/ReadSchema).
 
-    ``events.ts`` is nanosecond-precision parquet, which Spark rejects
-    (PARQUET_TYPE_ILLEGAL); read it as raw nanos via the public
-    ``nanosAsLong`` conf and truncate to microseconds with exact integer
-    division — the same truncation DuckDB applies on read, so the oracle
-    sees identical values."""
+    ``events.ts`` arrives in whatever physical form the generator used:
+    nanosecond parquet (Spark rejects it — PARQUET_TYPE_ILLEGAL — so
+    read raw nanos via the public ``nanosAsLong`` conf and truncate to
+    microseconds, the same truncation DuckDB applies on read) or
+    microsecond ``isAdjustedToUTC=false`` (Spark infers TIMESTAMP_NTZ).
+    Both are normalized to session-zone TIMESTAMP: the session timezone
+    is pinned to UTC (session.py), so the NTZ→LTZ cast is value-
+    preserving and every downstream instant function (``unix_millis``,
+    ``F.window``) and the DuckDB oracle see identical values."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
@@ -60,8 +64,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _TABLE_CACHE[key] = df
