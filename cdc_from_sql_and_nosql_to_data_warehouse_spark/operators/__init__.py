@@ -57,6 +57,7 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (  # noqa: 
     dedup,
     graph,
     layout,
+    mlprep,
     multimodal,
     packing,
     relational,
@@ -218,6 +219,12 @@ _R04_QUEUE = frozenset(
         "q_feature_drift",
         "q_winsorize",
         "q_pagerank",
+        "q_kmeans_assign",
+        "q_sim_pq",
+        "q_weighted_sample",
+        "q_merge_into",
+        "q_mad_outliers",
+        "q_window_first_last",
     }
 )
 

@@ -440,3 +440,69 @@ def q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("image.value").alias("value"),
         "seq",
     )
+
+
+@register(
+    "q_merge_into",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey AS k, c_name, c_acctbal AS bal
+      FROM customer WHERE c_custkey % 5 <> 0
+    ),
+    src AS (
+      SELECT c_custkey AS k, c_name, c_acctbal AS bal
+      FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT COALESCE(tgt.k, src.k) AS c_custkey,
+      COALESCE(src.c_name, tgt.c_name) AS c_name,
+      CASE WHEN src.k IS NULL THEN tgt.bal
+           ELSE CAST(CAST(src.bal AS DECIMAL(12,2)) + 100 AS DOUBLE) END
+        AS acctbal,
+      CASE WHEN src.k IS NULL THEN 'K'
+           WHEN tgt.k IS NULL THEN 'I' ELSE 'U' END AS action
+    FROM tgt FULL JOIN src ON tgt.k = src.k
+    WHERE NOT (tgt.k IS NOT NULL AND src.k IS NOT NULL AND src.bal < 0)
+    """,
+)
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8″ full MERGE INTO semantics in one batch op — the general form
+    of the reference's keyed upsert (REPLACE INTO,
+    source/load_data_to_rds_lambda/handler.py:29-33, which only ever
+    updates-or-inserts): WHEN MATCHED AND src.bal < 0 THEN DELETE,
+    WHEN MATCHED THEN UPDATE (credit +100), WHEN NOT MATCHED THEN
+    INSERT, unmatched target rows kept.  Target = customers with
+    custkey % 5 <> 0 (the standing dim), source = the % 2 = 0 batch.
+
+    Plan: MERGE is exactly one full-outer hash join on the key plus a
+    row-level CASE — no second pass, no per-clause scans; at 100 TB
+    both sides shuffle once on c_custkey (or co-located bucketed
+    layout skips even that, sources/sinks.py).  The balance update
+    goes through DECIMAL so the +100 arithmetic is exact in both
+    engines.  The streaming twin (continuous MERGE from a change
+    stream) is streaming/cdc.py start_merge_stream."""
+    cust = load_table(spark, sf_dir, "customer")
+    tgt = cust.filter(F.col("c_custkey") % 5 != 0).select(
+        F.col("c_custkey").alias("tk"),
+        F.col("c_name").alias("t_name"),
+        F.col("c_acctbal").alias("t_bal"),
+    )
+    src = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("sk"),
+        F.col("c_name").alias("s_name"),
+        F.col("c_acctbal").alias("s_bal"),
+    )
+    merged = tgt.join(src, F.col("tk") == F.col("sk"), "full")
+    matched = F.col("tk").isNotNull() & F.col("sk").isNotNull()
+    return merged.filter(~(matched & (F.col("s_bal") < 0))).select(
+        F.coalesce("tk", "sk").alias("c_custkey"),
+        F.coalesce("s_name", "t_name").alias("c_name"),
+        F.when(F.col("sk").isNull(), F.col("t_bal"))
+        .otherwise(
+            (F.col("s_bal").cast("decimal(12,2)") + 100).cast("double")
+        )
+        .alias("acctbal"),
+        F.when(F.col("sk").isNull(), "K")
+        .when(F.col("tk").isNull(), "I")
+        .otherwise("U")
+        .alias("action"),
+    )

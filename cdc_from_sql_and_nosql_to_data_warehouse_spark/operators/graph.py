@@ -120,6 +120,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = nat.select(F.col("n_nationkey").alias("id"))
     n_count = nodes.count()  # bounded by the nation domain (25), not the data
+    if n_count == 0:  # empty graph → empty ranking, same schema
+        return nat.select(
+            "n_nationkey", "n_name", F.lit(0.0).alias("rank")
+        ).where(F.lit(False))
     base = (1.0 - _DAMP) / n_count
 
     ranks = nodes.select("id", F.lit(1.0 / n_count).alias("r"))

@@ -1,0 +1,304 @@
+"""ML-prep operators over the embedding corpus (SURVEY.md §2.3 Tier C
+extensions): deterministic k-means clustering, product-quantization
+codes, and priority-based weighted sampling.
+
+These are the vector-side passes of a training-data pipeline the
+similarity module's search ops don't cover: clustering documents for
+mixture/curriculum decisions (SemDeDup's first stage), compressing the
+embedding store 32× for the ANN index (PQ, Jégou et al. 2011, public),
+and drawing a weighted subsample for eval/inspection (priority
+sampling, Duffield-Lund-Thorup 2007, public).
+
+Engine determinism policy: every vector arithmetic is a LEFT FOLD in
+element order (``F.zip_with`` + ``F.aggregate`` ↔ DuckDB
+``list_transform`` + ``list_reduce``), every mean is a sorted fold over
+collected values (the q_embedding_centroids trick), and all
+"randomness" is md5-derived — so Spark and the DuckDB oracle produce
+bit-identical doubles and the driver's value-hash matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+_K = 8  # k-means clusters; seeds = the _K lowest vec_ids
+_LLOYD_ITERS = 2  # fixed unrolled iterations (assign → update → assign)
+_PQ_M = 8  # product-quantization subspaces
+_PQ_SUB = 8  # dims per subspace (M * SUB = embedding dim 64)
+_PQ_K = 4  # codewords per subspace; codebook = the _PQ_K lowest vec_ids
+_SAMPLE_K = 100  # weighted-sample size
+
+
+def _sq_dist(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 as a left fold in element order — bit-deterministic
+    and identical to the DuckDB twin (_SQL_SQ_DIST)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(
+        ca,
+        cb,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _sql_sq_dist(a: str, b: str) -> str:
+    return f"""list_reduce(
+      list_prepend(CAST(0 AS DOUBLE),
+        list_transform(generate_series(1, length({a})),
+          i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+             * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))),
+      (x, y) -> x + y)"""
+
+
+_SQL_SORTED_MEAN = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(v))),"
+    " (x, y) -> x + y) / COUNT(*)"
+)
+
+
+def _sql_lloyd_round(k: int) -> str:
+    """One unrolled Lloyd iteration in DuckDB: assign to the nearest
+    centroid of round k-1, then rebuild centroids as per-(cluster, dim)
+    sorted-fold means."""
+    return f"""
+    d{k} AS (
+      SELECT e.vec_id, c.cid, {_sql_sq_dist("e.embedding", "c.cvec")} AS d
+      FROM e CROSS JOIN c{k - 1} c
+    ),
+    a{k} AS (
+      SELECT vec_id, cid AS cluster, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d{k}
+      ) WHERE rn = 1
+    ),
+    c{k} AS (
+      SELECT cluster AS cid, list(m ORDER BY pos) AS cvec FROM (
+        SELECT cluster, pos, {_SQL_SORTED_MEAN} AS m
+        FROM (
+          SELECT a.cluster, i AS pos, CAST(e.embedding[i] AS DOUBLE) AS v
+          FROM (
+            SELECT vec_id, embedding,
+              unnest(generate_series(1, length(embedding))) AS i
+            FROM e
+          ) e JOIN a{k} a USING (vec_id)
+        ) GROUP BY cluster, pos
+      ) GROUP BY cluster
+    )"""
+
+
+@register(
+    "q_kmeans_assign",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM e WHERE vec_id < {_K}
+    ),
+    {",".join(_sql_lloyd_round(k) for k in range(1, _LLOYD_ITERS + 1))},
+    df AS (
+      SELECT e.vec_id, c.cid, {_sql_sq_dist("e.embedding", "c.cvec")} AS d
+      FROM e CROSS JOIN c{_LLOYD_ITERS} c
+    )
+    SELECT vec_id, cid AS cluster, round(d, 8) AS dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM df
+    ) WHERE rn = 1
+    """,
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means document clustering (k=8, 2 unrolled Lloyd
+    iterations, seeds = the 8 lowest vec_ids): the cluster-then-decide
+    stage shared by SemDeDup, IVF index builds, and per-cluster mixture
+    curricula.  Unlike q_sim_ivf's pyspark.ml KMeans (trained, but
+    engine-specific — rows-only), this unrolled form is exactly
+    replicable in SQL, so the whole iterative algorithm is
+    value-hash-checked against DuckDB.
+
+    Plan per iteration: centroids are k rows — broadcast to score
+    (a BroadcastNestedLoopJoin over k·N pairs, embarrassingly
+    parallel), one window keyed by vec_id for the argmin, one
+    hash-aggregate keyed by (cluster, dim) ≤ k·64 groups for the
+    update.  Nothing driver-side, no `.count()`: empty input flows
+    through as empty.  At 100 TB the per-iteration cost is two
+    data-proportional map passes + one bounded aggregate — the same
+    shape pyspark.ml uses internally, minus its engine-private RNG.
+    Ties (equidistant centroids) break on the lower cluster id in both
+    engines; means are sorted folds, distances element-order folds, so
+    every double is bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = (
+        emb.filter(F.col("vec_id") < _K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    for _ in range(_LLOYD_ITERS):
+        assigned = (
+            emb.join(F.broadcast(cents))
+            .select("vec_id", "cid", _sq_dist("embedding", "cvec").alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias("cluster"))
+        )
+        dims = (
+            emb.join(assigned, "vec_id")
+            .select("cluster", F.posexplode("embedding").alias("pos0", "x"))
+            .select("cluster", (F.col("pos0") + 1).alias("pos"), F.col("x").cast("double").alias("v"))
+        )
+        means = dims.groupBy("cluster", "pos").agg(
+            (
+                F.aggregate(
+                    F.array_sort(F.collect_list("v")), F.lit(0.0), lambda a, x: a + x
+                )
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        cents = means.groupBy(F.col("cluster").alias("cid")).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+    return (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "cid", _sq_dist("embedding", "cvec").alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"), F.round("d", 8).alias("dist"))
+    )
+
+
+@register(
+    "q_sim_pq",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+    sub AS (
+      SELECT vec_id, s,
+        list_slice(embedding, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS sv
+      FROM e CROSS JOIN s
+    ),
+    cb AS (
+      SELECT vec_id AS code, s,
+        list_slice(embedding, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS cv
+      FROM e CROSS JOIN s WHERE vec_id < {_PQ_K}
+    ),
+    scored AS (
+      SELECT sub.vec_id, sub.s, cb.code, {_sql_sq_dist("sub.sv", "cb.cv")} AS d
+      FROM sub JOIN cb ON sub.s = cb.s
+    )
+    SELECT vec_id, s AS subspace, code, round(d, 8) AS dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (M=8 subspaces × 8 dims, K*=4
+    codewords, codebook = the 4 lowest vec_ids' subvectors): compresses
+    each 64-float vector to 8 small codes — the 32× store compression
+    under IVF-PQ ANN indexes (Jégou et al. 2011, public).  The encode
+    emits (vec_id, subspace, code, quantization error); asymmetric
+    distance scoring is then a per-query lookup-table join on these
+    codes.
+
+    Plan: the subspace explode is map-side (M rows per vector, slices
+    of the already-loaded array — no shuffle); the codebook side is
+    M·K* = 32 rows, broadcast; the argmin window keys on
+    (vec_id, subspace) so state per task is K* rows.  At 100 TB this
+    is one scan + one broadcast join + one window over a key whose
+    groups never exceed K* — no data-proportional shuffle at all.
+    A trained codebook (k-means per subspace on a sample) drops into
+    the cb side unchanged; the md5-free deterministic seed codebook is
+    what makes the full encode oracle-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sub = emb.select(
+        "vec_id", F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
+    ).join(emb, "vec_id").select(
+        "vec_id",
+        "s",
+        F.expr(f"slice(embedding, s * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv"),
+    )
+    cb = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("cs"),
+            "embedding",
+        )
+        .select(
+            "code",
+            "cs",
+            F.expr(f"slice(embedding, cs * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv"),
+        )
+    )
+    scored = sub.join(F.broadcast(cb), F.col("s") == F.col("cs")).select(
+        "vec_id", "s", "code", _sq_dist("sv", "cv").alias("d")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d", "code")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("s").cast("bigint").alias("subspace"),
+            "code",
+            F.round("d", 8).alias("dist"),
+        )
+    )
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+      CAST(n_chars AS DOUBLE) / (
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             AS DOUBLE) / 1152921504606846976.0
+      ) AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id
+    LIMIT {_SAMPLE_K}
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement via priority sampling
+    (Duffield-Lund-Thorup 2007, public): priority q_i = w_i / u_i with
+    w = n_chars and u = md5(doc_id)/2^60 ∈ (0,1); the top-k priorities
+    ARE the weighted sample, and 1/min-priority gives unbiased subset
+    sum estimates.  This is the deterministic stand-in for
+    df.sample(weights=...): longer documents are proportionally more
+    likely to be drawn, and reruns (or the DuckDB twin) draw the exact
+    same set because u is content-derived, not an RNG.
+
+    Plan: the priority is a flat codegen projection (md5 + divide —
+    same idiom as q_dataset_mixture's threshold sampler); the top-k is
+    Spark's TakeOrderedAndProject — per-partition heap of k, then a
+    k·partitions driver merge — so no global sort materializes at any
+    scale.  u > 0 always (md5 of nonempty string ≥ '0…01'; the 60-bit
+    prefix of a real digest is never all-zero in practice, and w/u on
+    doubles is bit-deterministic in both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            (F.col("n_chars").cast("double") / u).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(_SAMPLE_K)
+    )

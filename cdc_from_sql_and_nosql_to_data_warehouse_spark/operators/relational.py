@@ -1799,3 +1799,93 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clamped_price"
         ),
     )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type AS et, round(quantile_cont(value, 0.5), 4) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT et, med, round(quantile_cont(abs(value - med), 0.5), 4) AS mad
+      FROM events JOIN med ON event_type = et GROUP BY et, med
+    )
+    SELECT event_id, event_type, value, med, mad
+    FROM events JOIN mad ON event_type = et
+    WHERE abs(value - med) > 3 * mad
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9″/data-quality robust outlier detection: flag events whose
+    value deviates from the per-type median by more than 3× the median
+    absolute deviation — the robust twin of a z-score gate (median/MAD
+    are insensitive to the very outliers being hunted, unlike
+    mean/stddev).  The anomaly-quarantine pass of an ingest pipeline.
+
+    Plan: two bounded aggregates (|event_type| rows each — the median
+    pass, then the MAD pass over re-centered values) broadcast back
+    onto the scan; the fact table is scanned twice but never sorted or
+    shuffled per group — at 100 TB both extra passes are column-pruned
+    scans, the same trade q_winsorize makes.  Medians round to 4dp at
+    the aggregate (the q_percentile interpolation-ulp guard); the
+    deviation compare is then exact on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), F.col("event_type") == F.col("et"))
+        .groupBy("et", "med")
+        .agg(
+            F.round(F.expr("percentile(abs(value - med), 0.5)"), 4).alias("mad")
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), F.col("event_type") == F.col("et"))
+        .filter(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
+
+
+@register(
+    "q_window_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+      first_value(o_totalprice) OVER w AS first_price,
+      last_value(o_totalprice) OVER w AS last_price,
+      nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14′ boundary-value analytic windows: each order alongside its
+    customer's first, latest, and second-ever order totals
+    (first_value / last_value / nth_value over the full-partition
+    frame) — the "compare to customer's first purchase" cohort shape.
+
+    Plan: one shuffle on o_custkey, one sort per partition; the
+    unbounded-both frame means Spark computes the boundary values once
+    per partition and broadcasts them down the rows — no per-row
+    re-aggregation.  The order-by carries o_orderkey as a tiebreak so
+    both engines agree on which row is "first" under equal dates;
+    the values are copies, not arithmetic, so no float policy is
+    needed."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
