@@ -225,6 +225,7 @@ _R04_QUEUE = frozenset(
         "q_merge_into",
         "q_mad_outliers",
         "q_window_first_last",
+        "q_sim_pq_search",
     }
 )
 

