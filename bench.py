@@ -51,6 +51,12 @@ HEADLINE = [
     "q_market_share",
     "q_lm_score",
     "q_chunk_documents",
+    # round-3 additions: iterative clustering, PQ-ADC search, segment
+    # dedup, and graph-on-facts — the heaviest new plan shapes
+    "q_kmeans_assign",
+    "q_sim_pq_search",
+    "q_dedup_segments",
+    "q_pagerank",
 ]
 
 

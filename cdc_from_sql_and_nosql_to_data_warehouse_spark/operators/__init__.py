@@ -226,6 +226,7 @@ _R04_QUEUE = frozenset(
         "q_mad_outliers",
         "q_window_first_last",
         "q_sim_pq_search",
+        "q_token_entropy",
     }
 )
 

@@ -116,7 +116,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     outw = edges.groupBy("src").agg(sorted_sum(F.col("w")).alias("tot"))
-    e = edges.join(outw, "src").select("src", "dst", (F.col("w") / F.col("tot")).alias("p"))
+    # e is consumed by every iteration; without a checkpoint Catalyst
+    # re-derives the whole fact join per consumer (no cross-branch CSE
+    # — SCALE.md "Common-subexpression reality").  Post-aggregate it is
+    # ≤ |nation|² rows, so materializing is the measured win
+    # (~4 fact-join replays avoided at 3 iterations).
+    e = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("tot")).alias("p"))
+        .localCheckpoint(eager=False)
+    )
 
     nodes = nat.select(F.col("n_nationkey").alias("id"))
     n_count = nodes.count()  # bounded by the nation domain (25), not the data

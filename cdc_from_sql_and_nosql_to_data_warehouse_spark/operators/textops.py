@@ -445,3 +445,65 @@ def q_bpe_pair_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(50)
     )
+
+
+@register(
+    "q_token_entropy",
+    oracle=f"""
+    WITH ex AS (
+      SELECT source, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    cnt AS (SELECT source, tok, COUNT(*) AS c FROM ex GROUP BY source, tok),
+    tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS vocab
+      FROM cnt GROUP BY source
+    )
+    SELECT cnt.source, t AS n_tokens, vocab,
+      round(-list_reduce(
+        list_prepend(CAST(0 AS DOUBLE),
+          list_sort(list((CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)))),
+        (x, y) -> x + y), 6) AS entropy
+    FROM cnt JOIN tot USING (source)
+    GROUP BY cnt.source, t, vocab
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 per-source token-distribution Shannon entropy
+    (H = -Σ p·ln p): the diversity signal a mixture designer reads
+    next to q_dataset_mixture's counts — a source whose entropy
+    collapses is boilerplate/templated (near-duplicate mass) even when
+    its document count looks healthy; a source with unusually high
+    entropy is noise/OCR garbage.  Gopher's diversity analyses use
+    exactly this shape (public).
+
+    Plan: explode → (source, token) hash-agg (map-side partials soak
+    the Zipf head) → per-source totals → one more bounded aggregate.
+    The entropy sum folds over SORTED p·ln p terms so partition order
+    never changes the double (per-source vocabulary is bounded by the
+    corpus vocabulary — collect_list here holds |vocab(source)|
+    doubles, ~10^5-10^6 at web scale, single-digit MB per group; if a
+    source's vocabulary outgrew that, the fallback is a plain F.sum
+    with a wider round guard).  p = c/t divides exact integers; only
+    ln() needs the 6dp libm guard (the q_feature_drift policy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("source", F.explode(X.tokens("text")).alias("tok"))
+    cnt = ex.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("vocab")
+    )
+    p = F.col("c").cast("double") / F.col("t")
+    return (
+        cnt.join(tot, "source")
+        .select("source", "t", "vocab", (p * F.log(p)).alias("term"))
+        .groupBy("source", F.col("t").alias("n_tokens"), "vocab")
+        .agg(
+            F.round(
+                -F.aggregate(
+                    F.array_sort(F.collect_list("term")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("entropy")
+        )
+    )

@@ -122,3 +122,37 @@ def compact_partition(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
+
+
+_COLUMNAR_FORMATS = {"parquet", "orc"}
+_TEXT_FORMATS = {"csv", "json"}
+
+
+def write_format(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    """Format-parametric sink (B1 breadth): parquet and ORC as the
+    columnar interchange formats (both Spark-native, predicate/column
+    pushdown on read), CSV-with-header and NDJSON as the reference's
+    text formats (A1/A12).  One code path so pipelines can switch a
+    stage's landing format by config, not code."""
+    if fmt not in _COLUMNAR_FORMATS | _TEXT_FORMATS:
+        raise ValueError(f"unsupported sink format: {fmt}")
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        # header + explicit null marker so the roundtrip is lossless
+        # for the stringly CSV dialect (A3); timestamps in ISO form
+        w = w.option("header", True).option("nullValue", "\\N")
+    w.format(fmt).save(path)
+
+
+def read_format(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame:
+    """Format-parametric source matching write_format.  Columnar
+    formats carry their own schema; text formats take the writer's
+    schema explicitly (schema-on-read, never inference drift)."""
+    if fmt not in _COLUMNAR_FORMATS | _TEXT_FORMATS:
+        raise ValueError(f"unsupported source format: {fmt}")
+    r = spark.read
+    if fmt == "csv":
+        r = r.option("header", True).option("nullValue", "\\N")
+    if schema is not None:
+        r = r.schema(schema)
+    return r.format(fmt).load(path)

@@ -158,3 +158,27 @@ def test_write_zordered_clusters_both_columns(spark, tmp_path):
     # ~100% of global per file; z-order keeps both well below
     assert avg_ck < glob["ck"] * 0.8, (avg_ck, glob["ck"])
     assert avg_day < glob["day"] * 0.8, (avg_day, glob["day"])
+
+
+def test_format_roundtrip_orc_csv_json(spark, tmp_path):
+    """B1 format breadth: ORC / CSV / NDJSON roundtrips preserve values
+    and (given the writer's schema) types."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.sinks import (
+        read_format,
+        write_format,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+    from conftest import SF_DIR
+
+    src = load_table(spark, SF_DIR, "orders").limit(200)
+    expected = {tuple(r) for r in src.collect()}
+    for fmt in ("orc", "csv", "json"):
+        path = str(tmp_path / fmt)
+        write_format(src, path, fmt)
+        back = read_format(spark, path, fmt, schema=src.schema)
+        assert back.schema == src.schema, fmt
+        assert {tuple(r) for r in back.collect()} == expected, fmt
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_format(src, str(tmp_path / "x"), "avro")
