@@ -140,15 +140,24 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy("d", "cid")
-    for _ in range(_LLOYD_ITERS):
-        assigned = (
-            emb.join(F.broadcast(cents))
-            .select("vec_id", "cid", _sq_dist("embedding", "cvec").alias("d"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("cid").alias("cluster"))
+
+    # argmin as min(struct(d, cid)) — a HASH aggregate with map-side
+    # partials (each task pre-reduces its k candidates per vector to
+    # one row), not a row_number window, which would SORT k·N rows per
+    # partition.  Struct ordering is lexicographic, so the (d, cid)
+    # min is exactly the ORDER BY d, cid winner — same tiebreak as the
+    # oracle's row_number.
+    def _assign(scored: DataFrame) -> DataFrame:
+        return scored.groupBy("vec_id").agg(
+            F.min(F.struct("d", "cid")).alias("m")
         )
+
+    for _ in range(_LLOYD_ITERS):
+        assigned = _assign(
+            emb.join(F.broadcast(cents)).select(
+                "vec_id", "cid", _sq_dist("embedding", "cvec").alias("d")
+            )
+        ).select("vec_id", F.col("m.cid").alias("cluster"))
         dims = (
             emb.join(assigned, "vec_id")
             .select("cluster", F.posexplode("embedding").alias("pos0", "x"))
@@ -174,12 +183,14 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["m"],
             ).alias("cvec")
         )
-    return (
-        emb.join(F.broadcast(cents))
-        .select("vec_id", "cid", _sq_dist("embedding", "cvec").alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cluster"), F.round("d", 8).alias("dist"))
+    return _assign(
+        emb.join(F.broadcast(cents)).select(
+            "vec_id", "cid", _sq_dist("embedding", "cvec").alias("d")
+        )
+    ).select(
+        "vec_id",
+        F.col("m.cid").alias("cluster"),
+        F.round(F.col("m.d"), 8).alias("dist"),
     )
 
 
@@ -218,16 +229,17 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
 
 
 def _pq_encode(emb: DataFrame) -> DataFrame:
-    """(vec_id, s, code, d): nearest codeword per (vector, subspace)."""
+    """(vec_id, s, code, d): nearest codeword per (vector, subspace).
+    Argmin is min(struct(d, code)) — hash aggregate with map-side
+    partials (K* candidate rows fold to 1 before the shuffle), not a
+    sort window; struct ordering reproduces the ORDER BY d, code
+    tiebreak exactly."""
     scored = _pq_subvectors(emb).join(
         F.broadcast(_pq_codebook(emb)), F.col("s") == F.col("cs")
     ).select("vec_id", "s", "code", _sq_dist("sv", "cv").alias("d"))
-    w = Window.partitionBy("vec_id", "s").orderBy("d", "code")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "code", "d")
-    )
+    return scored.groupBy("vec_id", "s").agg(
+        F.min(F.struct("d", "code")).alias("m")
+    ).select("vec_id", "s", F.col("m.code").alias("code"), F.col("m.d").alias("d"))
 
 
 @register(
