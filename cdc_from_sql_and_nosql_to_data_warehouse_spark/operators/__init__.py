@@ -227,6 +227,8 @@ _R04_QUEUE = frozenset(
         "q_window_first_last",
         "q_sim_pq_search",
         "q_token_entropy",
+        "q_linear_fit",
+        "q_pseudonymize",
     }
 )
 

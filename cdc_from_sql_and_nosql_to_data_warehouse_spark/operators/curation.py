@@ -806,3 +806,46 @@ def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((p_base - p_new) * F.log(p_base / p_new), 6),
         ).alias("psi"),
     )
+
+
+@register(
+    "q_pseudonymize",
+    oracle="""
+    WITH mapped AS (
+      SELECT substr(md5('cust:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+               AS surrogate_id,
+        c_mktsegment, c_custkey
+      FROM customer
+    )
+    SELECT m.surrogate_id, m.c_mktsegment, COUNT(o_orderkey) AS n_orders
+    FROM mapped m LEFT JOIN orders ON o_custkey = m.c_custkey
+    GROUP BY m.surrogate_id, m.c_mktsegment
+    """,
+)
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pseudonymization with referential integrity (the GDPR-safe
+    analytics export twin of q_pii_redact's free-text scrub): replace
+    the natural key with a salted-hash surrogate, drop direct
+    identifiers (name/phone/address), keep coarse attributes — and
+    because the surrogate is a pure FUNCTION of the key, every fact
+    table maps to the same surrogate independently, so joins still
+    work without a lookup table to secure or replicate.
+
+    Plan: the surrogate is a flat codegen projection on both sides of
+    an ordinary equi-join + aggregate — pseudonymizing 100 TB adds
+    zero shuffles over the un-masked query.  (A true anonymization
+    upgrade — k-anonymity binning, salt rotation — changes only the
+    projection.)"""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.substring(
+            F.md5(F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))), 1, 16
+        ).alias("surrogate_id"),
+        "c_mktsegment",
+        "c_custkey",
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        cust.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("surrogate_id", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )

@@ -1889,3 +1889,31 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@register(
+    "q_linear_fit",
+    oracle="""
+    SELECT l_returnflag,
+      round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+      round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 regression aggregates: per-group least-squares fit of price
+    on quantity (slope/intercept/R²) — the trend-extraction shape of
+    an analytics dashboard and the drift-DETECTION regression a data
+    pipeline fits over time buckets.  Single-pass covariance
+    aggregates (regr_*), so one scan + one bounded shuffle; rounded to
+    6dp because both engines accumulate (co)variances in update order
+    (the q_stats_agg ulp policy)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
