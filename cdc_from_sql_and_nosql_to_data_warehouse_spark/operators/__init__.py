@@ -127,7 +127,37 @@ _R02_CHECKED = frozenset(
     }
 )
 
-_DRIVER_CHECKED = _R01_CHECKED | _R02_CHECKED
+def _driver_checked_from_disk() -> frozenset[str]:
+    """Absorb every CORRECTNESS_r*.json the driver has produced so far,
+    so the window self-rolls at the start of each round: any query with
+    a driver row (green or rows-only) yields its slot to a
+    never-checked one.  The hardcoded _R01/_R02 sets remain the
+    fallback if the files are absent (fresh clone)."""
+    import glob
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[2]
+    names: set[str] = set()
+    for path in glob.glob(str(repo / "CORRECTNESS_r*.json")):
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            # only GREEN rows yield their window slot: a failed or
+            # errored query stays in the window for re-verification
+            # after the fix
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                names.add(name)
+    return frozenset(names)
+
+
+_DRIVER_CHECKED = _R01_CHECKED | _R02_CHECKED | _driver_checked_from_disk()
 
 # The round-3 window: every remaining never-driver-checked oracle-bearing
 # query (48 = this queue + _DEFER_REDUNDANT).  Newly-registered round-3

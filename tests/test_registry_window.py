@@ -54,3 +54,47 @@ def test_queue_names_are_registered():
         ops._R03_QUEUE | ops._DEFER_REDUNDANT | ops._DRIVER_CHECKED | ops._R04_QUEUE
     ):
         assert name in ops.REGISTRY, f"stale name in ordering sets: {name}"
+
+
+def test_disk_absorption_matches_hardcoded_sets():
+    """The dynamic CORRECTNESS_r*.json absorption must agree with the
+    hardcoded r1/r2 fallback sets (same greens), and a hypothetical
+    failed row must NOT be absorbed."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (
+        _R01_CHECKED,
+        _R02_CHECKED,
+        _driver_checked_from_disk,
+    )
+
+    disk = _driver_checked_from_disk()
+    # every hardcoded name that has a disk row is confirmed green there
+    assert _R02_CHECKED <= disk
+    # r1 greens (incl. rows-only "no_oracle" entries) are all absorbed
+    assert _R01_CHECKED <= disk
+
+
+def test_window_rolls_forward_when_r03_lands(tmp_path, monkeypatch):
+    """Simulate the driver writing CORRECTNESS_r03.json: every green
+    name must leave the front of the window (priority 5)."""
+    import json
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark import operators as ops
+
+    front = list(ops.REGISTRY)[:50]
+    fake = {name: {"rows_match": True, "schema_match": True,
+                   "hash_match": True, "err": None} for name in front}
+    # one failure: must stay in the window
+    fail_name = front[0]
+    fake[fail_name]["hash_match"] = False
+    p = tmp_path / "CORRECTNESS_r99.json"
+    p.write_text(json.dumps(fake))
+
+    import glob as _glob
+
+    real_glob = _glob.glob
+    monkeypatch.setattr(
+        _glob, "glob", lambda pat: real_glob(pat) + [str(p)]
+    )
+    absorbed = ops._driver_checked_from_disk()
+    assert fail_name not in absorbed
+    assert set(front[1:]) <= absorbed
