@@ -259,6 +259,7 @@ _R04_QUEUE = frozenset(
         "q_token_entropy",
         "q_linear_fit",
         "q_pseudonymize",
+        "q_embedding_outliers",
     }
 )
 

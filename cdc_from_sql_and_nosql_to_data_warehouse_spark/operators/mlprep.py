@@ -458,3 +458,90 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(_SAMPLE_K)
     )
+
+
+@register(
+    "q_embedding_outliers",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    dims AS (
+      SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM (
+        SELECT label, embedding,
+          unnest(generate_series(1, length(embedding))) AS i
+        FROM e
+      )
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY pos) AS cvec FROM (
+        SELECT label, pos, {_SQL_SORTED_MEAN} AS m
+        FROM dims GROUP BY label, pos
+      ) GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+        {_sql_sq_dist("e.embedding", "cent.cvec")} AS d
+      FROM e JOIN cent USING (label)
+    ),
+    th AS (
+      SELECT label, round(quantile_cont(d, 0.95), 4) AS p95
+      FROM scored GROUP BY label
+    )
+    SELECT vec_id, scored.label, round(d, 8) AS dist, p95
+    FROM scored JOIN th USING (label)
+    WHERE d > p95
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier quarantine: vectors whose squared
+    distance to their LABEL's centroid exceeds the label's p95 — the
+    off-manifold junk detector of an embedding pipeline (mislabeled
+    docs, OCR noise, adversarial inputs land far from their class
+    mass).  The vector-side twin of q_mad_outliers.
+
+    Plan: centroids are one (label, dim)-keyed aggregate (≤ |labels|·
+    dim groups) rebuilt into arrays and broadcast back; distances are
+    a map-only fold; thresholds are a |labels|-row aggregate broadcast
+    again.  Two bounded aggregates + two broadcasts — the fact-scan
+    never shuffles.  Centroid means are sorted folds and distances
+    element-order folds (bit-identical), so only the interpolated p95
+    needs the 4dp guard (q_percentile policy)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label", (F.col("pos0") + 1).alias("pos"), F.col("x").cast("double").alias("v")
+    )
+    means = dims.groupBy("label", "pos").agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list("v")), F.lit(0.0), lambda a, x: a + x
+            )
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    # scored is consumed twice (threshold agg + final filter); cent is
+    # post-aggregate and label-bounded, so checkpointing it caps the
+    # recompute at one extra pruned scan + distance fold (CSE policy)
+    cent = (
+        means.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+        .localCheckpoint(eager=False)
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", _sq_dist("embedding", "cvec").alias("d")
+    )
+    th = scored.groupBy("label").agg(
+        F.round(F.expr("percentile(d, 0.95)"), 4).alias("p95")
+    )
+    return (
+        scored.join(F.broadcast(th), "label")
+        .filter(F.col("d") > F.col("p95"))
+        .select("vec_id", "label", F.round("d", 8).alias("dist"), "p95")
+    )
