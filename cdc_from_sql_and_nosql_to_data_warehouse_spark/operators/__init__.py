@@ -260,6 +260,8 @@ _R04_QUEUE = frozenset(
         "q_linear_fit",
         "q_pseudonymize",
         "q_embedding_outliers",
+        "q_gap_fill",
+        "q_unpivot",
     }
 )
 

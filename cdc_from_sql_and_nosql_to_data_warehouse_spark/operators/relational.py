@@ -1917,3 +1917,43 @@ def q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").alias("n"),
     )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+        l_quantity AS quantity, l_extendedprice AS extendedprice,
+        l_discount AS discount, l_tax AS tax
+      FROM lineitem
+    )
+    UNPIVOT (val FOR metric IN (quantity, extendedprice, discount, tax))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28′ UNPIVOT (melt) — the inverse of q_pivot: widen-to-long the
+    four lineitem measures into (metric, val) rows, the shape that
+    feeds generic per-metric aggregation/charting and the stack step
+    of a metrics store.
+
+    Plan: unpivot is a flat map-side expression (Spark compiles it to
+    an `Expand` node — each input row emits 4 rows in the same task,
+    no shuffle, no join); column pruning still reaches the scan, so
+    at 100 TB this reads exactly the 6 projected columns and never
+    exchanges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "metric",
+        "val",
+    )

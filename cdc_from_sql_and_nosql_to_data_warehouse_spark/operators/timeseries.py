@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.exact import sql_dsum
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.exact import dsum, sql_dsum
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
 
@@ -630,4 +630,50 @@ def q_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         sl.select("user_id", slot.alias("slot"))
         .groupBy("slot")
         .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "q_gap_fill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        {sql_dsum('o_totalprice', '14,2')} AS revenue
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(
+        (SELECT mn FROM b), (SELECT mx FROM b), INTERVAL 1 DAY)) AS DATE) AS day
+    )
+    SELECT spine.day, COALESCE(daily.revenue, 0.0) AS revenue,
+      daily.day IS NULL AS was_missing
+    FROM spine LEFT JOIN daily USING (day)
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a complete daily date spine from the
+    data's own [min, max] with zero-filled revenue for days that have
+    no orders — the densification step every dashboard / forecasting
+    feed needs (missing days must read as 0, not as absent rows).
+
+    Plan: daily revenue is one day-keyed aggregate (bounded by the
+    date domain); the spine is generated from a one-row min/max
+    aggregate (sequence + explode — no driver round-trip, the bounds
+    stay in the plan); the fill join is bounded × bounded.  The fact
+    scan is touched exactly once.  Revenue goes through the
+    exact-decimal policy; the spine and keys are DATEs so both
+    engines agree exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        dsum("o_totalprice", 14, 2).alias("revenue")
+    )
+    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.col("revenue").isNull().alias("was_missing"),
     )
