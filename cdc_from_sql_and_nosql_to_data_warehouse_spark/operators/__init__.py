@@ -262,6 +262,7 @@ _R04_QUEUE = frozenset(
         "q_embedding_outliers",
         "q_gap_fill",
         "q_unpivot",
+        "q_interpolate",
     }
 )
 
