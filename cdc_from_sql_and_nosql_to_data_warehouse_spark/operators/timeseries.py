@@ -665,8 +665,13 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-decimal policy; the spine and keys are DATEs so both
     engines agree exactly."""
     o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        dsum("o_totalprice", 14, 2).alias("revenue")
+    # daily is consumed twice (bounds + fill join); post-aggregate it
+    # is bounded by the date domain, so checkpointing it saves the
+    # second fact scan (CSE policy, plan-tested: one FileScan)
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(dsum("o_totalprice", 14, 2).alias("revenue"))
+        .localCheckpoint(eager=False)
     )
     bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
     spine = bounds.select(
@@ -748,6 +753,9 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
+        # consumed twice (bounds + fill join): checkpoint the bounded
+        # per-day aggregate so orders is scanned once (CSE policy)
+        .localCheckpoint(eager=False)
     )
     bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
     spine = bounds.select(

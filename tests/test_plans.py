@@ -216,3 +216,13 @@ def test_lm_score_join_is_salted(spark):
     joins = [ln for ln in txt.splitlines() if "Join" in ln and "__salt" in ln]
     assert joins, f"no join keyed on __salt in plan:\n{txt}"
     assert "CartesianProduct" not in txt and "BroadcastNestedLoopJoin" not in txt, txt
+
+
+def test_spine_ops_scan_facts_once(spark):
+    # q_gap_fill / q_interpolate consume the per-day aggregate twice
+    # (bounds + fill join); the checkpoint must cap orders at ONE scan
+    for name in ("q_gap_fill", "q_interpolate"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        txt = df._jdf.queryExecution().executedPlan().toString()
+        n_scans = sum(1 for line in txt.splitlines() if "FileScan" in line)
+        assert n_scans <= 1, (name, txt)
