@@ -263,6 +263,9 @@ _R04_QUEUE = frozenset(
         "q_gap_fill",
         "q_unpivot",
         "q_interpolate",
+        "q_ab_ttest",
+        "q_autocorr",
+        "q_pmi_skipgram",
     }
 )
 

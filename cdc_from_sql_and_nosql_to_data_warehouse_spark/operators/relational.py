@@ -1957,3 +1957,102 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "val",
     )
+
+
+@register(
+    "q_ab_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+        COUNT(*) AS n,
+        round(avg(value), 6) AS mean,
+        round(var_samp(value), 6) AS var
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type
+    )
+    SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+      round((a.mean - b.mean)
+            / sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat
+    FROM (SELECT * FROM g WHERE event_type = 'click') a
+    CROSS JOIN (SELECT * FROM g WHERE event_type = 'view') b
+    """,
+)
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B statistical comparison (Welch's t statistic) between the
+    click and view cohorts' values — the experiment-analysis readout a
+    warehouse serves daily.  Means/variances are rounded at the
+    aggregate (single-pass accumulation ulps, the q_stats_agg policy);
+    the t statistic is then plain arithmetic on identical doubles with
+    its own 6dp guard.
+
+    Plan: one scan with the cohort filter pushed down, one
+    2-group aggregate, then a 1×1 join — the entire statistic moves
+    two rows over the network at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("mean"),
+            F.round(F.var_samp("value"), 6).alias("var"),
+        )
+    )
+    a = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = g.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    return a.join(b).select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        F.round(
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+            6,
+        ).alias("t_stat"),
+    )
+
+
+@register(
+    "q_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    lagged AS (
+      SELECT rev, lag(rev) OVER (ORDER BY day) AS prev
+      FROM daily
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      round(corr(rev, prev), 6) AS acf1
+    FROM lagged WHERE prev IS NOT NULL
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily revenue — the seasonality /
+    momentum probe of a time-series health check (an ACF near 0 says
+    daily totals are independent; near 1 says strong day-over-day
+    persistence, e.g. weekly cycles aliasing).
+
+    Plan: the fact table reduces to |days| rows in one keyed
+    aggregate; the lag window and corr then run on the bounded spine
+    (the q_interpolate global-window exception).  Revenue sums are
+    decimal-exact; corr carries the single-pass 6dp guard."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        dsum("o_totalprice", 14, 2).alias("rev")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select("rev", F.lag("rev").over(w).alias("prev")).filter(
+        F.col("prev").isNotNull()
+    )
+    return lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.corr("rev", "prev"), 6).alias("acf1"),
+    )

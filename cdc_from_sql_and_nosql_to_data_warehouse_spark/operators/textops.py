@@ -507,3 +507,96 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy")
         )
     )
+
+
+@register(
+    "q_pmi_skipgram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    pos AS (
+      SELECT toks, unnest(generate_series(1, length(toks))) AS i FROM toks
+    ),
+    pr AS (
+      SELECT toks[i] AS w1, toks[i + k] AS w2
+      FROM pos CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS k)
+      WHERE i + k <= length(toks)
+    ),
+    cp AS (SELECT w1, w2, COUNT(*) AS c FROM pr GROUP BY w1, w2),
+    uni AS (
+      SELECT t AS w, COUNT(*) AS c
+      FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY t
+    ),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+    ptot AS (SELECT CAST(SUM(c) AS DOUBLE) AS p FROM cp)
+    SELECT w1, w2, cp.c AS n_pair,
+      round(ln((cp.c / p) / ((u1.c / n) * (u2.c / n))), 6) AS pmi
+    FROM cp
+    JOIN uni u1 ON w1 = u1.w
+    JOIN uni u2 ON w2 = u2.w
+    CROSS JOIN tot CROSS JOIN ptot
+    WHERE cp.c >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+)
+def q_pmi_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 association mining: top-50 skip-gram pairs (window ≤ 3,
+    directional) by pointwise mutual information — the collocation
+    detector behind phrase induction ("new york"), tokenizer merge
+    seeding, and topic drift analysis.  Min joint count 5 suppresses
+    the low-count PMI explosion (standard practice, public).
+
+    Plan: pair generation is a double explode in flat codegen (no
+    per-doc lambdas); joint and unigram counts are two hash aggregates
+    with map-side partials soaking the Zipf head; the PMI join touches
+    the vocabulary-sized tables only (pairs ⋈ unigrams ×2, unhinted —
+    AQE broadcasts while they fit) plus two 1-row totals.  The top-50
+    is TakeOrderedAndProject on the ROUNDED pmi with (w1, w2)
+    tiebreak, so both engines rank identically.  Probability ratios
+    divide exact integer-derived doubles; only ln carries the 6dp
+    guard."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(X.tokens("text").alias("toks"))
+    pos = toks.select(
+        "toks", F.explode(F.sequence(F.lit(1), F.size("toks"))).alias("i")
+    )
+    pr = (
+        pos.select("toks", "i", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("k"))
+        .filter(F.col("i") + F.col("k") <= F.size("toks"))
+        .select(
+            F.element_at("toks", F.col("i")).alias("w1"),
+            F.element_at("toks", F.col("i") + F.col("k")).alias("w2"),
+        )
+    )
+    cp = pr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    tot = uni.agg(F.sum("uc").cast("double").alias("n"))
+    ptot = cp.agg(F.sum("c").cast("double").alias("p"))
+    u1 = uni.select(F.col("w").alias("uw1"), F.col("uc").alias("c1"))
+    u2 = uni.select(F.col("w").alias("uw2"), F.col("uc").alias("c2"))
+    return (
+        cp.filter(F.col("c") >= 5)
+        .join(u1, F.col("w1") == F.col("uw1"))
+        .join(u2, F.col("w2") == F.col("uw2"))
+        .join(F.broadcast(tot))
+        .join(F.broadcast(ptot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c") / F.col("p"))
+                    / ((F.col("c1") / F.col("n")) * (F.col("c2") / F.col("n")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )
