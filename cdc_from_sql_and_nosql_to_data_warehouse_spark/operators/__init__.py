@@ -266,6 +266,8 @@ _R04_QUEUE = frozenset(
         "q_ab_ttest",
         "q_autocorr",
         "q_pmi_skipgram",
+        "q_rfm_segmentation",
+        "q_market_basket",
     }
 )
 

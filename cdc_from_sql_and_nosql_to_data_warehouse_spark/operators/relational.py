@@ -2056,3 +2056,151 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.round(F.corr("rev", "prev"), 6).alias("acf1"),
     )
+
+
+@register(
+    "q_rfm_segmentation",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+        datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                 (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS recency,
+        COUNT(*) AS frequency,
+        {sql_dsum('o_totalprice', '14,2')} AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    th AS (
+      SELECT round(quantile_cont(recency, 0.5), 4) AS r_med,
+        round(quantile_cont(CAST(frequency AS DOUBLE), 0.5), 4) AS f_med,
+        round(quantile_cont(monetary, 0.5), 4) AS m_med
+      FROM per_cust
+    )
+    SELECT recency <= r_med AS r_high, frequency > f_med AS f_high,
+      monetary > m_med AS m_high,
+      COUNT(*) AS n_customers,
+      round(SUM(monetary) / COUNT(*), 4) AS avg_monetary
+    FROM per_cust CROSS JOIN th
+    GROUP BY recency <= r_med, frequency > f_med, monetary > m_med
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary,
+    median split → 8 segments): the classic BI cohorting every
+    warehouse dashboard ships.  High-R means RECENT (recency days ≤
+    median).
+
+    Plan: one customer-keyed aggregate over the fact table, a 1-row
+    median threshold frame broadcast back (never an ntile window over
+    the customer table — the same bounded-thresholds pattern as
+    q_winsorize), and a final ≤8-group aggregate.  Monetary goes
+    through decimal-exact sums; medians take the 4dp interpolation
+    guard; the segment predicates then compare identical doubles.
+    The corpus-max order date is a scalar subquery (one row,
+    broadcast), so recency needs no second scan."""
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice", 14, 2).alias("monetary"),
+        )
+        .join(F.broadcast(maxd))
+        .select(
+            F.datediff("maxd", "last_order").alias("recency"),
+            "frequency",
+            "monetary",
+        )
+        # consumed by the threshold agg AND the final segmentation —
+        # checkpoint the bounded per-customer aggregate (CSE policy)
+        .localCheckpoint(eager=False)
+    )
+    th = per_cust.agg(
+        F.round(F.expr("percentile(recency, 0.5)"), 4).alias("r_med"),
+        F.round(F.expr("percentile(CAST(frequency AS DOUBLE), 0.5)"), 4).alias("f_med"),
+        F.round(F.expr("percentile(monetary, 0.5)"), 4).alias("m_med"),
+    )
+    return (
+        per_cust.join(F.broadcast(th))
+        .groupBy(
+            (F.col("recency") <= F.col("r_med")).alias("r_high"),
+            (F.col("frequency") > F.col("f_med")).alias("f_high"),
+            (F.col("monetary") > F.col("m_med")).alias("m_high"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary") / F.count(F.lit(1)), 4).alias("avg_monetary"),
+        )
+    )
+
+
+@register(
+    "q_market_basket",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS c_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    freq AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM items)
+    SELECT part_a, part_b, c_ab,
+      round((c_ab * n) / (fa.c * fb.c), 6) AS lift
+    FROM pairs
+    JOIN freq fa ON part_a = fa.l_partkey
+    JOIN freq fb ON part_b = fb.l_partkey
+    CROSS JOIN tot
+    WHERE c_ab >= 2
+    ORDER BY lift DESC, part_a, part_b LIMIT 50
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: top-50 part pairs by LIFT
+    (P(a,b) / (P(a)·P(b)) over orders) with joint support ≥ 2 — the
+    co-purchase miner behind "frequently bought together".
+
+    Plan: the pair generation is a SELF-JOIN ON THE ORDER KEY — both
+    sides shuffle once on l_orderkey and the quadratic blowup is
+    bounded by basket size (≤7 lines/order in TPC-H, ~tens in retail),
+    never corpus-quadratic — the same bounded-block principle as the
+    dedup band buckets.  Item frequencies are vocabulary-sized joins
+    (unhinted, AQE); totals are 1-row broadcasts; top-50 is
+    TakeOrderedAndProject on the rounded lift.  Lift divides exact
+    integer-derived doubles: c_ab·n and fa·fb are exact, the single
+    division is deterministic, rounded 6dp for belt."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    tot = items.agg(F.countDistinct("l_orderkey").cast("double").alias("n"))
+    fa = freq.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))
+    fb = freq.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))
+    return (
+        pairs.filter(F.col("c_ab") >= 2)
+        .join(fa, F.col("part_a") == F.col("pa"))
+        .join(fb, F.col("part_b") == F.col("pb"))
+        .join(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            F.round(
+                (F.col("c_ab") * F.col("n")) / (F.col("ca") * F.col("cb")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(50)
+    )
