@@ -268,6 +268,8 @@ _R04_QUEUE = frozenset(
         "q_pmi_skipgram",
         "q_rfm_segmentation",
         "q_market_basket",
+        "q_cusum",
+        "q_benford",
     }
 )
 

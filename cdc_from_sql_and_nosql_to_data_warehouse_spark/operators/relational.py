@@ -2204,3 +2204,47 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(50)
     )
+
+
+@register(
+    "q_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                               AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c)
+    SELECT digit, n,
+      round(n / total, 6) AS observed,
+      round(log10(1.0 + 1.0 / digit), 6) AS expected
+    FROM c CROSS JOIN t
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed vs
+    expected log10(1 + 1/d) leading-digit frequencies — the classic
+    fabricated-data / unit-mixing detector an ingest QA pass runs on
+    money columns (human-invented numbers overuse 5-9; a currency
+    rescale shifts the whole curve).
+
+    Plan: ONE scan → 9-group aggregate → 1-row total broadcast: nine
+    rows over the network at any scale.  The leading digit is taken
+    from the INTEGER cents' decimal string (exact decimal → bigint →
+    varchar is engine-identical), never from float log10/division,
+    which round-trips through libm and can misclassify exact powers
+    of ten; only the two output ratios carry the 6dp guard."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("bigint")
+    d = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    return c.join(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("observed"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("expected"),
+    )

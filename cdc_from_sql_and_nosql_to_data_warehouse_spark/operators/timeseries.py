@@ -785,3 +785,68 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(interp_cents.cast("double") / (den * 100).cast("double"))
         .alias("revenue_filled"),
     )
+
+
+@register(
+    "q_cusum",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        {sql_dsum('o_totalprice', '14,2')} AS rev
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    mu AS (
+      SELECT round(CAST(SUM(CAST(rev AS DECIMAL(16,2))) AS DOUBLE)
+                   / COUNT(*), 4) AS mean_rev
+      FROM daily
+    ),
+    c AS (
+      SELECT day, rev, mean_rev,
+        SUM(rev - mean_rev) OVER
+          (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM daily CROSS JOIN mu
+    )
+    SELECT day, round(s, 4) AS cusum,
+      round(MAX(s) OVER
+        (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - s,
+        4) AS drawdown
+    FROM c
+    """,
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint trace over daily revenue: the cumulative sum
+    of deviations from the corpus mean, plus the drawdown from its
+    running maximum — the classic level-shift detector (a sustained
+    drop shows as a growing drawdown long before any single day is
+    anomalous; q_mad_outliers catches spikes, this catches shifts).
+
+    Plan: the fact table reduces to |days| rows in one keyed
+    aggregate; the mean is a 1-row broadcast; both windows run over
+    the bounded spine (the documented date-domain exception).
+    Determinism: daily revenues are decimal-exact doubles; the mean
+    divides a decimal-exact sum by an int (rounded 4dp once); the
+    running sum accumulates IN FRAME ORDER — the same sequence of
+    float adds in both engines — so only the output guard rounding is
+    needed."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(dsum("o_totalprice", 14, 2).alias("rev"))
+        .localCheckpoint(eager=False)  # consumed by mean + trace (CSE)
+    )
+    mu = daily.agg(
+        F.round(
+            F.sum(F.col("rev").cast("decimal(16,2)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_rev")
+    )
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.join(F.broadcast(mu)).select(
+        "day", F.sum(F.col("rev") - F.col("mean_rev")).over(wrun).alias("s")
+    )
+    return c.select(
+        "day",
+        F.round("s", 4).alias("cusum"),
+        F.round(F.max("s").over(wrun) - F.col("s"), 4).alias("drawdown"),
+    )
