@@ -274,6 +274,9 @@ _R04_QUEUE = frozenset(
 )
 
 
+_R03_DONE = _R03_QUEUE <= _DRIVER_CHECKED
+
+
 def _window_priority(spec: QuerySpec) -> int:
     if spec.name in _DRIVER_CHECKED:
         return 5
@@ -284,9 +287,13 @@ def _window_priority(spec: QuerySpec) -> int:
     if spec.name in _DEFER_REDUNDANT:
         return 1
     if spec.name in _R04_QUEUE:
-        return 3
-    # oracle-bearing queries registered this round: behind the 48 so a new
-    # addition can never push a queued query past position 50
+        # once CORRECTNESS_r03 has absorbed the round-3 window, the
+        # parked round-4 queue self-promotes to the window front —
+        # ahead of anything registered in round 4 itself
+        return 0 if _R03_DONE else 3
+    # oracle-bearing queries registered this round: behind the queued
+    # set so a new addition can never push a queued query out of the
+    # window
     return 2
 
 

@@ -2248,3 +2248,38 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.col("total"), 6).alias("observed"),
         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("expected"),
     )
+
+
+@register("q_hll_incremental_distinct", oracle=None)
+def q_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-rollup distinct counting: per-day HLL sketches of active
+    users, unioned into period totals WITHOUT re-touching the raw
+    events — the materialized-rollup pattern that makes "distinct users
+    this quarter" a merge of 90 pre-aggregated sketches instead of a
+    quarter-long rescan.  This is the one aggregate that exact
+    pre-aggregation cannot provide (distinct doesn't sum), which is
+    why warehouses ship sketch columns (Datasketches HLL — public,
+    Spark 3.5+ built-in).
+
+    Registered rows-only: the sketch binary and its estimate are
+    engine-specific (DuckDB's approx_count_distinct uses a different
+    sketch), so the driver checks shape; the ±5% accuracy vs the exact
+    count and the merge-associativity invariant are pinned in
+    tests/test_mlprep.py.
+
+    Plan: one scan → per-day hll_sketch_agg (map-side partials, one
+    small binary per day) → hll_union_agg over |days| rows.  At 100 TB
+    the daily sketches live in the rollup table and the union is
+    O(days), not O(events)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("bigint")
+        .alias("est_distinct_users"),
+    )

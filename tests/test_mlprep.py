@@ -174,3 +174,19 @@ def test_sim_pq_search_is_adc_consistent(spark):
         assert [r["rank"] for r in grp] == list(range(1, 11))
         dists = [r["adc_dist"] for r in grp]
         assert dists == sorted(dists)
+
+
+def test_hll_union_accuracy_and_associativity(spark):
+    """The per-day-sketch union must estimate within 5% of the exact
+    distinct count, and merging day sketches must agree with one
+    direct sketch over all events (associativity — the property that
+    makes sketch rollups valid)."""
+    out = _run(spark, "q_hll_incremental_distinct").collect()[0]
+    ev = load_table(spark, SF_DIR, "events")
+    exact = ev.select("user_id").distinct().count()
+    assert abs(out["est_distinct_users"] - exact) <= max(2, 0.05 * exact)
+    direct = (
+        ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("bigint"))
+        .collect()[0][0]
+    )
+    assert out["est_distinct_users"] == direct
