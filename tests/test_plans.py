@@ -226,3 +226,21 @@ def test_spine_ops_scan_facts_once(spark):
         txt = df._jdf.queryExecution().executedPlan().toString()
         n_scans = sum(1 for line in txt.splitlines() if "FileScan" in line)
         assert n_scans <= 1, (name, txt)
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """Registry-wide guardrail: no query may plan a CartesianProduct.
+    (BroadcastNestedLoopJoin is acceptable — it appears only where one
+    side is domain-bounded and broadcast, e.g. centroids, 1-row
+    totals; a CartesianProduct means BOTH sides are unbounded and
+    partitioned, which is never survivable at scale.)"""
+    offenders = []
+    for name, spec in REGISTRY.items():
+        try:
+            df = spec.fn(spark, SF_DIR)
+        except Exception:  # noqa: BLE001 — runtime errors are other tests' job
+            continue
+        txt = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in txt:
+            offenders.append(name)
+    assert not offenders, offenders
