@@ -128,6 +128,9 @@ def main() -> None:
 
     timings_min = {name: round(min(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings_min.values()), 3)
+    # the r1/r2 comparable subset (first 23 headliners; r3 appended 4)
+    r2_subset = HEADLINE[:23]
+    subset_total = round(sum(timings_min[n] for n in r2_subset), 3)
     print(
         json.dumps(
             {
@@ -135,6 +138,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings_min,
+                "total_r2_comparable_subset": subset_total,
                 "queries_interleaved": interleaved,
                 "total_interleaved": round(sum(interleaved.values()), 3),
                 "protocol": "min-of-3 back-to-back (r1/r2: best-of-2 back-to-back)",
