@@ -270,6 +270,8 @@ _R04_QUEUE = frozenset(
         "q_market_basket",
         "q_cusum",
         "q_benford",
+        "q_triangle_count",
+        "q_source_overlap",
     }
 )
 

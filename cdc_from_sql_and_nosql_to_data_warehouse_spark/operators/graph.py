@@ -151,3 +151,82 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(
         F.broadcast(nat), ranks["id"] == nat["n_nationkey"]
     ).select("n_nationkey", "n_name", F.round("r", 10).alias("rank"))
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+    WITH edges AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey, c_nationkey
+      HAVING CAST(SUM({_SQL_VOLUME}) AS DOUBLE) > 0
+    ),
+    und AS (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM edges WHERE src <> dst
+      GROUP BY LEAST(src, dst), GREATEST(src, dst)
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+      CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges
+    FROM tri
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the (undirected) trade graph — the graph
+    clustering-coefficient numerator, the standard cohesion metric
+    next to q_pagerank's centrality.  Each triangle is counted once
+    via the canonical a<b<c orientation (the classic wedge-closure
+    join, public textbook algorithm).
+
+    Plan: the data-scaled work is the same one-pass edge aggregation
+    as q_pagerank (fact joins → bounded |nation|² edge table); the
+    wedge join + closure check then run on the bounded canonical edge
+    list.  For graphs where the EDGE table itself is data-scaled, the
+    same two joins apply after the degree-ordering trick (orient edges
+    low-degree → high-degree) which bounds every wedge list — the
+    join shape is unchanged, so this operator ports."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+
+    edges = (
+        li.select("l_orderkey", "l_suppkey", _volume().alias("vol"))
+        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .agg(F.sum("vol").cast("double").alias("w"))
+        .filter(F.col("w") > 0)
+    )
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        # consumed three times by the wedge/closure joins (CSE policy;
+        # bounded ≤ |nation|²)
+        .localCheckpoint(eager=False)
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+    )
+    n_edges = und.agg(F.count(F.lit(1)).cast("bigint").alias("ne"))
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")).join(
+        F.broadcast(n_edges)
+    ).select("n_triangles", F.col("ne").alias("n_edges"))

@@ -600,3 +600,77 @@ def q_pmi_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(50)
     )
+
+
+@register(
+    "q_source_overlap",
+    oracle=f"""
+    WITH st AS (
+      SELECT DISTINCT source, tok FROM (
+        SELECT source, unnest({_SQL_TOKS}) AS tok FROM documents
+      )
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, n_common,
+      round(CAST(n_common AS DOUBLE)
+            / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON src_a = sa.source
+    JOIN sizes sb ON src_b = sb.source
+    ORDER BY jaccard DESC, src_a, src_b LIMIT 50
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap (pairwise Jaccard over distinct
+    token sets, top-50): the "which crawls cover the same material"
+    diagnostic a mixture designer reads before weighting sources — two
+    sources with near-1 vocabulary Jaccard are probably mirrors and
+    double-count their domain (the corpus-level cousin of document
+    near-dup detection).
+
+    Plan: the (source, token) distinct is one hash-agg over the
+    exploded corpus; the pairwise intersection joins on the TOKEN
+    (vocabulary-keyed, Zipf head soaked by map-side distinct), and the
+    pair aggregate is bounded by |sources|² — never an all-pairs
+    document comparison.  Jaccard divides exact integer counts with a
+    6dp belt; ranking uses the rounded value with a deterministic
+    (src_a, src_b) tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(X.tokens("text")).alias("tok"))
+        .distinct()
+        # consumed by sizes AND both sides of the pair join (CSE
+        # policy; vocabulary-sized after the distinct)
+        .localCheckpoint(eager=False)
+    )
+    sizes = st.groupBy(F.col("source").alias("s")).agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("src_a"), "tok")
+    b = st.select(F.col("source").alias("src_b"), F.col("tok").alias("tok_b"))
+    inter = (
+        a.join(b, (F.col("tok") == F.col("tok_b")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("s").alias("sa"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("s").alias("sb"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, F.col("src_a") == F.col("sa"))
+        .join(sb, F.col("src_b") == F.col("sb"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "src_a", "src_b")
+        .limit(50)
+    )
