@@ -272,6 +272,7 @@ _R04_QUEUE = frozenset(
         "q_benford",
         "q_triangle_count",
         "q_source_overlap",
+        "q_bpe_apply",
     }
 )
 
