@@ -244,3 +244,31 @@ def test_no_cartesian_product_anywhere(spark):
         if "CartesianProduct" in txt:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_results_invariant_to_aqe(spark):
+    """Planning-mode robustness: representative heavy queries must
+    return identical row multisets with AQE disabled (the driver and
+    any cluster may flip adaptive execution; results must not depend
+    on runtime re-planning)."""
+    from collections import Counter
+
+    names = [
+        "q_min_cost_supplier",
+        "q_dedup_minhash_md5",
+        "q_kmeans_assign",
+        "q_market_basket",
+        "q_interpolate",
+    ]
+    def snap(name):
+        rows = REGISTRY[name].fn(spark, SF_DIR).collect()
+        return Counter(tuple(r) for r in rows)
+
+    with_aqe = {n: snap(n) for n in names}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        without = {n: snap(n) for n in names}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    for n in names:
+        assert with_aqe[n] == without[n], n
