@@ -273,6 +273,8 @@ _R04_QUEUE = frozenset(
         "q_triangle_count",
         "q_source_overlap",
         "q_bpe_apply",
+        "q_rollup_merge",
+        "q_equidepth_bins",
     }
 )
 

@@ -2283,3 +2283,109 @@ def q_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_distinct_users"),
     )
+
+
+@register(
+    "q_rollup_merge",
+    oracle="""
+    WITH half AS (
+      SELECT l_returnflag, l_orderkey % 2 AS h,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(16,2)) AS s,
+        COUNT(*) AS n,
+        MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+      FROM lineitem GROUP BY l_returnflag, l_orderkey % 2
+    )
+    SELECT l_returnflag,
+      CAST(SUM(s) AS DOUBLE) AS total,
+      CAST(SUM(n) AS BIGINT) AS n_rows,
+      MIN(mn) AS min_price, MAX(mx) AS max_price,
+      CAST(SUM(s) AS DOUBLE) / SUM(n) AS avg_price
+    FROM half GROUP BY l_returnflag
+    """,
+)
+def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable aggregate state — the algebra that makes incremental
+    rollups valid: aggregate two disjoint shards (orderkey parity
+    stands in for 'yesterday's rollup' + 'today's micro-batch') into
+    partial states (sum, count, min, max), then MERGE the partials and
+    derive the final stats.  The merged result provably equals a
+    direct aggregate because sum/count/min/max are commutative
+    monoids and avg is DERIVED from merged sum/count — never averaged
+    across shards (avg-of-avgs is the classic wrong answer).
+
+    Plan: the partial aggregate keys on (group, shard) — map-side
+    combine works as usual — and the merge aggregate keys on the
+    group alone, touching only |groups|·|shards| partial rows.  This
+    is exactly refresh_rollup_incremental's correctness argument
+    (sources/sinks.py) as an oracle-checked query; decimal-exact sums
+    make the merge bit-identical to the direct aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    half = li.groupBy(
+        "l_returnflag", (F.col("l_orderkey") % 2).alias("h")
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+        .cast("decimal(16,2)")
+        .alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    return half.groupBy("l_returnflag").agg(
+        F.sum("s").cast("double").alias("total"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.min("mn").alias("min_price"),
+        F.max("mx").alias("max_price"),
+        (F.sum("s").cast("double") / F.sum("n")).alias("avg_price"),
+    )
+
+
+@register(
+    "q_equidepth_bins",
+    oracle="""
+    WITH th AS (
+      SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+        round(quantile_cont(o_totalprice, 0.50), 4) AS q2,
+        round(quantile_cont(o_totalprice, 0.75), 4) AS q3
+      FROM orders
+    )
+    SELECT CASE
+        WHEN o_totalprice <= q1 THEN 0
+        WHEN o_totalprice <= q2 THEN 1
+        WHEN o_totalprice <= q3 THEN 2
+        ELSE 3 END AS bin,
+      COUNT(*) AS n,
+      MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders CROSS JOIN th
+    GROUP BY 1
+    """,
+)
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) binning of order totals — the feature
+    bucketizer of an ML pipeline and the histogram equalizer of a BI
+    layer (q_histogram is the equi-WIDTH twin).  Each bin lands ~25%
+    of rows regardless of skew.
+
+    Plan: thresholds are ONE 1-row percentile aggregate broadcast
+    back onto the scan — never an ntile window, which would globally
+    sort the fact table to produce the same labels.  Thresholds carry
+    the 4dp interpolation guard; bin assignment then compares
+    identical doubles in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    th = o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("q2"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("q3"),
+    )
+    binned = o.join(F.broadcast(th)).select(
+        F.when(F.col("o_totalprice") <= F.col("q1"), 0)
+        .when(F.col("o_totalprice") <= F.col("q2"), 1)
+        .when(F.col("o_totalprice") <= F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bin"),
+        "o_totalprice",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
