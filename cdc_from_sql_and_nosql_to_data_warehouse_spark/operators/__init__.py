@@ -275,6 +275,7 @@ _R04_QUEUE = frozenset(
         "q_bpe_apply",
         "q_rollup_merge",
         "q_equidepth_bins",
+        "q_cumulative_users",
     }
 )
 

@@ -850,3 +850,44 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s", 4).alias("cusum"),
         F.round(F.max("s").over(wrun) - F.col("s"), 4).alias("drawdown"),
     )
+
+
+@register(
+    "q_cumulative_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    daily_new AS (
+      SELECT d0 AS day, COUNT(*) AS new_users FROM first_seen GROUP BY d0
+    )
+    SELECT day, new_users,
+      CAST(SUM(new_users) OVER
+        (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS BIGINT) AS cumulative_users
+    FROM daily_new
+    """,
+)
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, the count of FIRST-SEEN users and
+    the running cumulative total — the user-growth curve every product
+    dashboard leads with.  Distinct-over-expanding-window is computed
+    as first-occurrence attribution (one groupBy per user) + a running
+    INT sum, never as count(distinct) per window frame, which would
+    re-scan every prefix.
+
+    Plan: one user-keyed aggregate (the only data-scaled shuffle),
+    one day-keyed count (bounded by the date domain), and a running
+    sum over the bounded spine (the date-domain exception).  Integer
+    counts make every value exact — no float policy needed."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    daily_new = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily_new.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
+    )
