@@ -153,14 +153,24 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     for _ in range(_LLOYD_ITERS):
-        assigned = _assign(
-            emb.join(F.broadcast(cents)).select(
-                "vec_id", "cid", _sq_dist("embedding", "cvec").alias("d")
+        # carry the embedding THROUGH the argmin aggregate (first() is
+        # well-defined — it's functionally dependent on vec_id): the
+        # map-side partial reduces k scored rows to one per vector
+        # before the shuffle, and the update step needs no join back
+        # to the corpus — one exchange per iteration instead of an
+        # aggregate plus a data×data join
+        assigned = (
+            emb.join(F.broadcast(cents))
+            .select("vec_id", "embedding", "cid", _sq_dist("embedding", "cvec").alias("d"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d", "cid")).alias("m"),
+                F.first("embedding").alias("embedding"),
             )
-        ).select("vec_id", F.col("m.cid").alias("cluster"))
+            .select("vec_id", F.col("m.cid").alias("cluster"), "embedding")
+        )
         dims = (
-            emb.join(assigned, "vec_id")
-            .select("cluster", F.posexplode("embedding").alias("pos0", "x"))
+            assigned.select("cluster", F.posexplode("embedding").alias("pos0", "x"))
             .select("cluster", (F.col("pos0") + 1).alias("pos"), F.col("x").cast("double").alias("v"))
         )
         means = dims.groupBy("cluster", "pos").agg(
