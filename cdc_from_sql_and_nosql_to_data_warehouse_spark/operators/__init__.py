@@ -276,6 +276,9 @@ _R04_QUEUE = frozenset(
         "q_rollup_merge",
         "q_equidepth_bins",
         "q_cumulative_users",
+        "q_setsim_join",
+        "q_seasonality_profile",
+        "q_new_vs_returning",
     }
 )
 

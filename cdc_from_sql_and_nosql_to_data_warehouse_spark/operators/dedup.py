@@ -898,3 +898,92 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
     )
+
+
+@register(
+    "q_setsim_join",
+    oracle="""
+    WITH sets AS (
+      SELECT doc_id,
+        list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(length(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+      CAST(length(a.s) AS BIGINT) AS sz_a, CAST(length(b.s) AS BIGINT) AS sz_b,
+      round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))),
+            6) AS jaccard
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE 5 * length(list_intersect(a.s, b.s))
+          >= 3 * (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s)))
+    """,
+)
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (AllPairs/PPJoin
+    family, Bayardo et al. 2007 — public): all document pairs whose
+    token-SET Jaccard ≥ 0.6, found without comparing all pairs.
+    Candidate generation: order the vocabulary by ascending document
+    frequency; a pair with Jaccard ≥ t MUST share a token in each
+    side's first |x| − ⌈t·|x|⌉ + 1 rarest tokens (pigeonhole on the
+    ordered set), so an equi-join on PREFIX tokens is provably
+    complete — the oracle is the exact all-pairs join and matches
+    exactly, unlike the probabilistic MinHash/SimHash candidate
+    generators (their completeness is statistical; this one is
+    combinatorial).
+
+    Plan: df-ranking is one vocabulary-sized aggregate + window; the
+    candidate join keys on the prefix TOKEN (rare tokens by
+    construction → small buckets — the frequency ordering is exactly
+    what bounds bucket sizes); verification joins the two bounded
+    candidate sides back to the set table and compares 5·|∩| ≥ 3·|∪|
+    in EXACT INTEGERS, so the t = 0.6 boundary has no float risk.
+    At 100 TB the vocabulary window swaps for a hash-order or sampled
+    df rank (same completeness as long as both sides share the
+    order), documented trade."""
+    docs = load_table(spark, sf_dir, "documents")
+    sets = (
+        docs.select(
+            "doc_id", F.array_distinct(X.tokens("text")).alias("s")
+        )
+        .withColumn("sz", F.size("s"))
+        .localCheckpoint(eager=False)  # consumed by prefix + both verify sides
+    )
+    dt = sets.select("doc_id", F.explode("s").alias("tok"))
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    wv = Window.orderBy("df", "tok")
+    ranked = dfreq.select("tok", F.row_number().over(wv).alias("tok_rank"))
+    wd = Window.partitionBy("doc_id").orderBy("tok_rank")
+    prefix_len = F.col("sz") - F.ceil(F.lit(0.6) * F.col("sz")) + 1
+    prefix = (
+        dt.join(ranked, "tok")
+        .join(sets.select("doc_id", "sz"), "doc_id")
+        .withColumn("pos", F.row_number().over(wd))
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "tok")
+    )
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "tok")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
+    cand = (
+        pa.join(pb, (F.col("tok") == F.col("tok_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"), F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"), F.col("sz").alias("sz_b"))
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("s_a", "s_b")).cast("bigint"))
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+        .filter(5 * F.col("n_common") >= 3 * F.col("uni"))
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.col("sz_a").cast("bigint").alias("sz_a"),
+        F.col("sz_b").cast("bigint").alias("sz_b"),
+        F.round(F.col("n_common").cast("double") / F.col("uni"), 6).alias("jaccard"),
+    )

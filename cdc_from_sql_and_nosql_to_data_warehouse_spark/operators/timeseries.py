@@ -891,3 +891,118 @@ def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_new.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
     )
+
+
+@register(
+    "q_seasonality_profile",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        {sql_dsum('o_totalprice', '14,2')} AS rev
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    dow AS (
+      SELECT CAST(dayofweek(day) AS INTEGER) AS weekday,
+        CAST(SUM(CAST(rev AS DECIMAL(16,2))) AS DOUBLE) AS total,
+        COUNT(*) AS n_days
+      FROM daily GROUP BY dayofweek(day)
+    ),
+    overall AS (
+      SELECT CAST(SUM(CAST(rev AS DECIMAL(16,2))) AS DOUBLE)
+               / COUNT(*) AS mean_rev
+      FROM daily
+    )
+    SELECT weekday, n_days,
+      round(total / n_days, 4) AS mean_day_rev,
+      round((total / n_days) / mean_rev, 6) AS seasonal_index
+    FROM dow CROSS JOIN overall
+    """,
+)
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: mean revenue per weekday and
+    its index against the overall daily mean (index > 1 ⇒ that
+    weekday runs hot) — the first thing a forecaster extracts before
+    modeling residuals, and the q_autocorr reading made actionable.
+
+    Plan: |days| rows after the keyed aggregate, then a 7-group
+    aggregate and a 1-row overall mean broadcast — seven rows over
+    the network at any scale.  Sums stay decimal-exact through both
+    levels (the q_rollup_merge algebra); divisions are int-derived
+    and guarded at 4/6dp.  DuckDB's dayofweek (0=Sunday) matches
+    Spark's dayofweek − 1, aligned explicitly."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(dsum("o_totalprice", 14, 2).alias("rev"))
+        .localCheckpoint(eager=False)  # consumed by dow + overall (CSE)
+    )
+    dow = daily.groupBy(
+        (F.dayofweek("day") - 1).cast("int").alias("weekday")
+    ).agg(
+        F.sum(F.col("rev").cast("decimal(16,2)")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    overall = daily.agg(
+        (
+            F.sum(F.col("rev").cast("decimal(16,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_rev")
+    )
+    return dow.join(F.broadcast(overall)).select(
+        "weekday",
+        "n_days",
+        F.round(F.col("total") / F.col("n_days"), 4).alias("mean_day_rev"),
+        F.round((F.col("total") / F.col("n_days")) / F.col("mean_rev"), 6).alias(
+            "seasonal_index"
+        ),
+    )
+
+
+@register(
+    "q_new_vs_returning",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    )
+    SELECT CAST(e.ts AS DATE) AS day,
+      COUNT(*) FILTER (WHERE CAST(e.ts AS DATE) = f.d0) AS new_events,
+      COUNT(*) FILTER (WHERE CAST(e.ts AS DATE) > f.d0) AS returning_events,
+      CAST(COUNT(DISTINCT CASE WHEN CAST(e.ts AS DATE) = f.d0
+                               THEN e.user_id END) AS BIGINT) AS new_users,
+      CAST(COUNT(DISTINCT CASE WHEN CAST(e.ts AS DATE) > f.d0
+                               THEN e.user_id END) AS BIGINT) AS returning_users
+    FROM events e JOIN first_seen f USING (user_id)
+    GROUP BY CAST(e.ts AS DATE)
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily split: each day's events and users
+    partitioned by whether the user's FIRST day is that day — the
+    second panel of the growth dashboard (q_cumulative_users is the
+    first).
+
+    Plan: first-seen is one user-keyed aggregate; the attribution is
+    an equi-join back on user_id (both sides partitioned on the same
+    key — a co-located join after the aggregate's shuffle) and one
+    day-keyed aggregate with conditional counts.  All integers —
+    exact on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    day = F.col("ts").cast("date")
+    is_new = day == F.col("d0")
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(day.alias("day"))
+        .agg(
+            F.count(F.when(is_new, 1)).alias("new_events"),
+            F.count(F.when(~is_new, 1)).alias("returning_events"),
+            F.countDistinct(F.when(is_new, F.col("user_id")))
+            .cast("bigint")
+            .alias("new_users"),
+            F.countDistinct(F.when(~is_new, F.col("user_id")))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+    )
