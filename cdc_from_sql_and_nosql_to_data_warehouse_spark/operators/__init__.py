@@ -279,6 +279,7 @@ _R04_QUEUE = frozenset(
         "q_setsim_join",
         "q_seasonality_profile",
         "q_new_vs_returning",
+        "q_time_weighted_avg",
     }
 )
 

@@ -1006,3 +1006,62 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("returning_users"),
         )
     )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+        epoch_us(ts) AS t0,
+        lead(epoch_us(ts)) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS t1
+      FROM events
+    ),
+    iv AS (
+      SELECT user_id,
+        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        t1 - t0 AS dur
+      FROM seq WHERE t1 IS NOT NULL
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      CAST(SUM(cents * dur) AS DOUBLE)
+        / CAST(SUM(dur) AS DOUBLE) / 100.0 AS twa_value
+    FROM iv GROUP BY user_id HAVING SUM(dur) > 0
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average event value (TWAP shape): each
+    value is held until the user's next event and weighted by that
+    duration — the correct mean for sampled gauges/prices, where the
+    plain average over-counts bursts of rapid events.
+
+    Plan: one shuffle on user_id for the lead window, then a hash
+    aggregate on the same key (no second exchange — the partitioning
+    is reused).  Determinism: value·duration products are EXACT
+    bigints (2dp cents × epoch-microsecond durations), summed exactly,
+    with a single final int/int double division — the q_interpolate
+    integer-arithmetic policy, so no rounding guard is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("t0"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t1"),
+    ).filter(F.col("t1").isNotNull())
+    iv = seq.select("user_id", "cents", (F.col("t1") - F.col("t0")).alias("dur"))
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            (
+                F.sum(F.col("cents") * F.col("dur")).cast("double")
+                / F.sum("dur").cast("double")
+                / 100.0
+            ).alias("twa_value"),
+            F.sum("dur").alias("total_dur"),
+        )
+        .filter(F.col("total_dur") > 0)
+        .select("user_id", "n_intervals", "twa_value")
+    )
