@@ -115,3 +115,29 @@ def test_ivf_probe_fraction_bounded(spark):
 
     assert _IVF_NPROBE / _IVF_K <= 0.4
     assert ivf.count() > 0  # and the probe set still finds neighbors
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=["sf0.001", "sf0.01"])
+def test_pq_shortlist_rerank_recall_at_10(spark, sf_dir):
+    """PQ-ADC shortlist (100) + exact rerank must recover ≥ 0.8 of the
+    exact L2 top-10 (measured 0.94 at both SFs with K*=16 trained
+    sub-codebooks; pure ADC without rerank measured 0.3 on this
+    near-random corpus — the rerank IS the architecture)."""
+    from pyspark.sql.window import Window
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.mlprep import _sq_dist
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    exact = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select("query_id", F.col("vec_id").alias("cand_id"), _sq_dist("embedding", "qe").alias("d"))
+    w = Window.partitionBy("query_id").orderBy("d", "cand_id")
+    truth = _topk_sets(
+        exact.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).collect()
+    )
+    got = _topk_sets(REGISTRY["q_sim_pq_search"].fn(spark, sf_dir).collect())
+    assert _recall(truth, got) >= 0.8
