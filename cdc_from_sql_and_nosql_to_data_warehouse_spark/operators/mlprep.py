@@ -31,7 +31,10 @@ _LLOYD_ITERS = 2  # fixed unrolled iterations (assign → update → assign)
 _PQ_M = 8  # product-quantization subspaces
 _PQ_SUB = 8  # dims per subspace (M * SUB = embedding dim 64)
 _PQ_K = 16  # codewords per subspace; seeds = the _PQ_K lowest vec_ids
-_PQ_ITERS = 2  # unrolled Lloyd iterations training each sub-codebook
+_PQ_ITERS = 1  # unrolled Lloyd iterations training each sub-codebook
+# measured on the synthetic corpus (recall@10 after rerank / sf0.1 wall):
+#   ITERS=0 → 0.88 / 1.6 s;  ITERS=1 → 0.90 / 4.2 s;  ITERS=2 → 0.94 / 6.0 s
+# the rerank dominates recall; one iteration is the balance point
 _SAMPLE_K = 100  # weighted-sample size
 
 
