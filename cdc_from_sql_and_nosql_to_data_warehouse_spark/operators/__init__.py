@@ -280,6 +280,7 @@ _R04_QUEUE = frozenset(
         "q_seasonality_profile",
         "q_new_vs_returning",
         "q_time_weighted_avg",
+        "q_rolling_bands",
     }
 )
 

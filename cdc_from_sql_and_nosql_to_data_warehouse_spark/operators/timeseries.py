@@ -1065,3 +1065,61 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_dur") > 0)
         .select("user_id", "n_intervals", "twa_value")
     )
+
+
+@register(
+    "q_rolling_bands",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        {sql_dsum('o_totalprice', '14,2')} AS rev
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    b AS (
+      SELECT day, rev,
+        round(avg(rev) OVER w, 4) AS ma,
+        round(stddev_samp(rev) OVER w, 4) AS sd,
+        COUNT(*) OVER w AS n_window
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 27 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, rev, ma, sd,
+      rev > ma + 2 * sd AS above_band,
+      rev < ma - 2 * sd AS below_band
+    FROM b WHERE n_window >= 14
+    """,
+)
+def q_rolling_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly bands: each day's revenue against the TRAILING
+    28-day mean ± 2σ (the window excludes the current day so the
+    tested value never contaminates its own baseline) — the
+    contextual-anomaly monitor that completes the family: q_mad_outliers
+    flags global point outliers, q_cusum flags level shifts, this
+    flags days abnormal RELATIVE TO THEIR OWN recent trend.  Days with
+    under 14 trailing observations are withheld (cold-start guard).
+
+    Plan: the fact table reduces to |days| rows first; the rolling
+    window runs on the bounded spine (the date-domain exception).
+    Mean and stddev round at 4dp (windowed single-pass accumulation
+    ulps — the q_stats_agg policy applied per frame); the band compare
+    then operates on identical doubles in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        dsum("o_totalprice", 14, 2).alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-27, -1)
+    b = daily.select(
+        "day",
+        "rev",
+        F.round(F.avg("rev").over(w), 4).alias("ma"),
+        F.round(F.stddev_samp("rev").over(w), 4).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    ).filter(F.col("n_window") >= 14)
+    return b.select(
+        "day",
+        "rev",
+        "ma",
+        "sd",
+        (F.col("rev") > F.col("ma") + 2 * F.col("sd")).alias("above_band"),
+        (F.col("rev") < F.col("ma") - 2 * F.col("sd")).alias("below_band"),
+    )
