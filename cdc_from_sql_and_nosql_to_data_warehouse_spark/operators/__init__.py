@@ -281,6 +281,7 @@ _R04_QUEUE = frozenset(
         "q_new_vs_returning",
         "q_time_weighted_avg",
         "q_rolling_bands",
+        "q_catalog_summary",
     }
 )
 

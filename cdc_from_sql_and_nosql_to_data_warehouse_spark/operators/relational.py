@@ -2389,3 +2389,40 @@ def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+_CATALOG_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@register(
+    "q_catalog_summary",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM {t}"
+        for t in _CATALOG_TABLES
+    ),
+)
+def q_catalog_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog inventory: one row per registered table with its row
+    count — the first query a user migrating from the reference
+    warehouse runs against the engine (the COUNT(*) parity check of
+    A20 widened to the whole catalog; per-column depth is
+    q_table_profile).
+
+    Plan: ten parquet COUNT(*)s answered from footer STATISTICS — no
+    column chunk is read, so the whole inventory costs file-listing
+    plus metadata regardless of data volume; the union is ten 1-row
+    frames."""
+    parts = [
+        load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        for t in _CATALOG_TABLES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
