@@ -60,6 +60,7 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (  # noqa: 
     mlprep,
     multimodal,
     packing,
+    quality,
     relational,
     similarity,
     textops,
@@ -282,6 +283,10 @@ _R04_QUEUE = frozenset(
         "q_time_weighted_avg",
         "q_rolling_bands",
         "q_catalog_summary",
+        "q_dq_expectations",
+        "q_dq_referential",
+        "q_bloom_prune_join",
+        "q_skyline",
     }
 )
 

@@ -1,0 +1,241 @@
+"""Data-quality expectations, referential audits, runtime-filter-pruned
+joins, and Pareto (skyline) queries (SURVEY.md §2.3 Tier C extension).
+
+The reference pipeline validates its load only by COUNT(*) parity
+(reference: source/check_data_lambda/handler.py — row counts per table);
+a warehouse serving analysts needs declarative expectations over the
+landed data.  This module supplies that surface Spark-first:
+
+- ``q_dq_expectations`` — N rules evaluated in ONE scan via conditional
+  aggregation (no per-rule pass over the fact table; at 100 TB the rule
+  count is free, the scan is the cost).
+- ``q_dq_referential`` — orphan audits between fact and dimension
+  tables as anti-joins (each is a shuffle semi-join on the key; the
+  dimension side is broadcast when domain-bounded).
+- ``q_bloom_prune_join`` — a selective dim⋈fact join shaped so
+  Catalyst's runtime bloom filter (spark.sql.optimizer.runtime
+  .bloomFilter.enabled, default on) injects a ``might_contain``
+  predicate into the fact scan: at 100 TB the fact side is pre-filtered
+  to ~selectivity·|fact| rows BEFORE the shuffle, instead of shuffling
+  the full table and discarding 99% at the join.  The injection is
+  pinned by tests/test_plans.py::test_runtime_bloom_filter_injected
+  (thresholds lowered to fire at test scale; at production scale the
+  default 10 MB/10 GB thresholds make the same decision).
+- ``q_skyline`` — per-group Pareto front (maximize size, minimize
+  price) WITHOUT the quadratic NOT-EXISTS self-join: a bounded-domain
+  suffix-min over per-(group, size) price minima.  The window partition
+  is at most |size domain| rows per group, so the plan is one groupBy
+  shuffle + a bounded window + an equi-join back — no all-pairs
+  comparison anywhere (the DuckDB oracle runs the quadratic NOT EXISTS
+  form; at oracle scale that is fine, at 100 TB ours is the only shape
+  that survives).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.tpch_shapes import (
+    _SQL_VOLUME,
+    _volume,
+)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------- rules
+#
+# Each rule is (name, SQL predicate over lineitem).  A row VIOLATES a
+# rule when the predicate is not satisfied — NULL counts as a violation
+# (same semantics as a NOT NULL + CHECK constraint pair).  The SQL
+# string is valid in both Spark SQL and DuckDB, so the oracle is built
+# from the identical text.
+_RULES: tuple[tuple[str, str], ...] = (
+    ("quantity_le_45", "l_quantity <= 45"),
+    ("discount_le_8pct", "l_discount <= CAST(0.08 AS DOUBLE)"),
+    ("tax_le_6pct", "l_tax <= CAST(0.06 AS DOUBLE)"),
+    ("returnflag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+    ("shipdate_in_range", "l_shipdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31'"),
+    ("orderkey_not_null", "l_orderkey IS NOT NULL"),
+)
+
+
+def _sql_dq_expectations() -> str:
+    v_cols = ",\n        ".join(
+        f"COUNT(*) FILTER (WHERE NOT COALESCE({pred}, FALSE)) AS v{i}"
+        for i, (_, pred) in enumerate(_RULES)
+    )
+    arms = "\n    UNION ALL\n    ".join(
+        f"SELECT '{name}' AS rule, v{i} AS violations, total AS total_rows FROM t"
+        for i, (name, _) in enumerate(_RULES)
+    )
+    return f"""
+    WITH t AS (
+      SELECT COUNT(*) AS total,
+        {v_cols}
+      FROM lineitem
+    )
+    {arms}
+    """
+
+
+@register("q_dq_expectations", oracle=_sql_dq_expectations())
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over lineitem: every rule is a
+    conditional COUNT inside ONE hash aggregate, so adding rules never
+    adds scans.  Violation semantics: predicate false OR null.  The
+    single agg row is unpivoted to (rule, violations, total_rows) with
+    ``stack`` — driver-side cost is |rules| rows.
+
+    Reference anchor: check_data_lambda/handler.py validates by row
+    count only; this is the constraint surface the warehouse needs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("total")] + [
+        F.count(F.when(~F.coalesce(F.expr(pred), F.lit(False)), 1)).alias(f"v{i}")
+        for i, (_, pred) in enumerate(_RULES)
+    ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(f"'{name}', v{i}" for i, (name, _) in enumerate(_RULES))
+    return one.select(
+        F.expr(f"stack({len(_RULES)}, {stack_args}) as (rule, violations)"),
+        F.col("total").alias("total_rows"),
+    )
+
+
+_REF_CHECKS: tuple[tuple[str, str, str, str, str], ...] = (
+    # (name, child table, child key, parent table, parent key)
+    ("orders_without_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_without_order", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customers_without_orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("orders_without_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+)
+
+
+def _sql_dq_referential() -> str:
+    arms = "\n    UNION ALL\n    ".join(
+        f"""SELECT '{name}' AS check_name, COUNT(*) AS orphans
+    FROM {child} WHERE {ckey} NOT IN (SELECT {pkey} FROM {parent} WHERE {pkey} IS NOT NULL)"""
+        for name, child, ckey, parent, pkey in _REF_CHECKS
+    )
+    return arms
+
+
+@register("q_dq_referential", oracle=_sql_dq_referential())
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: each check is a LEFT ANTI join on
+    the key (shuffle semi-join; Catalyst broadcasts the lookup side
+    when it is under the broadcast threshold).  The first two checks
+    must be 0 on consistent CDC output; ``customers_without_orders``
+    is legitimately non-zero (TPC-H leaves ~1/3 of customers orderless)
+    and proves the audit actually fires.
+
+    Scale: each anti-join shuffles only (key) columns — column pruning
+    reaches the scan, so the audit cost per check is one key-only
+    shuffle, not a full-row pass.
+    """
+    parts = []
+    for name, child, ckey, parent, pkey in _REF_CHECKS:
+        c = load_table(spark, sf_dir, child).select(ckey)
+        p = load_table(spark, sf_dir, parent).select(pkey)
+        orphans = c.join(p, c[ckey] == p[pkey], "left_anti")
+        parts.append(
+            orphans.agg(
+                F.lit(name).alias("check_name"),
+                F.count(F.lit(1)).alias("orphans"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+_BLOOM_CUTOFF = 450000.0
+
+
+@register(
+    "q_bloom_prune_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+      CAST(SUM({_SQL_VOLUME}) AS DOUBLE) AS revenue,
+      COUNT(*) AS line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > {_BLOOM_CUTOFF}
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim-side filter (o_totalprice > cutoff keeps ~2% of
+    orders) joined to the fact table — the shape Catalyst's runtime
+    bloom filter exists for.  With the optimizer's defaults at cluster
+    scale, the filtered orders side builds a ``bloom_filter_agg`` and
+    the lineitem SCAN gains ``might_contain(bloom, xxhash64(l_orderkey))``
+    — the fact table is pruned before the shuffle instead of after the
+    join.  Plan pinned (with thresholds lowered so it fires at test
+    scale) by tests/test_plans.py::test_runtime_bloom_filter_injected.
+
+    No hint needed: the query is written as a plain declarative join;
+    injection is the optimizer's decision, sized by its cost model.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > F.lit(_BLOOM_CUTOFF)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(_volume()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+@register(
+    "q_skyline",
+    oracle="""
+    SELECT p.p_brand, p.p_partkey, p.p_size, p.p_retailprice AS price
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_brand = p.p_brand
+        AND q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto front over parts: a part is kept when no
+    same-brand part has size ≥ AND price ≤ with at least one strict.
+
+    Linear-shuffle decomposition instead of the quadratic self-join:
+    (1) per (brand, size) price minimum — one hash-agg shuffle;
+    (2) suffix-min of that minimum over strictly larger sizes — a
+        window whose partition is ≤ |size domain| rows per brand
+        (p_size ∈ 1..50), never data-proportional;
+    (3) join parts back on (brand, size); a part is dominated iff a
+        strictly larger size is at most as expensive
+        (better_minp ≤ price) or the same size has a strictly cheaper
+        part (price > minp).
+    Ties on (size, price) dominate neither way — both rows stay, same
+    as the oracle's strictness condition.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_size", F.col("p_retailprice").alias("price")
+    )
+    per_size = p.groupBy("p_brand", "p_size").agg(F.min("price").alias("minp"))
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = per_size.withColumn("better_minp", F.min("minp").over(w))
+    return (
+        p.join(frontier, ["p_brand", "p_size"])
+        .filter(
+            (F.col("better_minp").isNull() | (F.col("better_minp") > F.col("price")))
+            & (F.col("price") <= F.col("minp"))
+        )
+        .select("p_brand", "p_partkey", "p_size", "price")
+    )

@@ -272,3 +272,31 @@ def test_results_invariant_to_aqe(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     for n in names:
         assert with_aqe[n] == without[n], n
+
+
+def test_runtime_bloom_filter_injected(spark):
+    # q_bloom_prune_join's 100 TB story: Catalyst's runtime bloom filter
+    # pre-filters the fact scan with might_contain(bloom, xxhash64(key))
+    # built from the selective orders side.  The production thresholds
+    # (creation side ≤ 10 MB plan-size estimate, application scan
+    # ≥ 10 GB) are sized for cluster scale; lower them here so the same
+    # optimizer decision fires on the test fixture.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = REGISTRY["q_bloom_prune_join"].fn(spark, SF_DIR)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized and "bloom_filter_agg" in optimized
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
