@@ -58,6 +58,7 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (  # noqa: 
     graph,
     layout,
     mlprep,
+    modern_sql,
     multimodal,
     packing,
     quality,
@@ -287,6 +288,8 @@ _R04_QUEUE = frozenset(
         "q_dq_referential",
         "q_bloom_prune_join",
         "q_skyline",
+        "q_variant_shred",
+        "q_reachability",
     }
 )
 

@@ -1,0 +1,139 @@
+"""Spark 4 SQL-surface operators: VARIANT semi-structured access and
+recursive CTE traversal (SURVEY.md §1.2 SUPER mapping, §2.2 B26′).
+
+The reference lands DynamoDB documents into a Redshift SUPER column and
+queries it with PartiQL path expressions (SURVEY.md §1.2; reference:
+source/load_data_to_dynamodb_lambda/handler.py stores the raw JSON
+document).  Spark 4's VARIANT type is the engine-native equivalent:
+``parse_json`` once at ingest, then ``variant_get`` path extraction that
+avoids re-tokenizing the JSON text per field — at 100 TB the difference
+between N × get_json_object (N full parses per row) and one parse plus
+N binary path reads.
+
+Recursive CTEs (Spark 4.1, SPARK-24497) close the last classic SQL
+surface gap: graph/hierarchy traversal declared in SQL, executed as an
+iterative UnionLoop whose per-iteration input is the frontier, not the
+whole relation.  We bound the recursion by hop count — the same
+guardrail any production traversal needs, since an unbounded recursion
+over a cyclic graph never terminates in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+
+@register(
+    "q_variant_shred",
+    oracle="""
+    SELECT event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+      CAST(CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS DOUBLE)
+        / COUNT(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_avg,
+      COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS k_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPER-style semi-structured access on the VARIANT type: parse the
+    JSON props column ONCE into a variant, then shred typed paths out of
+    the binary form.  Compare B26 ``q_json_get`` (get_json_object — one
+    text parse per extraction): with VARIANT the parse cost is paid once
+    per row regardless of how many paths downstream expressions read.
+
+    Aggregation policy: integer sums stay in BIGINT (exact in both
+    engines); the average is the exact sum divided by the non-null
+    count — one double division of identical operands, bit-stable
+    cross-engine (functions/exact.py policy).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("p")
+    ).select(
+        "event_type",
+        F.expr("variant_get(p, '$.k', 'int')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("k_sum"),
+        (F.sum("k").cast("double") / F.count("k")).alias("k_avg"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("k_missing"),
+    )
+
+
+_REACH_SRC = 0  # start nation for the traversal
+_REACH_HOPS = 3
+_EDGE_MIN_REVENUE = 400000.0
+
+# The recursive step is the SAME SQL text in Spark and DuckDB; only the
+# edge-relation name differs (temp view vs inline CTE).
+_RECURSIVE_BODY = f"""reach(dst, hops) AS (
+  SELECT CAST({_REACH_SRC} AS BIGINT) AS dst, 0 AS hops
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN {{edges}} e ON e.src = r.dst
+  WHERE r.hops < {_REACH_HOPS}
+)
+SELECT dst AS nationkey, MIN(hops) AS min_hops
+FROM reach GROUP BY dst"""
+
+
+@register(
+    "q_reachability",
+    oracle=f"""
+    WITH RECURSIVE strong_edges AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey, c_nationkey
+      HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        > {_EDGE_MIN_REVENUE}
+    ),
+    {_RECURSIVE_BODY.format(edges="strong_edges")}
+    """,
+)
+def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS min-hop reachability over the nation-level trade graph via a
+    recursive CTE: edges are nation pairs whose bilateral revenue
+    exceeds a floor (exact DECIMAL sum), traversal starts at nation 0
+    and is hop-bounded.
+
+    100 TB shape (same argument as q_pagerank, operators/graph.py): the
+    expensive part — reducing the fact table to edges — is ONE groupBy
+    shuffle; the recursion then iterates on a relation bounded by
+    |nation|² ≤ 625 rows, so each UnionLoop step is O(frontier·edges),
+    independent of corpus size.  Recursing over a fact-scale relation
+    would be the anti-pattern; aggregate first, iterate small.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    one = F.lit(1).cast("decimal(3,2)")
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        one - F.col("l_discount").cast("decimal(3,2)")
+    )
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+        .filter(F.col("revenue") > F.lit(_EDGE_MIN_REVENUE))
+        .select("src", "dst")
+    )
+    edges.createOrReplaceTempView("trade_strong_edges")
+    return spark.sql(
+        "WITH RECURSIVE " + _RECURSIVE_BODY.format(edges="trade_strong_edges")
+    )
