@@ -290,6 +290,8 @@ _R04_QUEUE = frozenset(
         "q_skyline",
         "q_variant_shred",
         "q_reachability",
+        "q_xml_roundtrip",
+        "q_aes_roundtrip",
     }
 )
 

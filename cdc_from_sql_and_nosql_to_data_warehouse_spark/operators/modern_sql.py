@@ -137,3 +137,76 @@ def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH RECURSIVE " + _RECURSIVE_BODY.format(edges="trade_strong_edges")
     )
+
+
+@register(
+    "q_xml_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority AS priority,
+      CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML wire-format breadth (A11 family): serialize each order to an
+    XML document with ``to_xml``, parse it back with ``from_xml`` over
+    an explicit schema, and extract typed fields.  The oracle reads the
+    same fields straight off the table — equality proves the round-trip
+    is lossless, the same proof shape as q_debezium_roundtrip for JSON.
+
+    Both directions are JVM expressions inside one projection — no
+    Python, no shuffle; the only exchange in the plan is none at all
+    (map-only).  At 100 TB this is the decode path for XML feeds the
+    reference would have had to custom-Lambda."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    xml = o.select(
+        F.to_xml(
+            F.struct("o_orderkey", "o_orderpriority", "o_totalprice"),
+            {"rootTag": "order"},
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "doc",
+            "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE",
+        ).alias("r")
+    )
+    return parsed.select(
+        F.col("r.o_orderkey").alias("o_orderkey"),
+        F.col("r.o_orderpriority").alias("priority"),
+        F.col("r.o_totalprice").alias("total"),
+    )
+
+
+_AES_KEY = "0123456789abcdef"  # 16-byte demo key; prod: per-column key mgmt
+
+
+@register(
+    "q_aes_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name AS name_decrypted
+    FROM customer WHERE c_custkey <= 500
+    """,
+)
+def q_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption-at-rest (PII posture beyond
+    q_pii_redact/q_pseudonymize, which destroy the value): AES-GCM
+    encrypt the customer name, then decrypt and prove byte-fidelity
+    against the raw table.  GCM's random IV makes the CIPHERTEXT
+    nondeterministic (so the ciphertext itself is never part of an
+    oracle-checked result), while decrypt(encrypt(x)) == x always.
+
+    Both operations are JVM expressions (one projection, map-only);
+    the key enters as a literal here but would come from a KMS-backed
+    session conf in production — key distribution, not the plan shape,
+    is the deployment concern."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    key = F.lit(_AES_KEY)
+    return c.select(
+        "c_custkey",
+        F.aes_decrypt(
+            F.aes_encrypt(F.col("c_name").cast("binary"), key), key
+        )
+        .cast("string")
+        .alias("name_decrypted"),
+    )
