@@ -292,6 +292,7 @@ _R04_QUEUE = frozenset(
         "q_reachability",
         "q_xml_roundtrip",
         "q_aes_roundtrip",
+        "q_column_mask",
     }
 )
 

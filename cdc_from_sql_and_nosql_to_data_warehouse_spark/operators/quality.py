@@ -239,3 +239,31 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_brand", "p_partkey", "p_size", "price")
     )
+
+
+@register(
+    "q_column_mask",
+    oracle="""
+    SELECT c_custkey,
+      regexp_replace(regexp_replace(regexp_replace(c_name,
+        '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        AS name_masked,
+      c_mktsegment
+    FROM customer
+    """,
+)
+def q_column_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level masking for governed exposure (the analyst-facing
+    complement to q_pii_redact's destructive scrub and q_aes_roundtrip's
+    reversible encryption): ``mask`` rewrites upper→'X', lower→'x',
+    digit→'n', leaving punctuation — shape-preserving, so downstream
+    LIKE/length logic still behaves, but the value is gone.  One
+    codegen'd projection, map-only; in production this expression lives
+    in a VIEW so the masking policy travels with the table grant, not
+    with each query."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask(F.col("c_name")).alias("name_masked"),
+        "c_mktsegment",
+    )

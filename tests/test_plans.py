@@ -300,3 +300,39 @@ def test_runtime_bloom_filter_injected(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_per_group_topk_uses_window_group_limit(spark):
+    # Spark ≥3.5 rewrites rank-filter windows (rn <= k) into
+    # WindowGroupLimit: each task keeps a k-row heap per group BEFORE
+    # the shuffle, so the exchange carries ≤ k rows per (task, group)
+    # instead of every row.  This is what makes per-group sampling /
+    # lateral top-k viable at 100 TB; pin that the rewrite fires.
+    for q in ("q_sample_per_group", "q_lateral_topk"):
+        df = REGISTRY[q].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, f"{q} lost the group-limit rewrite"
+
+
+def test_cbo_uses_analyzed_stats(spark, tmp_path):
+    # Cost-based optimization needs table/column stats; pin the full
+    # circuit: saveAsTable → ANALYZE ... COMPUTE STATISTICS FOR COLUMNS
+    # → optimizer sees exact rowCount (not a size-based guess) on the
+    # analyzed relation.  On a cluster this is the ANALYZE cadence that
+    # lets join reordering and broadcast decisions use real row counts.
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+    load_table(spark, SF_DIR, "nation").write.mode("overwrite").saveAsTable("nation_stats")
+    try:
+        spark.sql("ANALYZE TABLE nation_stats COMPUTE STATISTICS FOR ALL COLUMNS")
+        saved = spark.conf.get("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            df = spark.table("nation_stats")
+            stats = df._jdf.queryExecution().optimizedPlan().stats()
+            assert stats.rowCount().isDefined(), "ANALYZE stats not visible to CBO"
+            assert stats.rowCount().get() == df.count()
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", saved)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_stats")
