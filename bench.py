@@ -57,6 +57,11 @@ HEADLINE = [
     "q_sim_pq_search",
     "q_dedup_segments",
     "q_pagerank",
+    # session-4 additions: runtime-bloom-pruned join, recursive-CTE
+    # traversal, and the one-scan DQ rule suite
+    "q_bloom_prune_join",
+    "q_reachability",
+    "q_dq_expectations",
 ]
 
 
