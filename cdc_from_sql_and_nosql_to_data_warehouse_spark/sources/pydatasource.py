@@ -28,7 +28,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _OPS = ("INSERT", "MODIFY", "REMOVE")
 
@@ -61,6 +66,9 @@ class ChangeFeedDataSource(DataSource):
     def reader(self, schema) -> "ChangeFeedReader":
         return ChangeFeedReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "ChangeFeedStreamReader":
+        return ChangeFeedStreamReader(self.options)
+
 
 class ChangeFeedReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
@@ -88,3 +96,52 @@ class ChangeFeedReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent-enough registration (re-registering overwrites)."""
     spark.dataSource.register(ChangeFeedDataSource)
+
+
+class ChangeFeedStreamReader(SimpleDataSourceStreamReader):
+    """Incremental consumption of the same feed: each micro-batch reads
+    the next `batch_size` sequence numbers per shard — the
+    shard-iterator protocol of a real stream API, with offsets
+    ({shard: next_seq}) checkpointed by Structured Streaming exactly
+    like Kafka offsets.  SimpleDataSourceStreamReader reads on the
+    driver (suited to control-plane-size feeds); the partition-planned
+    DataSourceStreamReader drop-in replaces it for data-plane volumes
+    — same offset contract, executor-side reads."""
+
+    def __init__(self, options: dict) -> None:
+        self._shards = int(options.get("shards", 2))
+        self._batch = int(options.get("batch_size", 50))
+        self._limit = int(options.get("per_shard", 200))  # feed end (bounded for tests)
+        self._keys = int(options.get("keys", 100))
+        self._seed = int(options.get("seed", 0))
+
+    def initialOffset(self) -> dict:
+        return {str(s): 0 for s in range(self._shards)}
+
+    def read(self, start: dict) -> tuple:
+        end = {
+            s: min(int(pos) + self._batch, self._limit) for s, pos in start.items()
+        }
+        # a LIST, not a generator: the simple reader pickles the
+        # prefetched rows into the micro-batch plan
+        return list(self._rows(start, end)), {s: e for s, e in end.items()}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay path after restart: deterministic regeneration IS the
+        # replay (the reason the generator is hash-driven, not RNG)
+        return list(self._rows(start, {s: int(e) for s, e in end.items()}))
+
+    def _rows(self, start: dict, end: dict):
+        for s_str, pos in start.items():
+            shard = int(s_str)
+            for i in range(int(pos), int(end[s_str])):
+                h = _h(self._seed, shard, i)
+                seq = shard * self._limit + i
+                key = f"k{h % self._keys:05d}"
+                op = _OPS[(h >> 8) % 3]
+                price = None if op == "REMOVE" else round((h >> 16) % 100000 / 100.0, 2)
+                yield (seq, shard, op, key, price)
+
+    def commit(self, end: dict) -> None:
+        # a real connector would trim upstream retention here
+        pass

@@ -52,3 +52,40 @@ def test_changefeed_feeds_latest_wins_apply(spark):
     assert set(rows) == set(expect)
     for k in rows:
         assert rows[k]["seq"] == expect[k]["seq"]
+
+
+def test_changefeed_stream_reader_incremental(spark, tmp_path):
+    # readStream over the same source: bounded feed (2 shards x 120
+    # events, 50/shard per micro-batch) drains in 3 micro-batches with
+    # offsets checkpointed; the memory sink accumulates exactly the
+    # batch-read rows, equal to the batch feed of the same seed
+    pydatasource.register(spark)
+    import uuid as _uuid
+
+    name = f"feed_{_uuid.uuid4().hex[:8]}"
+    # NOT availableNow: a Simple stream reader prefetches one batch per
+    # trigger, and availableNow stops at the offsets captured on start —
+    # i.e. after a single micro-batch.  Run continuous micro-batches and
+    # stop once the bounded feed drains.
+    q = (
+        spark.readStream.format("cdc_changefeed")
+        .option("shards", 2)
+        .option("per_shard", 120)
+        .option("batch_size", 50)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline and spark.table(name).count() < 240:
+        _time.sleep(0.5)
+    q.stop()
+    streamed = sorted(map(tuple, spark.table(name).collect()))
+    batch = sorted(map(tuple, _feed(spark, shards=2, per_shard=120).collect()))
+    assert streamed == batch
+    assert len(streamed) == 240
