@@ -38,3 +38,29 @@ class CountParityListener(StreamingQueryListener):
 
 def total_rows_seen(listener: CountParityListener) -> int:
     return sum(p["num_input_rows"] for p in listener.progress)
+
+
+def observed_load(df, name: str = "load", key: str | None = None):
+    """A20/A21 in-flight metrics: attach an Observation that counts
+    rows (and null keys, when ``key`` is given) DURING the action that
+    consumes ``df`` — the reference's check_data_lambda re-queries the
+    warehouse for COUNT(*) after the load (a second scan); an
+    Observation rides the same pass for free and works identically on
+    a 1000-executor cluster (metrics are merged task-side like any
+    aggregate).
+
+    Returns (observed_df, observation); read ``observation.get`` after
+    an action on observed_df.  On streaming DataFrames the same
+    ``observe`` call surfaces per-batch metrics in
+    QueryProgressEvent.observedMetrics instead.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("rows")]
+    if key is not None:
+        metrics.append(
+            F.count(F.when(F.col(key).isNull(), 1)).alias("null_keys")
+        )
+    return df.observe(obs, *metrics), obs

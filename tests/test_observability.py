@@ -87,3 +87,19 @@ def test_jdbc_surface_shape(spark):
     )
     with pytest.raises(Exception):
         r.load()  # no driver jar/database here — surface shape only
+
+
+def test_observed_load_metrics_ride_the_action(spark):
+    # Observation metrics come from the SAME pass as the consuming
+    # action — no second scan (the reference re-queries COUNT(*))
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+    from conftest import SF_DIR
+
+    df = load_table(spark, SF_DIR, "orders").withColumn(
+        "o_custkey", F.when(F.col("o_orderkey") % 100 == 0, None).otherwise(F.col("o_custkey"))
+    )
+    observed, obs = listener.observed_load(df, key="o_custkey")
+    n = observed.count()
+    got = obs.get
+    assert got["rows"] == n
+    assert got["null_keys"] == df.filter("o_orderkey % 100 = 0").count()
