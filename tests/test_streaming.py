@@ -424,3 +424,52 @@ def test_stateful_op_on_rocksdb_state_store(spark, tdir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_stream_full_outer_emits_both_sides(spark, tdir):
+    # B37″ fullOuter: unmatched rows from BOTH streams emit with nulls
+    # after watermark eviction — the reconciliation-join shape (e.g.
+    # orders vs payments feeds where either side can be missing)
+    import json
+    import os
+
+    l_dir, r_dir, ck = f"{tdir}/fo_l", f"{tdir}/fo_r", f"{tdir}/fo_ck"
+    os.makedirs(l_dir)
+    os.makedirs(r_dir)
+    with open(f"{l_dir}/a.json", "w") as f:
+        f.write(json.dumps({"ad_id": 1, "ts": "2024-01-01 00:00:00"}) + "\n")
+        f.write(json.dumps({"ad_id": 2, "ts": "2024-01-01 00:00:00"}) + "\n")
+    with open(f"{r_dir}/a.json", "w") as f:
+        # ad 1 matches; ad 3 has a right row with NO left impression
+        f.write(json.dumps({"r_ad_id": 1, "rts": "2024-01-01 00:03:00"}) + "\n")
+        f.write(json.dumps({"r_ad_id": 3, "rts": "2024-01-01 00:03:00"}) + "\n")
+
+    out = f"{tdir}/fo_out"
+
+    def run_once():
+        left = spark.readStream.schema("ad_id long, ts timestamp").json(l_dir)
+        right = spark.readStream.schema("r_ad_id long, rts timestamp").json(r_dir)
+        joined = windows.join_streams(left, right, "ad_id", how="fullOuter")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    run_once()
+    # advance both watermarks past every eviction point
+    with open(f"{l_dir}/b.json", "w") as f:
+        f.write(json.dumps({"ad_id": 9, "ts": "2024-01-01 01:00:00"}) + "\n")
+    with open(f"{r_dir}/b.json", "w") as f:
+        f.write(json.dumps({"r_ad_id": 9, "rts": "2024-01-01 01:00:00"}) + "\n")
+    second = run_once()
+
+    got = {(r["ad_id"], r["r_ad_id"]) for r in second}
+    assert (1, 1) in got  # matched pair
+    assert (2, None) in got  # left-unmatched emitted
+    assert (None, 3) in got  # right-unmatched emitted
