@@ -293,6 +293,7 @@ _R04_QUEUE = frozenset(
         "q_xml_roundtrip",
         "q_aes_roundtrip",
         "q_column_mask",
+        "q_bpe_train",
     }
 )
 

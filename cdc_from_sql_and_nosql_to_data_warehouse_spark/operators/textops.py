@@ -742,3 +742,132 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.alias("merged"),
         F.size(F.split(merged, " ")).cast("bigint").alias("n_units"),
     )
+
+
+# ---------------------------------------------------------------- BPE train
+#
+# Full merge-SELECTION loop (Sennrich et al. 2016, public): unlike
+# q_bpe_pair_freqs (one round of pair stats) and q_bpe_apply (a GIVEN
+# merge table), this trains the merge table itself — N unrolled rounds
+# of count-pairs → argmax → rewrite.  The scalable formulation is the
+# classic one: train on the aggregated WORD-FREQUENCY table, not the
+# raw corpus — one corpus scan produces (word, count), bounded by the
+# language's vocabulary (capped to the top _BPE_V here), and every
+# iteration then runs on that bounded table.  Rewriting the corpus per
+# merge round would be the 100 TB anti-pattern.
+_BPE_V = 2000  # head-vocabulary cap (count desc, word asc — deterministic)
+_BPE_ROUNDS = 3
+
+_SQL_SYM = "' ' || trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) || ' '"
+
+
+def _sql_bpe_round(k: int) -> str:
+    """One unrolled train round in DuckDB: pair counts weighted by word
+    frequency, deterministic argmax (n DESC, pair ASC), merge via the
+    same non-overlapping left-to-right replace both engines implement."""
+    return f"""
+    p{k} AS (
+      SELECT pair, CAST(SUM(c) AS BIGINT) AS n FROM (
+        SELECT unnest(list_transform(
+          generate_series(1, greatest(length(s) - 1, 0)),
+          i -> s[i] || ' ' || s[i+1])) AS pair, c
+        FROM (SELECT string_split(trim(w), ' ') AS s, c FROM w{k - 1})
+      ) GROUP BY pair
+    ),
+    b{k} AS (SELECT pair, n FROM p{k} ORDER BY n DESC, pair LIMIT 1),
+    w{k} AS (
+      SELECT replace(w, ' ' || pair || ' ',
+                     ' ' || replace(pair, ' ', '') || ' ') AS w, c
+      FROM w{k - 1} CROSS JOIN b{k}
+    )"""
+
+
+@register(
+    "q_bpe_train",
+    oracle=f"""
+    WITH w0 AS (
+      SELECT {_SQL_SYM} AS w, c FROM (
+        SELECT tok, COUNT(*) AS c FROM (
+          SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+        ) GROUP BY tok ORDER BY c DESC, tok LIMIT {_BPE_V}
+      )
+    ),
+    {",".join(_sql_bpe_round(k) for k in range(1, _BPE_ROUNDS + 1))}
+    {" UNION ALL ".join(
+        f"SELECT {k} AS step, pair AS merge_pair, n AS freq FROM b{k}"
+        for k in range(1, _BPE_ROUNDS + 1)
+    )}
+    """,
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 BPE vocabulary TRAINING: {_BPE_ROUNDS} unrolled merge rounds
+    over the word-frequency table.  Each round is (a) adjacent-pair
+    counts weighted by word frequency — explode + hash-agg with
+    map-side partials, input bounded by the vocab cap; (b) a
+    deterministic argmax via min(struct(-n, pair)) — no sort, one row
+    out; (c) a corpus-free merge: the 1-row winner broadcasts onto the
+    vocab table and merges via the same left-to-right non-overlapping
+    ``replace`` both engines implement (the q_bpe_apply machinery).
+
+    100 TB plan: the corpus is scanned ONCE (word counts); every
+    iteration runs on ≤ {_BPE_V} rows.  The trained merge table feeds
+    q_bpe_apply unchanged.  Reference anchor: the warehouse exists to
+    serve downstream consumers (README.md:3); tokenizer induction is
+    the training-pipeline consumer's first step."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_BPE_V)
+    )
+    w = words.select(
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("tok"), "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("w"),
+        "c",
+    ).localCheckpoint(eager=False)
+
+    steps = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        arr = F.split(F.trim(F.col("w")), " ")
+        pairs = F.when(
+            F.size(arr) >= 2,
+            F.expr(
+                "transform(sequence(1, size(split(trim(w), ' ')) - 1),"
+                " i -> concat(element_at(split(trim(w), ' '), i), ' ',"
+                " element_at(split(trim(w), ' '), i + 1)))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        counted = (
+            w.select(F.explode(pairs).alias("pair"), "c")
+            .groupBy("pair")
+            .agg(F.sum("c").alias("n"))
+        )
+        best = counted.agg(
+            F.min(F.struct((-F.col("n")).alias("neg"), F.col("pair"))).alias("m")
+        ).select(
+            F.lit(k).alias("step"),
+            F.col("m.pair").alias("merge_pair"),
+            (-F.col("m.neg")).alias("freq"),
+        )
+        best = best.localCheckpoint(eager=False)  # consumed by output AND next round
+        steps.append(best)
+        w = (
+            w.join(F.broadcast(best.select("merge_pair")))
+            .select(
+                F.expr(
+                    "replace(w, ' ' || merge_pair || ' ',"
+                    " ' ' || replace(merge_pair, ' ', '') || ' ')"
+                ).alias("w"),
+                "c",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out
