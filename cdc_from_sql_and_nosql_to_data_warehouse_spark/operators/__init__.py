@@ -294,6 +294,7 @@ _R04_QUEUE = frozenset(
         "q_aes_roundtrip",
         "q_column_mask",
         "q_bpe_train",
+        "q_scd2_point_in_time",
     }
 )
 

@@ -506,3 +506,65 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("U")
         .alias("action"),
     )
+
+
+@register(
+    "q_scd2_point_in_time",
+    oracle="""
+    WITH scd AS (
+      SELECT user_id, value, ts AS valid_from,
+        lead(ts) OVER w AS valid_to
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT c.event_id, c.user_id, c.ts, d.value AS active_value
+    FROM events c
+    LEFT JOIN scd d ON c.user_id = d.user_id
+      AND c.ts >= d.valid_from AND (d.valid_to IS NULL OR c.ts < d.valid_to)
+    WHERE c.event_type = 'click'
+    """,
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension (the consuming
+    side of q_scd2_build): each fact row picks up the dimension version
+    whose [valid_from, valid_to) interval contains its timestamp — the
+    query every Kimball-style warehouse runs against a versioned
+    dimension.
+
+    Executed WITHOUT an interval join: dimension versions and facts
+    union into one stream ordered by (ts, kind, event_id) — versions
+    sort before facts at equal instants, a later same-instant version
+    supersedes the zero-length earlier one — and a single
+    last-non-null window carries the active version onto each fact.
+    One shuffle on the key, running state O(1); the oracle's
+    interval-predicate LEFT JOIN is the quadratic-per-key shape this
+    decomposition replaces at 100 TB (same argument as q_asof_join,
+    operators/timeseries.py).  Facts before any version keep a NULL
+    active_value (left semantics).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.col("value").alias("dim_value"),
+    )
+    fact = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("double").alias("dim_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dim.unionAll(fact)
+        .withColumn("active_value", F.last("dim_value", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts", "active_value")
+    )
