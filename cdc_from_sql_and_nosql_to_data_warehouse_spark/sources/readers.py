@@ -148,3 +148,36 @@ def select_tables(
         if sp.match(schema or "default") and tp.match(table):
             out.append(name)
     return out
+
+
+def read_json_with_error_channel(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """A10 error channel at the SOURCE: parse NDJSON in PERMISSIVE mode
+    with a corrupt-record column, and split the stream into (good, bad)
+    — the reference does this with try/except around json.loads per
+    record (write_dynamodb_stream_to_s3_lambda/handler.py); the engine
+    does it declaratively so the scan stays vectorized and the bad
+    channel is just another filter off the same pass.
+
+    The bad frame carries the RAW line for quarantine/replay.  Mode
+    alternatives, same reader: DROPMALFORMED silently discards (no
+    audit trail — not our default), FAILFAST aborts the job (right for
+    must-be-clean contracts).
+    """
+    full_schema = schema + ", _corrupt_record string"
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # Spark requires a materialization boundary between the raw
+        # parse and referencing the corrupt column (SPARK-38523 family):
+        # cache-free localCheckpoint keeps it one pass per consumer
+        .localCheckpoint(eager=False)
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw")
+    )
+    return good, bad

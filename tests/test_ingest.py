@@ -200,3 +200,28 @@ def test_running_total_matches_global_window_cumsum(spark):
     g = {r["doc_id"]: r["cum"] for r in got.collect()}
     e = {r["doc_id"]: r["cum"] for r in expect.collect()}
     assert g == e
+
+
+def test_json_error_channel_splits_good_and_bad(spark, tmp_path):
+    # A10: malformed records land in the bad channel with their raw
+    # text; good records parse typed — one declarative pass, no UDF
+    import os
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import (
+        read_json_with_error_channel,
+    )
+
+    p = str(tmp_path / "feed")
+    os.makedirs(p)
+    with open(f"{p}/a.json", "w") as f:
+        f.write('{"id": 1, "price": 10.5}\n')
+        f.write("THIS IS NOT JSON\n")
+        f.write('{"id": 2, "price": "NaN-ish"}\n')  # type mismatch -> corrupt
+        f.write('{"id": 3, "price": 7.25}\n')
+
+    good, bad = read_json_with_error_channel(spark, p, "id long, price double")
+    got = sorted((r["id"], r["price"]) for r in good.collect())
+    assert got == [(1, 10.5), (3, 7.25)]
+    raws = {r["raw"] for r in bad.collect()}
+    assert len(raws) == 2
+    assert any("NOT JSON" in r for r in raws)
