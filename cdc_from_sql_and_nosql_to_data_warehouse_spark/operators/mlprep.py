@@ -37,7 +37,8 @@ _PQ_ITERS = 1  # unrolled Lloyd iterations training each sub-codebook
 #   ITERS=0 → 0.88 / 1.6 s;  ITERS=1 → 0.90 / 4.2 s;  ITERS=2 → 0.94 / 6.0 s
 # the rerank dominates recall; one iteration is the balance point
 # (the 4.2 s ITERS=1 wall predates sharing the codebook between encode
-# and LUT and unrolling _sq_dist; the search now measures ~2.9 s)
+# and LUT and dropping the subvector self-join; the search now
+# measures ~2.3 s)
 _SAMPLE_K = 100  # weighted-sample size
 
 
@@ -45,21 +46,17 @@ def _sq_dist(a: Column | str, b: Column | str, dim: int | None = None) -> Column
     """Squared L2 as a left fold in element order — bit-deterministic
     and identical to the DuckDB twin (_SQL_SQ_DIST).
 
-    With ``dim`` given, the fold is UNROLLED into a flat arithmetic
-    expression (element_at chains): Spark's higher-order lambdas run
-    interpreted, outside whole-stage codegen, so the unrolled form is
-    several times faster on the hot encode/assign paths.  ``+`` is
-    left-associative, so ``0.0 + d1² + d2² + …`` groups exactly like
-    the fold ``((0.0 + d1²) + d2²) + …`` — every intermediate double
-    is bit-identical to the lambda form and to DuckDB's list_reduce."""
+    ``dim`` is accepted and IGNORED: an unrolled element_at chain was
+    tried (round 3) on the hypothesis that interpreted higher-order
+    lambdas lose to codegen — measured SLOWER on both shapes
+    (64-dim assign: 0.082 s vs 0.043 s fold; 8-dim PQ encode: 0.201 s
+    vs 0.139 s fold, sf0.1 local[32] min-of-3).  Per-element virtual
+    element_at calls cost more than the JIT'd fold loop at these
+    vector widths; the interpreted-lambda penalty only dominates on
+    WIDE per-doc arrays (see the shingling measurement in the verify
+    skill).  Keeping the fold everywhere."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
-    if dim is not None:
-        acc = F.lit(0.0)
-        for i in range(1, dim + 1):
-            d = F.element_at(ca, i).cast("double") - F.element_at(cb, i).cast("double")
-            acc = acc + d * d
-        return acc
     diffs = F.zip_with(
         ca,
         cb,
