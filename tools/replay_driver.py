@@ -1,0 +1,130 @@
+"""Replay the driver's CORRECTNESS comparison at an arbitrary SF.
+
+The committed test suite (tests/test_oracle_diff.py) proves exact
+row-multiset equality at sf0.001 for EVERY oracle-bearing query; the
+driver's own gate runs at sf0.01 over the FIRST 50 registry entries.
+Scale-dependent divergence (quantile cut points, md5 thresholds,
+sampling fractions) would pass the former and fail the latter, so this
+script replays the driver's exact protocol — row count, sorted-column
+schema, order-insensitive value hash — at any SF before a round ends.
+
+Usage:
+    python tools/replay_driver.py [--sf /root/testdata/sf0.01] [--n 50]
+                                  [--all-unchecked] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import math
+import os
+import struct
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import datetime
+from decimal import Decimal
+
+import duckdb
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark import operators as ops
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v):
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return "f:" + struct.pack(">d", v).hex()
+    if isinstance(v, Decimal):
+        return "f:" + struct.pack(">d", float(v)).hex()
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, datetime.datetime):
+        return "ts:" + v.isoformat()
+    if isinstance(v, datetime.date):
+        return "d:" + v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "l:[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "m:{" + ",".join(f"{k}={canon(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return "by:" + bytes(v).hex()
+    return "s:" + str(v)
+
+
+def value_hash(rows) -> str:
+    digests = sorted(hashlib.md5("|".join(r).encode()).hexdigest() for r in rows)
+    return hashlib.md5("\n".join(digests).encode()).hexdigest()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--n", type=int, default=50)
+    ap.add_argument("--all-unchecked", action="store_true",
+                    help="replay every never-driver-checked oracle query, not just the window")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    spark = get_spark("replay")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    if args.names:
+        names = args.names
+    elif args.all_unchecked:
+        names = [n for n, s in ops.REGISTRY.items()
+                 if s.oracle and n not in ops._DRIVER_CHECKED]
+    else:
+        names = list(ops.REGISTRY)[: args.n]
+
+    bad = []
+    for name in names:
+        spec = ops.REGISTRY[name]
+        t0 = time.perf_counter()
+        try:
+            df = spec.fn(spark, args.sf)
+            cols = sorted(df.columns)
+            srows = ["|".join(canon(row[c]) for c in cols) for row in df.collect()]
+            if not spec.oracle:
+                print(f"{name:36s} rows-only  spark={len(srows)}  "
+                      f"{time.perf_counter()-t0:5.1f}s")
+                continue
+            cur = con.execute(spec.oracle)
+            onames = [d[0] for d in cur.description]
+            order = sorted(range(len(onames)), key=lambda i: onames[i])
+            orows = ["|".join(canon(r[i]) for i in order) for r in cur.fetchall()]
+            ok_rows = len(srows) == len(orows)
+            ok_schema = cols == sorted(onames)
+            ok_hash = value_hash(srows) == value_hash(orows)
+            status = "OK " if (ok_rows and ok_schema and ok_hash) else "FAIL"
+            if status == "FAIL":
+                bad.append(name)
+            print(f"{name:36s} {status} rows={len(srows)}/{len(orows)} "
+                  f"schema={ok_schema} hash={ok_hash}  {time.perf_counter()-t0:5.1f}s")
+        except Exception as e:  # noqa: BLE001 - report and continue
+            bad.append(name)
+            print(f"{name:36s} ERR  {type(e).__name__}: {e}")
+    print(json.dumps({"checked": len(names), "failed": bad}))
+    if bad:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
