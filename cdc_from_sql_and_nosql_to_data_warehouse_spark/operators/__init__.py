@@ -295,6 +295,9 @@ _R04_QUEUE = frozenset(
         "q_column_mask",
         "q_bpe_train",
         "q_scd2_point_in_time",
+        "q_mv_incremental",
+        "q_schema_evolution",
+        "q_dedup_url",
     }
 )
 

@@ -568,3 +568,139 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kind") == 1)
         .select("event_id", "user_id", "ts", "active_value")
     )
+
+
+@register(
+    "q_mv_incremental",
+    oracle="""
+    SELECT l_returnflag,
+      CAST(SUM(CAST(CASE WHEN l_orderkey % 11 = 2
+                         THEN l_extendedprice + 1.00
+                         ELSE l_extendedprice END AS DECIMAL(14,2)))
+           AS DOUBLE) AS revenue,
+      COUNT(*) AS n_rows,
+      CAST(SUM(CAST(CASE WHEN l_orderkey % 11 = 2
+                         THEN l_extendedprice + 1.00
+                         ELSE l_extendedprice END AS DECIMAL(14,2)))
+           AS DOUBLE) / COUNT(*) AS avg_price
+    FROM lineitem
+    WHERE l_orderkey % 11 <> 1
+    GROUP BY l_returnflag
+    """,
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A17′ + B9: incremental MATERIALIZED-VIEW maintenance under a
+    CDC delta — the step beyond q_rollup_merge's append-only shard
+    merge: the delta carries INSERTs, REMOVEs, and in-place MODIFYs
+    (value updates), and the MV is advanced by SIGNED partial states
+    (retract/apply), never by rescanning the base table.
+
+    Deterministic scenario carved from lineitem by orderkey residue
+    (disjoint classes, so base/insert/remove/modify never overlap):
+      base table   = rows with l_orderkey % 11 != 0
+      CDC INSERTs  = rows with residue 0 (arrive in the delta)
+      CDC REMOVEs  = base rows with residue 1 (deleted)
+      CDC MODIFYs  = base rows with residue 2 (price bumped +1.00)
+
+    MV = revenue/count by l_returnflag.  The maintenance algebra:
+      - INSERT  → (+price, +1)
+      - REMOVE  → (-old_price, -1)
+      - MODIFY  → (+new_price - old_price, 0)   [same key, same group]
+    and the refreshed MV is SUM over {MV partials} ∪ {delta partials},
+    dropping groups whose merged count reaches 0.  Sums are exact
+    DECIMAL so retract-then-apply is bit-identical to recompute — with
+    float sums, retraction would accumulate rounding drift and the MV
+    would diverge from the base over enough batches (why streaming
+    engines keep retractable aggregates in exact types).
+
+    Scale: the refresh shuffles |groups ∪ delta-groups| partial rows —
+    independent of the base-table size; a 100 TB base is never
+    re-read.  The oracle recomputes the final state from scratch,
+    proving partial-state maintenance ≡ recompute.
+
+    Reference anchor: the Lambda-driven Redshift upsert keeps only the
+    latest row state (reference lambda_function.py upsert path); this
+    extends the same change feed to derived-aggregate state.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    res = F.col("l_orderkey") % 11
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+
+    base = li.filter(res != 0)
+    # yesterday's MV: exact partial states (decimal sum, bigint count)
+    mv = base.groupBy("l_returnflag").agg(
+        F.sum(price).cast("decimal(16,2)").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    inserts = li.filter(res == 0).select(
+        "l_returnflag", price.alias("d_s"), F.lit(1).cast("bigint").alias("d_n")
+    )
+    removes = base.filter(res == 1).select(
+        "l_returnflag", (-price).alias("d_s"), F.lit(-1).cast("bigint").alias("d_n")
+    )
+    modifies = base.filter(res == 2).select(
+        "l_returnflag",
+        (F.lit(1.00).cast("decimal(14,2)")).alias("d_s"),  # new - old = +1.00
+        F.lit(0).cast("bigint").alias("d_n"),
+    )
+    delta = inserts.unionAll(removes).unionAll(modifies)
+    # delta partials first (map-side combine), then merge with the MV:
+    # the merge aggregate touches |groups| rows, not the base table
+    delta_mv = delta.groupBy("l_returnflag").agg(
+        F.sum("d_s").cast("decimal(16,2)").alias("s"), F.sum("d_n").alias("n")
+    )
+    return (
+        mv.unionAll(delta_mv)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("s").cast("decimal(16,2)").alias("s_m"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .select(
+            "l_returnflag",
+            F.col("s_m").cast("double").alias("revenue"),
+            "n_rows",
+            (F.col("s_m").cast("double") / F.col("n_rows")).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice, CAST(NULL AS VARCHAR) AS o_channel, 1 AS src_ver
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, CAST(NULL AS VARCHAR) AS o_orderstatus,
+           o_totalprice, o_orderpriority AS o_channel, 2 AS src_ver
+    FROM orders WHERE o_orderkey % 3 <> 0
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17′ schema drift: two snapshot generations with DIFFERENT
+    columns (v1 carries o_orderstatus, v2 dropped it and added
+    o_channel) are unioned BY NAME with missing columns null-filled —
+    ``unionByName(allowMissingColumns=True)``, the declarative form of
+    parquet ``mergeSchema`` reads.  Position-based UNION would silently
+    misalign columns here; name-based resolution is the correctness
+    point, and the engine resolves it at plan time (no Python row
+    work, no schema sniffing at execution).
+
+    Scale: pure map-side Project/Union — zero shuffles at any size;
+    on partitioned parquet each generation keeps its own pushed-down
+    scan schema (the v1 scan never reads o_channel bytes).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.lit(1).alias("src_ver"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.col("o_orderpriority").alias("o_channel"),
+        F.lit(2).alias("src_ver"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

@@ -16,7 +16,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
-from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.skew import salted_join
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import md5_shingle_rows
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
@@ -208,6 +207,9 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_HOT_K = 4096  # head-split size: hot-key cover, broadcast-trivial
+
+
 @register(
     "q_lm_score",
     oracle=f"""
@@ -240,13 +242,18 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one flat bigram explode feeds three aggregations; the
     bigram→logp model is built VOCABULARY-side (c2⋈c1 joins two
-    aggregated tables, not the corpus), and the corpus-side cost is a
-    single equi-join of the exploded bigrams against the scored model
-    — SALTED on (w1, w2, salt): at 100 TB the head stop-bigrams
-    ("of the") concentrate on single shuffle tasks, so the model side
-    is replicated ×8 and the corpus side scattered by a deterministic
-    salt (functions/skew.py); the join stays equi, semantics unchanged
-    (plan pinned by tests/test_plans.py::test_lm_score_join_is_salted).
+    aggregated tables, not the corpus).  The corpus⋈model join is
+    skew-proofed by a HEAD SPLIT rather than salting: the top
+    _LM_HOT_K bigrams by corpus frequency — by definition the only
+    keys that can be hot — are broadcast, so every head-bigram row
+    scores MAP-SIDE with no shuffle at all, and only the tail (rare
+    bigrams, uniformly distributed by construction) takes the
+    shuffle join.  This dominates salting on both axes: the hot keys
+    never hit the exchange (salting merely spreads them ×8), and the
+    tail join has nothing hot left to skew.  Semantics are unchanged —
+    a bigram's logp is identical on either path — and the split is
+    deterministic (freq desc, then w1/w2 tie-break).  Plan pinned by
+    tests/test_plans.py::test_lm_score_join_is_head_split.
     ln is rounded to 6dp on both engines (libm ulp guard, the
     q_text_tfidf precedent) and per-doc summation is DECIMAL-exact, so
     the mean is order-independent and hash-stable."""
@@ -271,10 +278,25 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = c2.join(c1, F.col("w1") == F.col("m1")).select(
         "w1",
         "w2",
+        F.col("n2"),
         F.round(F.log(F.col("n2").cast("double") / F.col("n1")), 6).alias("logp"),
     )
+    # head split: the _LM_HOT_K most frequent bigrams broadcast
+    # (TakeOrderedAndProject on the |vocab²|-bounded model, never the
+    # corpus); every corpus row scores map-side if its bigram is in the
+    # head, and only the no-hot-keys-left tail takes the shuffle join
+    head = (
+        sc.orderBy(F.col("n2").desc(), "w1", "w2").limit(_LM_HOT_K).drop("n2")
+    )
+    j = bg.join(F.broadcast(head), ["w1", "w2"], "left")
+    covered = j.filter(F.col("logp").isNotNull())
+    tail = (
+        j.filter(F.col("logp").isNull())
+        .drop("logp")
+        .join(sc.drop("n2"), ["w1", "w2"])
+    )
     return (
-        salted_join(bg, sc, ["w1", "w2"], ["w1", "w2"])
+        covered.unionByName(tail)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -848,4 +870,139 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
         .groupBy("surrogate_id", "c_mktsegment")
         .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "q_dedup_url",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 4 = 0 THEN 'http://' ELSE 'https://' END)
+        || (CASE WHEN doc_id % 5 = 0
+                 THEN upper(CASE WHEN doc_id % 3 = 0
+                                 THEN 'www.' || source || '.example.com'
+                                 ELSE source || '.example.com' END)
+                 ELSE CASE WHEN doc_id % 3 = 0
+                           THEN 'www.' || source || '.example.com'
+                           ELSE source || '.example.com' END END)
+        || '/docs/' || CAST((doc_id // 20) % 5 AS VARCHAR)
+        || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 4 = 1
+                 THEN '?utm_source=feed&utm_id=' || CAST(doc_id % 13 AS VARCHAR)
+                 WHEN doc_id % 4 = 2
+                 THEN '?page=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x'
+                 ELSE '' END) AS url
+      FROM documents
+    ),
+    split AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(
+          lower(CASE WHEN strpos(url, '?') > 0
+                     THEN substr(url, 1, strpos(url, '?') - 1)
+                     ELSE url END),
+          '^https?://', ''), '^www\\.', ''), '/$', '') AS base,
+        CASE WHEN strpos(url, '?') > 0
+             THEN substr(url, strpos(url, '?') + 1) ELSE '' END AS q
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id,
+        'https://' || base ||
+        CASE WHEN q = '' THEN ''
+             -- array_to_string([]) is NULL in DuckDB (not ''), and ||
+             -- propagates it: coalesce so utm-only queries canonicalize
+             -- to no-query instead of a NULL url
+             ELSE CASE WHEN coalesce(array_to_string(list_sort(list_filter(
+                         string_split(q, '&'),
+                         x -> NOT starts_with(x, 'utm_'))), '&'), '') = ''
+                       THEN ''
+                       ELSE '?' || array_to_string(list_sort(list_filter(
+                              string_split(q, '&'),
+                              x -> NOT starts_with(x, 'utm_'))), '&') END
+        END AS canon_url
+      FROM split
+    )
+    SELECT canon_url, MIN(doc_id) AS survivor_id, COUNT(*) AS n_urls
+    FROM canon GROUP BY canon_url
+    """,
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2′ URL-level dedup — the FIRST stage of a web-corpus pipeline
+    (CommonCrawl curation dedups by canonical URL before any content
+    hashing): canonicalize messy crawl URLs, group, keep the smallest
+    doc_id as survivor.
+
+    Since testdata ships no URL column, a deterministic messy URL is
+    SYNTHESIZED per document (scheme/www/case/trailing-slash/tracking-
+    param variants keyed on doc_id residues — identical expressions on
+    both engines), and the operator under test is the canonicalization
+    chain: lowercase, scheme- and www-strip, trailing-slash strip,
+    drop utm_* tracking params, sort surviving params.  All pure
+    string/array expressions — whole-stage-codegen'd, no Python.
+
+    Scale: map-only canonicalize, then ONE hash aggregate keyed on the
+    canonical URL string (~60 bytes) — the same single-shuffle shape as
+    q_dedup_exact; at 100 TB the key could be md5(canon) to fix the
+    shuffle width at 16 bytes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host0 = F.concat(F.col("source"), F.lit(".example.com"))
+    host1 = F.when(did % 3 == 0, F.concat(F.lit("www."), host0)).otherwise(host0)
+    url = F.concat(
+        F.when(did % 4 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        F.when(did % 5 == 0, F.upper(host1)).otherwise(host1),
+        F.lit("/docs/"),
+        F.expr("CAST((doc_id DIV 20) % 5 AS STRING)"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 1,
+            F.concat(F.lit("?utm_source=feed&utm_id="), (did % 13).cast("string")),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(F.lit("?page="), (did % 3).cast("string"), F.lit("&utm_campaign=x")),
+        )
+        .otherwise(F.lit("")),
+    )
+    qpos = F.instr(F.col("url"), "?")
+    base = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(
+                    F.when(qpos > 0, F.expr("substr(url, 1, instr(url, '?') - 1)"))
+                    .otherwise(F.col("url"))
+                ),
+                "^https?://",
+                "",
+            ),
+            r"^www\.",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    q = F.when(qpos > 0, F.expr("substr(url, instr(url, '?') + 1)")).otherwise(F.lit(""))
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(F.split(F.col("q"), "&"), lambda x: ~x.startswith("utm_"))
+        ),
+        "&",
+    )
+    canon = F.concat(
+        F.lit("https://"),
+        F.col("base"),
+        F.when(
+            (F.col("q") == "") | (F.col("kept") == ""), F.lit("")
+        ).otherwise(F.concat(F.lit("?"), F.col("kept"))),
+    )
+    return (
+        d.select("doc_id", url.alias("url"))
+        .withColumn("base", base)
+        .withColumn("q", q)
+        .withColumn("kept", kept)
+        .select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_urls"))
     )

@@ -207,14 +207,17 @@ def test_dominant_supplier_single_fact_scan(spark):
     assert n_scans == 3, txt
 
 
-def test_lm_score_join_is_salted(spark):
-    # the corpus-bigrams ⋈ model join must carry the skew salt: the
-    # equi-join keys include __salt so a hot stop-bigram's rows spread
-    # over salt_n shuffle tasks instead of one (functions/skew.py)
+def test_lm_score_join_is_head_split(spark):
+    # the corpus-bigrams ⋈ model join must be head-split: the hot
+    # bigrams (top-K by frequency — the only keys that can skew) score
+    # through a BROADCAST hash join with no exchange on the corpus
+    # side, and only the tail rows reach a shuffle join.  The head
+    # selection itself must be a TakeOrderedAndProject on the model
+    # (|vocab²|-bounded), never a global sort of corpus rows.
     df = REGISTRY["q_lm_score"].fn(spark, SF_DIR)
     txt = df._jdf.queryExecution().executedPlan().toString()
-    joins = [ln for ln in txt.splitlines() if "Join" in ln and "__salt" in ln]
-    assert joins, f"no join keyed on __salt in plan:\n{txt}"
+    assert "BroadcastHashJoin" in txt, f"no broadcast head join in plan:\n{txt}"
+    assert "TakeOrderedAndProject" in txt, f"head pick is not a bounded top-k:\n{txt}"
     assert "CartesianProduct" not in txt and "BroadcastNestedLoopJoin" not in txt, txt
 
 
