@@ -298,6 +298,8 @@ _R04_QUEUE = frozenset(
         "q_mv_incremental",
         "q_schema_evolution",
         "q_dedup_url",
+        "q_bm25_search",
+        "q_dedup_containment",
     }
 )
 

@@ -987,3 +987,118 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sz_b").cast("bigint").alias("sz_b"),
         F.round(F.col("n_common").cast("double") / F.col("uni"), 6).alias("jaccard"),
     )
+
+
+@register(
+    "q_dedup_containment",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    sets AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          generate_series(1, greatest(length(toks) - 2, 0)),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM t
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(length(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+      CAST(length(a.s) AS BIGINT) AS sz_a,
+      CAST(length(b.s) AS BIGINT) AS sz_b,
+      round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) / length(a.s),
+            6) AS containment
+    FROM sets a JOIN sets b ON a.doc_id <> b.doc_id
+    WHERE length(a.s) > 0
+      AND 5 * length(list_intersect(a.s, b.s)) >= 4 * length(a.s)
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 asymmetric CONTAINMENT dedup: ordered pairs (A, B) where
+    ≥ 80% of A's 3-token SHINGLE set lies inside B — the
+    wrapper/template-page detector Jaccard misses (a short doc embedded
+    in a long aggregation page has high containment but low Jaccard
+    because the union is dominated by the long side).  Shingles, not
+    unigrams: token-set containment saturates on a shared vocabulary
+    (measured 144k matching pairs on the sf0.01 corpus — every doc
+    "contains" every other), while 3-gram phrase identity is what
+    actual text reuse looks like.
+
+    Candidate generation is a one-sided PREFIX FILTER (the containment
+    member of the AllPairs family, Bayardo et al. 2007 — public): if
+    |A∩B| ≥ ⌈0.8·|A|⌉ then at most |A| − ⌈0.8·|A|⌉ tokens of A are
+    outside B, so among A's first |A| − ⌈0.8·|A|⌉ + 1 tokens in ANY
+    fixed ordering at least one is in B (pigeonhole).  Ordering by
+    ascending document frequency makes those prefix tokens the RAREST,
+    which bounds the candidate join's bucket sizes; the B side joins
+    with its FULL token list (containment has no bound on B), but is
+    first semi-join-pruned to tokens that occur in anyone's prefix, so
+    the equi-join never shuffles the hot common-token posting lists.
+    Prefix length uses exact integer arithmetic
+    (sz − (4·sz + 4) div 5 + 1): a float 0.8·sz miscomputes ceil at
+    multiples of 5 (45·0.8 = 36.000000000000006).
+
+    The oracle is the exact all-pairs quadratic join; this plan must
+    (and does) reproduce it exactly — candidate generation is
+    combinatorially complete, not probabilistic.  Verification compares
+    5·|∩| ≥ 4·|A| in exact integers so the t = 0.8 boundary carries no
+    float risk.  At 100 TB the df-rank window swaps for a shared hash
+    order (same completeness; q_setsim_join's documented trade).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.text import word_shingles
+
+    sets = (
+        docs.select("doc_id", X.tokens("text").alias("toks"))
+        .select("doc_id", F.array_distinct(word_shingles("toks", 3)).alias("s"))
+        .withColumn("sz", F.size("s"))
+        .filter(F.col("sz") > 0)
+        .localCheckpoint(eager=False)  # consumed by prefix, B side, verify
+    )
+    dt = sets.select("doc_id", F.explode("s").alias("tok"))
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    wv = Window.orderBy("df", "tok")
+    ranked = dfreq.select("tok", F.row_number().over(wv).alias("tok_rank"))
+    wd = Window.partitionBy("doc_id").orderBy("tok_rank")
+    prefix_len = F.col("sz") - F.expr("(4 * sz + 4) div 5") + 1
+    prefix = (
+        dt.join(ranked, "tok")
+        .join(sets.select("doc_id", "sz"), "doc_id")
+        .withColumn("pos", F.row_number().over(wd))
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "tok")
+    )
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "tok")
+    # B side: full token lists, pruned to tokens appearing in any prefix
+    db = dt.join(prefix.select("tok").distinct(), "tok", "left_semi").select(
+        F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b")
+    )
+    cand = (
+        pa.join(db, (F.col("tok") == F.col("tok_b")) & (F.col("doc_a") != F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"), F.col("sz").alias("sz_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"), F.col("sz").alias("sz_b")
+    )
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("s_a", "s_b")).cast("bigint"))
+        .filter(5 * F.col("n_common") >= 4 * F.col("sz_a"))
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.col("sz_a").cast("bigint").alias("sz_a"),
+        F.col("sz_b").cast("bigint").alias("sz_b"),
+        F.round(
+            F.col("n_common").cast("double") / F.col("sz_a").cast("double"), 6
+        ).alias("containment"),
+    )

@@ -871,3 +871,121 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in steps[1:]:
         out = out.unionAll(s)
     return out
+
+
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_TERMS_SQL = "('spark', 'merge', 'window')"
+
+
+@register(
+    "q_bm25_search",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(length(toks)) AS l_total FROM d
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM (
+        SELECT doc_id, length(toks) AS dl, unnest(toks) AS token FROM d
+      )
+      WHERE token IN {_BM25_TERMS_SQL}
+      GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+        round(
+          round(ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5) + 1), 6)
+          * (CAST(44 * tf * l_total AS DOUBLE)
+             / CAST(20 * tf * l_total + 6 * l_total + 18 * dl * n_docs AS DOUBLE)),
+          6) AS s
+      FROM tf JOIN df USING (token) CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(s))),
+                  (a, b) -> a + b) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 full-text retrieval: BM25 top-10 documents for a bag-of-words
+    query (Robertson/Sparck-Jones BM25, Lucene idf form; k1=1.2,
+    b=0.75) — the keyword-search complement of q_text_tfidf's
+    weighting.
+
+    Scale design: the token filter runs INSIDE the array before the
+    explode (``F.filter`` then ``explode``), so the shuffle carries at
+    most |query terms| rows per document, never the full posting lists
+    — the streaming analog of consulting an inverted index only at the
+    query's terms.  df is |terms| rows (broadcast); corpus stats (N,
+    total length) are one 1-row aggregate.  Top-k is
+    TakeOrderedAndProject (per-partition heads + driver merge), not a
+    global sort.
+
+    Engine-exactness: with k1=6/5, b=3/4 and avgdl=L/N, the per-term
+    kernel reduces to idf · 44·tf·L / (20·tf·L + 6·L + 18·dl·N) — one
+    double division of exact integers, so both engines compute
+    bit-identical ratios; idf is rounded to 6dp after ln (libm ulp
+    guard, q_text_tfidf precedent) and the per-doc sum is a left fold
+    over the SORTED per-term scores (q_embedding_centroids precedent).
+
+    Reference anchor: the warehouse exists "for easy querying"
+    (/root/reference/README.md:3); retrieval over the document corpus
+    is the C4 extension of that surface.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        X.tokens("text").alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        F.explode(
+            F.filter("toks", lambda t: t.isin(*_BM25_TERMS))
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        docs.select(X.token_count("text").cast("bigint").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("l_total"))
+    )
+    idf6 = F.round(
+        F.log(
+            ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    ratio = (44 * F.col("tf") * F.col("l_total")).cast("double") / (
+        20 * F.col("tf") * F.col("l_total")
+        + 6 * F.col("l_total")
+        + 18 * F.col("dl") * F.col("n_docs")
+    ).cast("double")
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(idf6 * ratio, 6).alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.aggregate(
+                F.sort_array(F.collect_list("s")),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
