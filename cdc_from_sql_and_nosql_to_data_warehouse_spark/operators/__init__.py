@@ -300,6 +300,7 @@ _R04_QUEUE = frozenset(
         "q_dedup_url",
         "q_bm25_search",
         "q_dedup_containment",
+        "q_ts_similarity",
     }
 )
 

@@ -2426,3 +2426,45 @@ def q_catalog_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@register("q_audience_overlap_hll", oracle=None)
+def q_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra set intersection: estimated user-audience overlap
+    between every pair of event types via HLL inclusion-exclusion
+    (|A∩B| ≈ est(A) + est(B) − est(A∪B)) — "how many purchasers also
+    viewed" WITHOUT a user-level self-join.  The exact form shuffles
+    |users| rows per pair; this form ships one ~1.5 KB sketch per event
+    type and does pure sketch math on a domain-bounded self-join.
+
+    Rows-only (sketch estimates are engine-specific); the accuracy vs
+    the exact intersection and the inclusion-exclusion identity are
+    pinned in tests/test_mlprep.py.
+
+    Plan: one events scan → |event_types| HLL partials (map-side
+    combine) → broadcast self-join of a handful of sketch rows →
+    hll_union + three estimates per pair.  At 100 TB the sketches come
+    from the rollup table (q_hll_incremental_distinct's daily partials
+    union per type), so pairwise overlap never re-touches raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_u = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        est_a.cast("bigint").alias("est_users_a"),
+        est_b.cast("bigint").alias("est_users_b"),
+        est_u.cast("bigint").alias("est_users_union"),
+        F.greatest(est_a + est_b - est_u, F.lit(0.0))
+        .cast("bigint")
+        .alias("est_users_overlap"),
+    )

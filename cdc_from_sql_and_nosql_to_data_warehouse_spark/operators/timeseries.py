@@ -1123,3 +1123,136 @@ def q_rolling_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev") > F.col("ma") + 2 * F.col("sd")).alias("above_band"),
         (F.col("rev") < F.col("ma") - 2 * F.col("sd")).alias("below_band"),
     )
+
+
+@register(
+    "q_ts_similarity",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    series AS (
+      SELECT day, CAST(COALESCE(cents, 0) AS DOUBLE) AS c
+      FROM spine LEFT JOIN daily USING (day)
+    ),
+    packed AS (
+      SELECT list(c ORDER BY day) AS L, list(day ORDER BY day) AS D FROM series
+    ),
+    wins AS (
+      SELECT D[i] AS start_day, list_slice(L, i, i + 6) AS w
+      FROM packed, (SELECT unnest(generate_series(
+        1, (SELECT length(L) - 6 FROM packed))) AS i) t
+    ),
+    stats AS (
+      SELECT start_day, w,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), w), (a, b) -> a + b)
+          / 7.0 AS mu,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                 list_transform(w, x -> x * x)),
+                    (a, b) -> a + b) / 7.0 AS m2
+      FROM wins
+    ),
+    z AS (
+      SELECT start_day,
+        list_transform(w, x ->
+          CASE WHEN m2 - mu * mu > 0
+               THEN (x - mu) / sqrt(m2 - mu * mu) ELSE CAST(0 AS DOUBLE) END)
+          AS zw
+      FROM stats
+    ),
+    q AS (SELECT zw AS qz FROM z WHERE start_day = DATE '1995-06-01')
+    SELECT start_day,
+      round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(generate_series(1, 7),
+                       j -> (zw[j] - qz[j]) * (zw[j] - qz[j]))),
+        (a, b) -> a + b)), 6) AS zdist
+    FROM z CROSS JOIN q
+    ORDER BY sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(generate_series(1, 7),
+                       j -> (zw[j] - qz[j]) * (zw[j] - qz[j]))),
+        (a, b) -> a + b)), start_day
+    LIMIT 5
+    """,
+)
+def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (the streaming-
+    similarity EDBT'19 problem in batch form, UCR-style z-normalized
+    Euclidean — public): find the 5 daily-revenue weeks most similar in
+    SHAPE to the week starting 1995-06-01, scale/offset invariant via
+    per-window z-normalization.
+
+    Plan: the fact table is reduced to |days| rows by ONE keyed
+    aggregate — the only data-scaled stage; the zero-filled spine,
+    the 7 lead() columns that form each window, the z-normalization
+    and the distance fold all run on the BOUNDED calendar domain
+    (the documented spine exception to the no-global-window rule).
+    The query window is one broadcast row; top-5 is
+    TakeOrderedAndProject.  At 100 TB nothing changes: series length
+    is calendar days, not fact rows.
+
+    Determinism: revenue goes through the exact-DECIMAL-cents policy;
+    every double op after that (mu, var = m2 − mu², z, the (za−zb)²
+    left fold in ELEMENT ORDER, and IEEE-exact sqrt) is the same
+    expression in the same order on both engines, so distances are
+    bit-identical and the top-5 cut is stable; σ = 0 (constant/empty
+    weeks against the zero-filled spine) maps z to 0 on both sides."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(14,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)  # bounds + fill join: one fact scan
+    )
+    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day")
+    )
+    series = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("cents", F.lit(0)).cast("double").alias("c")
+    )
+    wspec = Window.orderBy("day")
+    arr = F.array(*[F.lead("c", j).over(wspec) for j in range(7)])
+    wins = (
+        series.select(F.col("day").alias("start_day"), arr.alias("w"))
+        .filter(F.element_at("w", 7).isNotNull())
+    )
+    mu = F.aggregate("w", F.lit(0.0), lambda a, b: a + b) / F.lit(7.0)
+    m2 = (
+        F.aggregate("w", F.lit(0.0), lambda a, x: a + x * x) / F.lit(7.0)
+    )
+    stats = wins.select("start_day", "w", mu.alias("mu"), m2.alias("m2"))
+    var = F.col("m2") - F.col("mu") * F.col("mu")
+    zw = F.transform(
+        "w",
+        lambda x: F.when(var > 0, (x - F.col("mu")) / F.sqrt(var)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    z = stats.select("start_day", zw.alias("zw")).localCheckpoint(
+        eager=False
+    )  # bounded; consumed as corpus AND query
+    q = z.filter(F.col("start_day") == F.lit("1995-06-01").cast("date")).select(
+        F.col("zw").alias("qz")
+    )
+    d2 = F.aggregate(
+        F.zip_with("zw", "qz", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return (
+        z.crossJoin(F.broadcast(q))
+        .select("start_day", F.sqrt(d2).alias("d"))
+        .orderBy("d", "start_day")
+        .limit(5)
+        .select("start_day", F.round("d", 6).alias("zdist"))
+    )

@@ -119,3 +119,79 @@ def q_udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInPandas(
         _net_price_batches, schema="l_orderkey long, l_linenumber int, net_price double"
     )
+
+
+_MG_K = 50  # counters kept per Arrow batch (the sketch width)
+
+
+def _mg_batches(batches):
+    """Per-batch truncated-counter summaries (Misra-Gries/SpaceSaving
+    family, public): exact value_counts within the Arrow batch —
+    vectorized, no per-row Python — truncated to the top _MG_K tokens.
+    A token dropped from a batch summary had count ≤ thr (the largest
+    dropped count) in that batch, so Σ thr over batches bounds the
+    global undercount of ANY token.  One marker row (token NULL)
+    carries each batch's thr."""
+    import pandas as pd  # executor-side import
+
+    for pdf in batches:
+        vc = pdf["token"].value_counts()
+        if len(vc) > _MG_K:
+            thr = int(vc.iloc[_MG_K])
+            kept = vc.iloc[:_MG_K]
+        else:
+            thr = 0
+            kept = vc
+        yield pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "token": kept.index.astype(str),
+                        "cnt": kept.values.astype("int64"),
+                        "thr": 0,
+                    }
+                ),
+                pd.DataFrame({"token": [None], "cnt": [0], "thr": [thr]}),
+            ]
+        )
+
+
+@register("q_heavy_hitters", oracle=None)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (top-20 corpus tokens) with MAP-SIDE
+    TRUNCATION: each Arrow batch reduces to ≤ _MG_K+1 summary rows
+    before the shuffle, so the exchange carries O(K · batches) rows
+    instead of |vocab|-sized hash-aggregate partials — the sketch
+    analog of partial aggregation when the key domain itself is the
+    problem (open-vocabulary tokens at 100 TB).
+
+    Output: (token, est_count, max_err) where
+    est_count ≤ true ≤ est_count + max_err — the classic Misra-Gries
+    deterministic guarantee, derived here from exact-within-batch
+    counts truncated to K, with max_err = Σ over batches of that
+    batch's largest dropped count.  Rows-only (the estimate depends on
+    batch boundaries); the error-bound invariant and top-10 recall are
+    pinned in tests/test_mlprep.py.
+
+    The per-batch kernel is pandas value_counts — one vectorized
+    group-count per batch, no per-row Python (mapInPandas, Arrow)."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(X.tokens("text")).alias("token"))
+    summ = toks.mapInPandas(
+        _mg_batches, schema="token string, cnt long, thr long"
+    ).localCheckpoint(eager=False)  # bounded (K+1 rows/batch); 2 consumers
+    err = summ.filter(F.col("token").isNull()).agg(
+        F.coalesce(F.sum("thr"), F.lit(0)).alias("max_err")
+    )
+    est = (
+        summ.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("est_count"))
+    )
+    return (
+        est.orderBy(F.desc("est_count"), F.asc("token"))
+        .limit(20)
+        .crossJoin(F.broadcast(err))
+    )

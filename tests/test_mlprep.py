@@ -188,3 +188,61 @@ def test_hll_union_accuracy_and_associativity(spark):
         .collect()[0][0]
     )
     assert out["est_distinct_users"] == direct
+
+
+def test_audience_overlap_inclusion_exclusion(spark):
+    """HLL pairwise overlap must be within 10% of the exact audience
+    intersection (small domains sketch near-exactly), and the
+    inclusion-exclusion identity must hold row-wise by construction."""
+    rows = _run(spark, "q_audience_overlap_hll").collect()
+    assert rows, "no event-type pairs"
+    ev = load_table(spark, SF_DIR, "events")
+    for r in rows:
+        ua = {
+            x[0]
+            for x in ev.filter(F.col("event_type") == r["type_a"])
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        ub = {
+            x[0]
+            for x in ev.filter(F.col("event_type") == r["type_b"])
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        exact = len(ua & ub)
+        assert abs(r["est_users_overlap"] - exact) <= max(3, 0.10 * exact), (
+            r["type_a"],
+            r["type_b"],
+            exact,
+            r["est_users_overlap"],
+        )
+
+
+def test_heavy_hitters_error_bound_and_recall(spark):
+    """Misra-Gries guarantee: est ≤ true ≤ est + max_err for every
+    reported token, and the exact top-10 tokens all appear in the
+    reported top-20."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
+
+    out = {r["token"]: r for r in _run(spark, "q_heavy_hitters").collect()}
+    assert out, "empty heavy-hitter report"
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        r["token"]: r["n"]
+        for r in docs.select(F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    max_err = next(iter(out.values()))["max_err"]
+    for tok, r in out.items():
+        true = exact[tok]
+        assert r["est_count"] <= true <= r["est_count"] + max_err, (
+            tok, true, r["est_count"], max_err,
+        )
+    top10 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    missing = [t for t, _ in top10 if t not in out]
+    assert not missing, f"true heavy hitters missing from report: {missing}"
