@@ -62,6 +62,11 @@ HEADLINE = [
     "q_bloom_prune_join",
     "q_reachability",
     "q_dq_expectations",
+    # session-6 additions: BM25 retrieval, containment dedup, and the
+    # time-series subsequence search — the new data-scaled shapes
+    "q_bm25_search",
+    "q_dedup_containment",
+    "q_ts_similarity",
 ]
 
 

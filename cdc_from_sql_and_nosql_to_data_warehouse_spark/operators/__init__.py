@@ -301,6 +301,7 @@ _R04_QUEUE = frozenset(
         "q_bm25_search",
         "q_dedup_containment",
         "q_ts_similarity",
+        "q_k_anonymity",
     }
 )
 

@@ -267,3 +267,45 @@ def q_column_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.mask(F.col("c_name")).alias("name_masked"),
         "c_mktsegment",
     )
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+      CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bin,
+      COUNT(*) AS n,
+      COUNT(*) < 10 AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance: k-anonymity audit (Sweeney 2002 — public).  Every
+    quasi-identifier combination — (nation, market segment, coarse
+    balance bin) — with its population count and a re-identification
+    flag for groups smaller than k = 10: rows in such groups are
+    linkable to individuals by the QI columns alone, so they must be
+    generalized (wider bins), suppressed, or masked
+    (q_column_mask / q_pseudonymize are the remediation steps).
+
+    Plan: ONE conditional hash aggregate over the QI key — auditing is
+    a scan, adding QI columns only widens the grouping key.  The bin
+    expression floor(bal/1000.0) is the same IEEE double op on both
+    engines, so group keys match exactly.  At 100 TB the QI-group
+    domain is bounded (|nations|·|segments|·|bins|), so the aggregate
+    output is tiny regardless of customer count; the k threshold is a
+    literal the optimizer folds."""
+    c = load_table(spark, sf_dir, "customer")
+    bal_bin = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment", bal_bin.alias("bal_bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_bin",
+            "n",
+            (F.col("n") < 10).alias("at_risk"),
+        )
+    )
