@@ -302,6 +302,8 @@ _R04_QUEUE = frozenset(
         "q_dedup_containment",
         "q_ts_similarity",
         "q_k_anonymity",
+        "q_topk_incremental",
+        "q_class_balance",
     }
 )
 

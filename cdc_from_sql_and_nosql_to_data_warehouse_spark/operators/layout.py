@@ -123,3 +123,59 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zval").cast("bigint").alias("z_max"),
         )
     )
+
+
+_COMPACT_TARGET = 4 * 1024 * 1024  # bytes per output file (bench-host scale)
+
+
+@register("q_compaction_plan", oracle=None)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the lakehouse maintenance job
+    that turns a day's worth of streaming micro-batch part-files into
+    target-sized files (the OPTIMIZE/bin-packing half of Delta/Iceberg
+    maintenance, public).  Output: one row per input file with its
+    assigned output bin; files are packed IN NAME ORDER (preserving
+    any clustering from write_zordered) into bins of ~target bytes by
+    capacity-binning the byte prefix sum — a file lands in the bin
+    containing its first byte, so every bin except possibly the last
+    per oversized file is within one file of target.
+
+    The file inventory is a METADATA listing (driver-side here —
+    bounded by file count, never row count; on a real lake the catalog
+    /manifest supplies it).  The binning itself runs as a DataFrame on
+    ``functions.ids.running_total`` (range-partition + parallel prefix
+    sum), so planning scales to millions of files without a
+    single-task global window — same machinery as q_pack_sequences.
+
+    Rows-only (file names/sizes are environment facts, not query
+    semantics); the exactly-once / capacity invariants are pinned in
+    tests/test_mlprep.py.
+    """
+    import os
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import running_total
+
+    files = sorted(
+        (f, os.path.getsize(os.path.join(sf_dir, f)))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    inv = spark.createDataFrame(files, "file string, n_bytes long")
+    cum = running_total(inv, ["file"], "n_bytes", "cum_bytes")
+    binned = cum.select(
+        "file",
+        "n_bytes",
+        # bin of the file's FIRST byte: (exclusive-prefix // target)
+        F.floor((F.col("cum_bytes") - F.col("n_bytes")) / F.lit(_COMPACT_TARGET))
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_bytes").alias("bin_bytes"),
+            F.sort_array(F.collect_list("file")).alias("files"),
+        )
+        .orderBy("bin_id")
+    )

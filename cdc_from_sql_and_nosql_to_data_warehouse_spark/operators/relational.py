@@ -2468,3 +2468,110 @@ def q_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_users_overlap"),
     )
+
+
+@register(
+    "q_topk_incremental",
+    oracle="""
+    WITH partials AS (
+      SELECT o_orderkey, o_totalprice
+      FROM (
+        SELECT o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderkey % 4
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+      ) WHERE rn <= 10
+    )
+    SELECT o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderkey, o_totalprice,
+        row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM partials
+    ) WHERE rn <= 10
+    """,
+)
+def q_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable top-k state (the incremental-top-k refinement problem,
+    EDBT'20 family): top-k is a MERGEABLE aggregate —
+    topk(A ∪ B) = topk(topk(A) ∪ topk(B)) — so per-shard k-row states
+    (here 4 shards standing in for daily partitions) merge into the
+    exact global answer without re-touching shard data.  The oracle
+    computes the same two-level form; q_topk's direct global form gives
+    the identical result by the merge identity (deterministic total
+    order: price DESC, orderkey).
+
+    Plan: per-shard top-k is a WindowGroupLimit-pushed window (rank
+    filter pushes the limit below the sort — each shard keeps k rows
+    per partition BEFORE the shuffle); the merge ranks 4·k rows.
+    At 100 TB: store each partition's k-row state in the rollup table;
+    a new day's data updates ONE state, and any date-range top-k is a
+    merge of |days|·k rows — never a fact-table rescan (the same
+    partial-state algebra as q_rollup_merge / q_mv_incremental)."""
+    o = load_table(spark, sf_dir, "orders")
+    shard_w = Window.partitionBy(F.col("o_orderkey") % 4).orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    partials = (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(shard_w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    return (
+        partials.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_class_balance",
+    oracle="""
+    WITH sized AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    cap AS (SELECT MIN(n) AS n_min FROM sized)
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) CROSS JOIN cap
+    WHERE rn <= n_min
+    """,
+)
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data prep: class-balanced downsampling — every language
+    capped at the minority class's size, membership chosen by
+    DETERMINISTIC md5 order (content-stable: re-running on a grown
+    corpus keeps previously selected rows selected unless new rows
+    hash earlier — no RNG, so the sample is reproducible and
+    cross-engine identical, the q_sample_per_group policy applied to
+    label balancing).
+
+    Plan: class sizes are one |langs|-row aggregate; the cap is a
+    1-row broadcast; the per-class md5 rank is one window partitioned
+    by lang.  Per-language skew note: a dominant language makes its
+    window partition large — at 100 TB pre-filter with a sampled
+    md5-threshold first pass (keep rows below ~n_min/n_lang quantile
+    of the hash, then rank exactly), which bounds every partition to
+    ~n_min rows before the window sees it."""
+    docs = load_table(spark, sf_dir, "documents")
+    cap = F.broadcast(
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("n_min"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .crossJoin(cap)
+        .filter(F.col("rn") <= F.col("n_min"))
+        .select("doc_id", "lang")
+    )

@@ -246,3 +246,31 @@ def test_heavy_hitters_error_bound_and_recall(spark):
     top10 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     missing = [t for t, _ in top10 if t not in out]
     assert not missing, f"true heavy hitters missing from report: {missing}"
+
+
+def test_compaction_plan_invariants(spark):
+    """Every input file appears in exactly one bin; byte totals add up;
+    no bin except ones holding an oversized file exceeds target + one
+    file; bin ids follow the first-byte rule (monotone in file order)."""
+    import os
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        _COMPACT_TARGET,
+    )
+
+    rows = _run(spark, "q_compaction_plan").collect()
+    assigned = [f for r in rows for f in r["files"]]
+    on_disk = sorted(
+        f for f in os.listdir(SF_DIR) if f.endswith(".parquet")
+    )
+    assert sorted(assigned) == on_disk and len(assigned) == len(set(assigned))
+    total = sum(
+        os.path.getsize(os.path.join(SF_DIR, f)) for f in on_disk
+    )
+    assert sum(r["bin_bytes"] for r in rows) == total
+    for r in rows:
+        sizes = [os.path.getsize(os.path.join(SF_DIR, f)) for f in r["files"]]
+        # first-byte rule: all but the first file start inside the bin,
+        # so bin_bytes < target + last overflowing file's size
+        assert r["bin_bytes"] <= _COMPACT_TARGET + max(sizes)
+    assert [r["bin_id"] for r in rows] == sorted(r["bin_id"] for r in rows)
