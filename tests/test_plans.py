@@ -339,3 +339,27 @@ def test_cbo_uses_analyzed_stats(spark, tmp_path):
             spark.conf.set("spark.sql.cbo.enabled", saved)
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_stats")
+
+
+def test_topk_incremental_plan_shape(spark):
+    # The mergeable-top-k query must (a) keep per-shard states via the
+    # WindowGroupLimit rewrite (k-row heaps before the shuffle) and
+    # (b) finish with TakeOrderedAndProject for the merge — never a
+    # global Sort.
+    df = REGISTRY["q_topk_incremental"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, "per-shard rank lost the group-limit rewrite"
+    assert "TakeOrderedAndProject" in plan, "merge should be a top-k, not a sort"
+
+
+def test_bm25_filter_runs_inside_token_array(spark):
+    # The BM25 term filter must run on the token ARRAY before the
+    # explode (Generate), so the generated rows are already
+    # query-term-only: the Generate input must carry the filtered
+    # array expression, and no post-explode Filter on token should be
+    # needed for the term predicate.
+    df = REGISTRY["q_bm25_search"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    assert gen, "no explode in the BM25 plan"
+    assert "filter(" in gen[0], "term filter did not stay inside the array before explode"
