@@ -940,10 +940,15 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the C4 extension of that surface.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # tokenize ONCE: both tf and the corpus stats consume this
+    # projection, and without the checkpoint Catalyst re-runs the
+    # whole scan+tokenize per consumer (no cross-branch CSE) — the
+    # q_text_tfidf/q_lm_score single-scan policy
+    tokd = docs.select(
         "doc_id",
         X.tokens("text").alias("toks"),
-    ).select(
+    ).localCheckpoint(eager=False)
+    toks = tokd.select(
         "doc_id",
         F.size("toks").cast("bigint").alias("dl"),
         F.explode(
@@ -954,9 +959,8 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     )
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = (
-        docs.select(X.token_count("text").cast("bigint").alias("dl"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("l_total"))
+    stats = tokd.select(F.size("toks").cast("bigint").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("l_total")
     )
     idf6 = F.round(
         F.log(

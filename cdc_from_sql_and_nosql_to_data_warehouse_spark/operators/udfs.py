@@ -190,8 +190,11 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.sum("cnt").alias("est_count"))
     )
+    # crossJoin BELOW the sort: output ordering is only guaranteed when
+    # the top-k is the outermost operator (a join above a sort may
+    # reorder rows)
     return (
-        est.orderBy(F.desc("est_count"), F.asc("token"))
+        est.crossJoin(F.broadcast(err))
+        .orderBy(F.desc("est_count"), F.asc("token"))
         .limit(20)
-        .crossJoin(F.broadcast(err))
     )

@@ -44,12 +44,23 @@ def _pointer_path(table_dir: str) -> str:
 
 
 def current_version(table_dir: str) -> int:
-    """Version the pointer names; 0 if the table has never committed."""
+    """Version the pointer names; 0 if the table has never committed.
+
+    A corrupt/truncated pointer (possible only if the filesystem loses
+    the pointer's data after persisting the rename — the fsync in
+    commit_version closes that window on POSIX) falls back to the
+    HIGHEST version directory present rather than bricking the table:
+    every ``_v{n}`` dir is complete by construction (staged + renamed),
+    and falling back LOW would let the next commit's orphan-clean
+    delete published data."""
     try:
         with open(_pointer_path(table_dir)) as fh:
             return int(fh.read().strip())
     except FileNotFoundError:
         return 0
+    except ValueError:
+        versions = list_versions(table_dir)
+        return versions[-1] if versions else 0
 
 
 def list_versions(table_dir: str) -> list[int]:
@@ -118,7 +129,14 @@ def commit_version(df: DataFrame, table_dir: str, audit=None) -> int:
     tmp_ptr = _pointer_path(table_dir) + ".tmp"
     with open(tmp_ptr, "w") as fh:
         fh.write(str(n))
+        fh.flush()
+        os.fsync(fh.fileno())  # pointer DATA durable before the rename
     os.replace(tmp_ptr, _pointer_path(table_dir))
+    dir_fd = os.open(table_dir, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)  # rename itself durable
+    finally:
+        os.close(dir_fd)
     return n
 
 
@@ -126,13 +144,22 @@ def read_table(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """Read the current version, or time-travel to ``version``.
-    Raises a clear error for a vacuumed/never-written version."""
-    v = current_version(table_dir) if version is None else version
+
+    Only PUBLISHED versions (≤ the pointer) are readable: an on-disk
+    ``_v{n}`` above the pointer is an aborted or audit-in-flight
+    commit whose number will be REUSED by the next successful commit —
+    exposing it would both leak unpublished data and break version
+    immutability (the same number could return different rows before
+    and after the retry).  Raises a clear error for vacuumed /
+    never-written / unpublished versions."""
+    committed = current_version(table_dir)
+    v = committed if version is None else version
     path = os.path.join(table_dir, f"_v{v}")
-    if v < 1 or not os.path.isdir(path):
+    if v < 1 or v > committed or not os.path.isdir(path):
+        published = [x for x in list_versions(table_dir) if x <= committed]
         raise FileNotFoundError(
-            f"version {v} of {table_dir} does not exist "
-            f"(available: {list_versions(table_dir)})"
+            f"version {v} of {table_dir} is not published "
+            f"(published: {published})"
         )
     return spark.read.parquet(path)
 

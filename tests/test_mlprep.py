@@ -273,4 +273,12 @@ def test_compaction_plan_invariants(spark):
         # first-byte rule: all but the first file start inside the bin,
         # so bin_bytes < target + last overflowing file's size
         assert r["bin_bytes"] <= _COMPACT_TARGET + max(sizes)
-    assert [r["bin_id"] for r in rows] == sorted(r["bin_id"] for r in rows)
+    # recompute the expected first-byte binning independently and
+    # compare the full file→bin mapping (not just shape invariants)
+    expected = {}
+    cum = 0
+    for f in on_disk:  # name order == plan's pack order
+        expected[f] = cum // _COMPACT_TARGET
+        cum += os.path.getsize(os.path.join(SF_DIR, f))
+    got = {f: r["bin_id"] for r in rows for f in r["files"]}
+    assert got == expected

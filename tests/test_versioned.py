@@ -75,7 +75,7 @@ def test_vacuum_retires_old_versions(spark, tmp_path):
     assert removed == [1, 2]
     assert V.list_versions(t) == [3, 4]
     assert V.read_table(spark, t).select("tag").distinct().collect()[0][0] == "v4"
-    with pytest.raises(FileNotFoundError, match="available"):
+    with pytest.raises(FileNotFoundError, match="published"):
         V.read_table(spark, t, version=1)
 
 
@@ -105,3 +105,41 @@ def test_write_audit_publish_gate(spark, tmp_path):
 
     assert V.commit_version(_df(spark, "v2"), t, audit=no_nulls) == 2
     assert V.read_table(spark, t).select("tag").distinct().collect()[0][0] == "v2"
+
+
+def test_unpublished_version_is_unreadable(spark, tmp_path, monkeypatch):
+    """An on-disk version dir above the pointer (aborted commit) must
+    not be readable: its number will be reused by the retry, so
+    exposing it would break version immutability."""
+    t = str(tmp_path / "tbl")
+    V.commit_version(_df(spark, "v1"), t)
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if dst.endswith(V._POINTER):
+            raise RuntimeError("crash")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(RuntimeError):
+        V.commit_version(_df(spark, "aborted"), t)
+    monkeypatch.undo()
+    assert os.path.isdir(os.path.join(t, "_v2"))  # orphan on disk...
+    with pytest.raises(FileNotFoundError, match="published"):
+        V.read_table(spark, t, version=2)  # ...but not readable
+
+
+def test_corrupt_pointer_self_heals_high(spark, tmp_path):
+    """A truncated pointer must not brick the table: current_version
+    falls back to the highest version dir (falling back low would let
+    orphan-cleaning delete published data), reads keep working, and
+    the next commit repairs the pointer."""
+    t = str(tmp_path / "tbl")
+    V.commit_version(_df(spark, "v1"), t)
+    V.commit_version(_df(spark, "v2"), t)
+    with open(os.path.join(t, V._POINTER), "w") as fh:
+        fh.write("")  # truncated by a hypothetical fs failure
+    assert V.current_version(t) == 2
+    assert V.read_table(spark, t).select("tag").distinct().collect()[0][0] == "v2"
+    assert V.commit_version(_df(spark, "v3"), t) == 3
+    assert V.current_version(t) == 3
