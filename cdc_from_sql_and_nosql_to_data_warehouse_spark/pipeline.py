@@ -123,5 +123,5 @@ def run_change_streams(spark: SparkSession, paths: PipelinePaths) -> None:
 def parity_report(spark: SparkSession, paths: PipelinePaths) -> DataFrame:
     """A20: source (keyed table) vs target (merge warehouse) row parity."""
     source = spark.read.parquet(paths.keyed_trades)
-    target = spark.read.parquet(paths.warehouse_merge)
+    target = cdc.read_merge_table(spark, paths.warehouse_merge)
     return cdc.count_parity(source, target)

@@ -126,6 +126,17 @@ def commit_version(df: DataFrame, table_dir: str, audit=None) -> int:
             raise ValueError(
                 f"audit rejected version {n} of {table_dir}; table stays at {committed}"
             )
+    flip_pointer(table_dir, n)
+    return n
+
+
+def flip_pointer(table_dir: str, n: int) -> None:
+    """THE commit point: publish version ``n`` by atomically replacing
+    the pointer file.  Data is fsync'd before the rename and the
+    directory after it, so a crash cannot leave a truncated pointer on
+    POSIX.  Shared by ``commit_version`` and external publishers that
+    assemble their own staged version (streaming/cdc.py's incremental
+    merge)."""
     tmp_ptr = _pointer_path(table_dir) + ".tmp"
     with open(tmp_ptr, "w") as fh:
         fh.write(str(n))
@@ -137,7 +148,26 @@ def commit_version(df: DataFrame, table_dir: str, audit=None) -> int:
         os.fsync(dir_fd)  # rename itself durable
     finally:
         os.close(dir_fd)
-    return n
+
+
+def link_tree(src: str, dst: str) -> None:
+    """Recursively hard-link ``src`` into ``dst`` (copy fallback for
+    filesystems without links).  This is how an incremental publisher
+    carries UNTOUCHED files into a new version for O(files) metadata
+    cost and zero data movement — the plain-filesystem analog of a
+    table format reusing data files across snapshots.  At lake scale a
+    manifest of file paths replaces the links entirely."""
+    os.makedirs(dst, exist_ok=True)
+    for entry in os.listdir(src):
+        s = os.path.join(src, entry)
+        d = os.path.join(dst, entry)
+        if os.path.isdir(s):
+            link_tree(s, d)
+        else:
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
 
 
 def read_table(

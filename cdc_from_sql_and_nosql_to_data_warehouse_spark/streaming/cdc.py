@@ -50,20 +50,32 @@ def split_change_events(
 ) -> tuple[DataFrame, DataFrame]:
     """A10: keep INSERT/MODIFY (and REMOVE when merging), route unknown
     event names to an error channel instead of the reference's raise —
-    a per-row raise would kill the whole job on one bad record at scale."""
+    a per-row raise would kill the whole job on one bad record at scale.
+
+    The split is EXHAUSTIVE: a NULL eventName (decode_debezium maps
+    unknown op codes to null exactly so it lands here; PERMISSIVE-mode
+    corrupt NDJSON parses to all-null rows) fails ``isin`` with NULL,
+    which a plain ``~isin`` filter would also drop — so the invalid
+    side null-coalesces the predicate and catches everything the valid
+    side doesn't (review-caught: events vanishing from BOTH channels)."""
     known = allowed + (("REMOVE",) if keep_remove else ())
+    is_known_any_mode = F.col("eventName").isin(*(allowed + ("REMOVE",)))
     valid = events.filter(F.col("eventName").isin(*known))
-    invalid = events.filter(
-        ~F.col("eventName").isin(*(allowed + ("REMOVE",)))
-    )
+    invalid = events.filter(~F.coalesce(is_known_any_mode, F.lit(False)))
     return valid, invalid
 
 
-def latest_wins(df: DataFrame, key: str, seq: str = "seq") -> DataFrame:
+def latest_wins(
+    df: DataFrame, key: str, seq: str = "seq", tiebreak: list | None = None
+) -> DataFrame:
     """A8 upsert semantics as a batch op: one row per key, max-seq image.
     Single shuffle on the key; at 100 TB pre-bucketing the table by the
-    key makes this shuffle-free."""
-    w = Window.partitionBy(key).orderBy(F.col(seq).desc())
+    key makes this shuffle-free.  ``tiebreak`` appends deterministic
+    secondary sort columns for sources whose seq can collide (e.g.
+    Debezium ts_ms — two same-millisecond changes to one key); without
+    one, equal-seq winners are partitioning-dependent."""
+    order = [F.col(seq).desc(), *(tiebreak or [])]
+    w = Window.partitionBy(key).orderBy(*order)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
@@ -107,6 +119,11 @@ def apply_changes(
         (F.col("eventName") == "REMOVE").alias("__is_remove"),
         F.col("newImage").alias("__img"),
     )
+    # an event with a known name but NO key carrier (null image AND null
+    # removedId) cannot be merged — excluding it here keeps the single
+    # NULL "key" from collecting garbage rows; the streaming sinks route
+    # such rows to the error channel BEFORE apply (errors_dir)
+    flat = flat.filter(F.col("__key").isNotNull())
     if target is not None:
         base = target.select(
             F.col(key).alias("__key"),
@@ -115,7 +132,20 @@ def apply_changes(
             F.struct(*[F.col(c) for c in target.columns]).alias("__img"),
         )
         flat = base.unionByName(flat)
-    latest = latest_wins(flat, "__key", "__seq")
+    # seq ties resolve deterministically: REMOVE beats an image at the
+    # same seq (delete-wins, the conservative CDC resolution — a
+    # resurrected deleted row is worse than a dropped same-instant
+    # update), then a content hash so equal-seq images can never be
+    # partitioning-dependent
+    latest = latest_wins(
+        flat,
+        "__key",
+        "__seq",
+        tiebreak=[
+            F.col("__is_remove").desc(),
+            F.xxhash64(F.to_json(F.col("__img"))).desc(),
+        ],
+    )
     return latest.filter(~F.col("__is_remove")).select(F.col("__img.*"))
 
 
@@ -147,19 +177,43 @@ def read_change_stream(
 
 
 def start_append_stream(
-    changes: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
+    changes: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    errors_dir: str | None = None,
 ):
     """A12/A14 append mode as a streaming sink: filtered change images
     appended to parquet; the checkpoint replaces the reference's
     move-to-processed file state machine (A15) — offsets make replay
-    idempotent without renaming files."""
-    valid, _ = split_change_events(changes)
-    images = valid.select(F.col("newImage.*"))
-    writer = (
-        images.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
+    idempotent without renaming files.
+
+    ``errors_dir``: where unknown/corrupt events land as NDJSON (the
+    error channel made REAL — a split whose invalid side is discarded
+    is silent data loss with extra steps).  foreachBatch is used so
+    both sides of the split write from one micro-batch; error writes
+    are at-least-once under replay (append mode), which is the right
+    trade for a diagnostics feed."""
+    if errors_dir is None:
+        valid, _ = split_change_events(changes)
+        images = valid.select(F.col("newImage.*"))
+        writer = (
+            images.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        valid, invalid = split_change_events(batch)
+        invalid.write.mode("append").json(errors_dir)
+        valid.select(F.col("newImage.*")).write.mode("append").parquet(out_dir)
+
+    writer = changes.writeStream.foreachBatch(_append).option(
+        "checkpointLocation", checkpoint_dir
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -172,51 +226,29 @@ def _key_bucket(col: F.Column, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(col.cast("string")), F.lit(n_buckets)).cast("int")
 
 
-def recover_merge_table(table_dir: str) -> None:
-    """Repair a merge target after a crash mid-bucket-swap.
-
-    The swap in ``start_merge_stream`` per touched bucket is
-    ``rename(dst, dst__old); rename(tmp/src, dst); rmtree(dst__old)``,
-    so on-disk state alone tells which step a crash interrupted:
-
-    - ``__bucket=N__old`` present and ``__bucket=N`` missing → crashed
-      between the two renames: restore by renaming old back.  The
-      checkpoint then replays the batch against the intact table.
-    - both present → crashed before ``rmtree``: the swap completed, the
-      old dir is garbage (and would otherwise be discovered as a bogus
-      ``N__old`` partition value): delete it.
-    - leftover ``<table>__merging_*`` temp dirs are always garbage
-      (either the swap consumed their bucket dirs or replay will
-      rewrite them): delete them.
-
-    Idempotent; crash during recovery re-runs the same rules.  Called
-    by the merge sink before every batch and by ``read_merge_table``.
-    """
-    import os
-    import shutil
-
-    parent, name = os.path.split(os.path.abspath(table_dir))
-    if os.path.isdir(parent):
-        for entry in os.listdir(parent):
-            if entry.startswith(f"{name}__merging_"):
-                shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
-    if not os.path.isdir(table_dir):
-        return
-    for entry in os.listdir(table_dir):
-        if not (entry.startswith("__bucket=") and entry.endswith("__old")):
-            continue
-        old = os.path.join(table_dir, entry)
-        dst = os.path.join(table_dir, entry[: -len("__old")])
-        if os.path.isdir(dst):
-            shutil.rmtree(old)
-        else:
-            os.rename(old, dst)
-
-
 def read_merge_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Read a merge-mode target without its internal bucket column."""
-    recover_merge_table(table_dir)
-    return spark.read.parquet(table_dir).drop("__bucket")
+    """Read a merge-mode target without its internal bucket column.
+
+    PURE READ: resolves the version pointer and reads that immutable
+    version directory — no repair, no mutation, no race with a live
+    writer (the prior two-rename swap protocol let a concurrent
+    reader's repair pass delete a writer's in-flight temp, silently
+    destroying a bucket; review-caught, eliminated by construction
+    here).  The ``_schema`` sidecar keeps an all-keys-REMOVEd table
+    readable as an empty frame instead of failing schema inference."""
+    import os
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources import versioned as V
+
+    committed = V.current_version(table_dir)
+    if committed < 1:
+        raise FileNotFoundError(f"merge table {table_dir} has no published version")
+    vdir = os.path.join(table_dir, f"_v{committed}")
+    schema_dir = os.path.join(table_dir, "_schema")
+    if os.path.isdir(schema_dir):
+        schema = spark.read.parquet(schema_dir).schema
+        return spark.read.schema(schema).parquet(vdir).drop("__bucket")
+    return spark.read.parquet(vdir).drop("__bucket")
 
 
 def start_merge_stream(
@@ -226,71 +258,90 @@ def start_merge_stream(
     key: str = "id",
     available_now: bool = True,
     n_buckets: int = 16,
+    errors_dir: str | None = None,
+    keep_versions: int = 2,
 ):
     """B36 apply-changes via foreachBatch, INCREMENTAL: the target is
-    parquet hash-partitioned on ``__bucket = xxhash64(key) % n_buckets``
-    and each micro-batch merges + rewrites ONLY the bucket partitions
-    containing the batch's keys.  Per-batch I/O is O(touched buckets),
-    not O(table) — a full-table read-modify-write per micro-batch is
-    the classic 100 TB killer (on a lakehouse this same body is a
-    Delta/Iceberg MERGE, which prunes files the same way).
+    hash-partitioned on ``__bucket = xxhash64(key) % n_buckets`` and
+    each micro-batch merges + rewrites ONLY the buckets containing the
+    batch's keys.  Per-batch I/O is O(touched buckets), not O(table) —
+    a full-table read-modify-write per micro-batch is the classic
+    100 TB killer (on a lakehouse this same body is a Delta/Iceberg
+    MERGE, which prunes files the same way).
 
-    Crash/reader safety: the merged buckets are fully written to a temp
-    directory FIRST, then swapped in with per-bucket directory renames —
-    the merged plan's lineage (which reads table_dir) is never
-    recomputed over a half-overwritten table.  A crash anywhere in the
-    swap is repaired by ``recover_merge_table`` (run before every batch
-    and by readers): a bucket stranded in ``__old`` with no replacement
-    is renamed back, a completed-but-uncleaned swap has its ``__old``
-    deleted, temp dirs are purged — then the checkpoint replays the
-    batch against the intact table (latest-wins merge is idempotent).
+    Publication uses the VERSIONED-TABLE protocol (sources/versioned):
+    each batch stages a complete new version — rewritten touched
+    buckets plus HARD LINKS to the untouched buckets' files (metadata
+    cost only) — then flips the pointer atomically.  Readers resolve
+    the pointer, so there is no crash window and no reader/writer
+    race; a crash anywhere before the flip leaves the table at the
+    prior version, and checkpoint replay of the idempotent latest-wins
+    merge converges.  Old versions are vacuumed down to
+    ``keep_versions`` (hard links make them near-free while present).
+
+    Error channel: unknown-eventName, corrupt (all-null), and
+    keyless-but-valid events are excluded from the merge and appended
+    to ``errors_dir`` as NDJSON when given (at-least-once on replay).
     """
     import os
-    import shutil
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources import versioned as V
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        recover_merge_table(table_dir)
         batch = batch.persist()
         try:
+            valid, invalid = split_change_events(batch, keep_remove=True)
             batch_key = F.coalesce(F.col(f"newImage.{key}"), F.col("removedId"))
+            keyless = valid.filter(batch_key.isNull())
+            valid = valid.filter(batch_key.isNotNull())
+            if errors_dir is not None:
+                invalid.unionByName(keyless).write.mode("append").json(errors_dir)
+            # touched buckets from the rows that will actually merge —
+            # error rows must not force no-op bucket rewrites
             touched = sorted(
                 r["b"]
-                for r in batch.select(_key_bucket(batch_key, n_buckets).alias("b"))
+                for r in valid.select(_key_bucket(batch_key, n_buckets).alias("b"))
                 .distinct()
                 .collect()
             )
             if not touched:
                 return
-            has_table = os.path.isdir(table_dir) and any(
-                e.startswith("__bucket=") for e in os.listdir(table_dir)
-            )
-            if has_table:
+            os.makedirs(table_dir, exist_ok=True)
+            committed = V.current_version(table_dir)
+            V._clean_orphans(table_dir, committed)
+            cur_dir = os.path.join(table_dir, f"_v{committed}")
+            if committed >= 1:
                 # partition pruning: only the touched bucket dirs are read
                 current = (
-                    spark.read.parquet(table_dir)
+                    spark.read.parquet(cur_dir)
                     .filter(F.col("__bucket").isin(touched))
                     .drop("__bucket")
                 )
             else:
                 current = None
-            merged = apply_changes(current, batch, key=key, mode="merge")
+            merged = apply_changes(current, valid, key=key, mode="merge")
             merged = merged.withColumn("__bucket", _key_bucket(F.col(key), n_buckets))
-            tmp = f"{table_dir}__merging_{batch_id}"
-            merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
-            # swap in the rewritten buckets; untouched buckets keep their files
-            os.makedirs(table_dir, exist_ok=True)
-            for b in touched:
-                src = os.path.join(tmp, f"__bucket={b}")
-                dst = os.path.join(table_dir, f"__bucket={b}")
-                old = f"{dst}__old"
-                if os.path.isdir(dst):
-                    os.rename(dst, old)
-                if os.path.isdir(src):
-                    os.rename(src, dst)
-                if os.path.isdir(old):
-                    shutil.rmtree(old)
-            shutil.rmtree(tmp, ignore_errors=True)
+            n = committed + 1
+            staging = os.path.join(table_dir, f"{V._TMP_PREFIX}{n}")
+            merged.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
+            if committed >= 1:
+                for entry in os.listdir(cur_dir):
+                    if not entry.startswith("__bucket="):
+                        continue
+                    if int(entry.split("=", 1)[1]) in touched:
+                        continue
+                    V.link_tree(
+                        os.path.join(cur_dir, entry), os.path.join(staging, entry)
+                    )
+            # schema sidecar: keeps the table readable (typed, empty)
+            # even when a later batch REMOVEs every key
+            schema_dir = os.path.join(table_dir, "_schema")
+            if not os.path.isdir(schema_dir):
+                merged.limit(0).write.mode("overwrite").parquet(schema_dir)
+            os.rename(staging, os.path.join(table_dir, f"_v{n}"))
+            V.flip_pointer(table_dir, n)
+            V.vacuum(table_dir, keep_last=keep_versions)
         finally:
             batch.unpersist()
 
@@ -305,8 +356,16 @@ def start_merge_stream(
 def streaming_dedup(changes: DataFrame, key_cols: list[str], watermark_col: str, delay: str):
     """B35: watermark-scoped streaming dedup — state is bounded by the
     watermark horizon (dedup-forever state is unbounded at 100 TB;
-    SURVEY.md §7.4.5)."""
-    return changes.withWatermark(watermark_col, delay).dropDuplicates(key_cols)
+    SURVEY.md §7.4.5).
+
+    Uses ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates``
+    on a key subset that EXCLUDES the event-time column never evicts
+    its state even under a watermark (the documented Spark gap the
+    WithinWatermark variant exists to close; review-caught) — keyed on
+    ``seq`` alone it would grow one state entry per event forever."""
+    return changes.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
 
 
 def is_stream_active(spark: SparkSession, name: str) -> bool:

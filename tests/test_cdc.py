@@ -127,3 +127,52 @@ def test_dedup_clusters_connected_components(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 7: 7, 8: 7, 9: 7, 20: 7}
+
+
+def test_null_event_name_routes_to_error_channel(spark):
+    """A NULL eventName (unknown Debezium op decoded to null; PERMISSIVE
+    corrupt NDJSON rows) must land in the invalid channel — a plain
+    ~isin filter drops NULL from BOTH channels (review-caught)."""
+    ev = _events(spark)
+    bad = ev.unionByName(
+        spark.createDataFrame([(None, 101)], "eventName string, seq long")
+        .withColumn("newImage", F.lit(None).cast(readers.TRADES_SCHEMA))
+        .withColumn("removedId", F.lit(None).cast("string"))
+    )
+    valid, invalid = cdc.split_change_events(bad)
+    assert valid.count() == 11
+    assert invalid.count() == 1
+    assert invalid.first()["eventName"] is None
+    # exhaustive partition in merge mode too
+    valid_m, invalid_m = cdc.split_change_events(bad, keep_remove=True)
+    assert valid_m.count() + invalid_m.count() == bad.count()
+
+
+def test_keyless_valid_event_excluded_from_merge(spark):
+    """A known eventName with NO key carrier (null image and null
+    removedId) must not materialize an all-null warehouse row."""
+    ev = _events(spark)
+    bad = ev.unionByName(
+        spark.createDataFrame([("INSERT", 102)], "eventName string, seq long")
+        .withColumn("newImage", F.lit(None).cast(readers.TRADES_SCHEMA))
+        .withColumn("removedId", F.lit(None).cast("string"))
+    )
+    merged = cdc.apply_changes(None, bad, mode="merge")
+    assert merged.filter(F.col("id").isNull()).count() == 0
+
+
+def test_equal_seq_ties_resolve_remove_wins(spark):
+    """Two same-seq events for one key (Debezium ts_ms collisions) must
+    resolve deterministically: REMOVE beats an image at the same seq
+    (delete-wins), independent of partitioning."""
+    rows = [
+        ("INSERT", 5, {"id": "k1", "price": 1.0, "shares": 1}, None),
+        ("REMOVE", 5, None, "k1"),
+        ("INSERT", 3, {"id": "k2", "price": 2.0, "shares": 1}, None),
+    ]
+    schema = cdc.CHANGE_EVENT_SCHEMA
+    ev = spark.createDataFrame(rows, schema)
+    for parts in (1, 7):
+        merged = cdc.apply_changes(None, ev.repartition(parts), mode="merge")
+        keys = sorted(r["id"] for r in merged.collect())
+        assert keys == ["k2"], f"partitions={parts}: REMOVE lost the seq tie"

@@ -1,9 +1,11 @@
-"""Crash-recovery for the incremental merge bucket swap (SURVEY.md §2.1
-B36; VERDICT r2 task 7 / ADVICE r2 medium).
+"""Crash safety for the incremental merge's versioned publication
+(SURVEY.md §2.1 B36; the two-rename swap protocol and its repair state
+machine were replaced by sources/versioned-style atomic pointer commits
+after a review found a reader/writer race in the repair pass).
 
-The swap per touched bucket is rename(dst, old); rename(src, dst);
-rmtree(old).  These tests injure each crash window and assert
-``recover_merge_table`` + checkpoint replay repair the table exactly.
+Each test injures one step of the publish protocol and asserts that
+readers never observe a partial state and that checkpoint replay
+converges to the exact table.
 """
 
 from __future__ import annotations
@@ -15,6 +17,7 @@ import uuid
 
 import pytest
 
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources import versioned as V
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming import cdc
 
 
@@ -39,6 +42,10 @@ def _trade(i: int, seq: int, price: float) -> dict:
     }
 
 
+def _remove(i: int, seq: int) -> dict:
+    return {"eventName": "REMOVE", "seq": seq, "newImage": None, "removedId": f"t{i}"}
+
+
 def _build_table(spark, tdir: str) -> str:
     drop, table, ck = f"{tdir}/drop0", f"{tdir}/table", f"{tdir}/ck0"
     os.makedirs(drop)
@@ -49,10 +56,10 @@ def _build_table(spark, tdir: str) -> str:
     return table
 
 
-def test_crash_between_renames_recovers_on_replay(spark, tdir):
-    """Crash after rename(dst, old) but before rename(src, dst): the
-    bucket's prior rows are stranded in __old.  Replay must restore them
-    before merging, not silently lose every non-batch key in the bucket."""
+def test_crash_before_version_rename_recovers_on_replay(spark, tdir):
+    """Crash while publishing (staging → _v{n} rename): the pointer
+    still names the old version, readers see the intact table, and a
+    restart with the same checkpoint replays the batch and converges."""
     table = _build_table(spark, tdir)
     drop2, ck2 = f"{tdir}/drop2", f"{tdir}/ck2"
     os.makedirs(drop2)
@@ -61,8 +68,8 @@ def test_crash_between_renames_recovers_on_replay(spark, tdir):
     real_rename = os.rename
 
     def crashing_rename(src, dst, *a, **kw):
-        if "__merging_" in str(src):
-            raise OSError("injected crash between bucket renames")
+        if V._TMP_PREFIX in str(src):
+            raise OSError("injected crash at version rename")
         return real_rename(src, dst, *a, **kw)
 
     os.rename = crashing_rename
@@ -74,41 +81,104 @@ def test_crash_between_renames_recovers_on_replay(spark, tdir):
     finally:
         os.rename = real_rename
 
-    # the injured state: bucket stranded in __old, dst missing
-    stranded = [e for e in os.listdir(table) if e.endswith("__old")]
-    assert len(stranded) == 1
-    assert not os.path.isdir(os.path.join(table, stranded[0][: -len("__old")]))
+    # injured state: pointer unchanged, readers see the old version
+    assert V.current_version(table) == 1
+    got = cdc.read_merge_table(spark, table)
+    assert got.count() == 40
+    assert got.filter("id = 't3'").collect()[0]["price"] == 3.0
 
-    # restart with the same checkpoint: recovery restores, replay merges
+    # restart with the same checkpoint: replay merges and publishes
     q = cdc.start_merge_stream(cdc.read_change_stream(spark, drop2), table, ck2)
     q.awaitTermination(120)
     got = cdc.read_merge_table(spark, table)
     assert got.count() == 40
     assert got.filter("id = 't3'").collect()[0]["price"] == 999.0
-    assert not any(e.endswith("__old") for e in os.listdir(table))
-    parent, name = os.path.split(os.path.abspath(table))
-    assert not any(e.startswith(f"{name}__merging_") for e in os.listdir(parent))
 
 
-def test_crash_before_old_cleanup_drops_stale_dir(spark, tdir):
-    """Crash after the swap but before rmtree(old): the __old dir would
-    be discovered as a bogus 'N__old' partition, duplicating stale rows.
-    Readers must repair it."""
+def test_crash_before_pointer_flip_recovers_on_replay(spark, tdir):
+    """Crash after the version rename but before the pointer flip: the
+    complete-but-unpublished _v2 is invisible to readers and is cleaned
+    by the replay, which republishes the same content."""
     table = _build_table(spark, tdir)
-    buckets = [e for e in os.listdir(table) if e.startswith("__bucket=") and "__old" not in e]
-    victim = os.path.join(table, buckets[0])
-    shutil.copytree(victim, victim + "__old")
+    drop2, ck2 = f"{tdir}/drop2", f"{tdir}/ck2"
+    os.makedirs(drop2)
+    _drop_file(drop2, [_trade(3, 100, 999.0)])
 
+    real_replace = os.replace
+
+    def crashing_replace(src, dst, *a, **kw):
+        if dst.endswith(V._POINTER):
+            raise OSError("injected crash at pointer flip")
+        return real_replace(src, dst, *a, **kw)
+
+    os.replace = crashing_replace
+    try:
+        q = cdc.start_merge_stream(cdc.read_change_stream(spark, drop2), table, ck2)
+        with pytest.raises(Exception, match="injected crash"):
+            q.awaitTermination(120)
+            raise AssertionError(f"query should have failed: {q.exception()}")
+    finally:
+        os.replace = real_replace
+
+    # injured state: orphan _v2 on disk, pointer at 1, readers unaffected
+    assert os.path.isdir(os.path.join(table, "_v2"))
+    assert V.current_version(table) == 1
+    assert cdc.read_merge_table(spark, table).filter("id = 't3'").collect()[0][
+        "price"
+    ] == 3.0
+
+    q = cdc.start_merge_stream(cdc.read_change_stream(spark, drop2), table, ck2)
+    q.awaitTermination(120)
     got = cdc.read_merge_table(spark, table)
-    assert got.count() == 40  # stale copy not double-counted
-    assert not os.path.isdir(victim + "__old")
-    assert os.path.isdir(victim)
+    assert V.current_version(table) == 2
+    assert got.count() == 40
+    assert got.filter("id = 't3'").collect()[0]["price"] == 999.0
 
 
-def test_recover_is_idempotent_and_handles_missing_table(tdir):
-    cdc.recover_merge_table(f"{tdir}/does_not_exist")  # no-op, no raise
-    os.makedirs(f"{tdir}/t/__bucket=1__old")
-    cdc.recover_merge_table(f"{tdir}/t")
-    cdc.recover_merge_table(f"{tdir}/t")
-    assert os.path.isdir(f"{tdir}/t/__bucket=1")
-    assert not os.path.isdir(f"{tdir}/t/__bucket=1__old")
+def test_reader_never_mutates_writer_state(spark, tdir):
+    """The race the old repair protocol had: a reader while a writer's
+    staging dir exists must neither fail nor delete anything."""
+    table = _build_table(spark, tdir)
+    staging = os.path.join(table, f"{V._TMP_PREFIX}2")
+    os.makedirs(os.path.join(staging, "__bucket=0"))
+    with open(os.path.join(staging, "__bucket=0", "part-inflight.parquet"), "wb") as f:
+        f.write(b"writer in flight")
+    assert cdc.read_merge_table(spark, table).count() == 40
+    assert os.path.isfile(
+        os.path.join(staging, "__bucket=0", "part-inflight.parquet")
+    ), "reader deleted the writer's in-flight staging"
+
+
+def test_remove_all_keys_leaves_readable_empty_table(spark, tdir):
+    """REMOVEing every key empties the table; the _schema sidecar keeps
+    it readable as a typed empty frame instead of failing inference."""
+    drop, table, ck = f"{tdir}/drop", f"{tdir}/table", f"{tdir}/ck"
+    os.makedirs(drop)
+    _drop_file(drop, [_trade(i, i, float(i)) for i in range(4)])
+    q = cdc.start_merge_stream(cdc.read_change_stream(spark, drop), table, ck)
+    q.awaitTermination(120)
+    assert cdc.read_merge_table(spark, table).count() == 4
+
+    drop2, ck2 = f"{tdir}/drop2", f"{tdir}/ck2"
+    os.makedirs(drop2)
+    _drop_file(drop2, [_remove(i, 100 + i) for i in range(4)])
+    q = cdc.start_merge_stream(cdc.read_change_stream(spark, drop2), table, ck2)
+    q.awaitTermination(120)
+    got = cdc.read_merge_table(spark, table)
+    assert got.count() == 0
+    assert "id" in got.columns and "price" in got.columns
+
+
+def test_versions_vacuum_down_to_keep(spark, tdir):
+    """Continuous batches must not accumulate versions: after several
+    published batches only keep_versions remain on disk."""
+    table = f"{tdir}/table"
+    for i in range(4):
+        drop, ck = f"{tdir}/drop{i}", f"{tdir}/ck{i}"
+        os.makedirs(drop)
+        _drop_file(drop, [_trade(i, 1000 + i, float(i))])
+        q = cdc.start_merge_stream(cdc.read_change_stream(spark, drop), table, ck)
+        q.awaitTermination(120)
+    assert V.current_version(table) == 4
+    assert len(V.list_versions(table)) <= 2
+    assert cdc.read_merge_table(spark, table).count() == 4

@@ -9,6 +9,7 @@ import shutil
 import uuid
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark import pipeline
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming import cdc
 
 FIX = "/root/repo/tests/fixtures"
 
@@ -38,7 +39,7 @@ def test_full_pipeline_two_ticks(spark, tmp_path):
     # append warehouse: reference semantics — INSERT+MODIFY accumulate
     assert spark.read.parquet(paths.warehouse_append).count() == 11
     # merge warehouse: corrected semantics — keyed, REMOVE applied
-    assert spark.read.parquet(paths.warehouse_merge).count() == 7
+    assert cdc.read_merge_table(spark, paths.warehouse_merge).count() == 7
 
     # parity report (A20): source keyed table 8 vs merged 7 → lag 1
     parity = pipeline.parity_report(spark, paths).first()

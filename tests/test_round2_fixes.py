@@ -163,11 +163,27 @@ def test_merge_stream_rewrites_only_touched_buckets(spark, tdir):
     q.awaitTermination(120)
     assert cdc.read_merge_table(spark, table).count() == 40
 
-    buckets_before = {
-        d: sorted(os.listdir(os.path.join(table, d)))
-        for d in os.listdir(table)
-        if d.startswith("__bucket=")
-    }
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources import versioned as V
+
+    def _bucket_listing(tbl):
+        vdir = os.path.join(tbl, f"_v{V.current_version(tbl)}")
+        return {
+            d: sorted(os.listdir(os.path.join(vdir, d)))
+            for d in os.listdir(vdir)
+            if d.startswith("__bucket=")
+        }
+
+    def _bucket_inodes(tbl):
+        vdir = os.path.join(tbl, f"_v{V.current_version(tbl)}")
+        return {
+            d: {f: os.stat(os.path.join(vdir, d, f)).st_ino
+                for f in os.listdir(os.path.join(vdir, d))}
+            for d in os.listdir(vdir)
+            if d.startswith("__bucket=")
+        }
+
+    buckets_before = _bucket_listing(table)
+    inodes_before = _bucket_inodes(table)
     assert len(buckets_before) > 4  # keys really spread over buckets
 
     # batch 2: ONE key updated → exactly one bucket partition rewritten
@@ -177,13 +193,16 @@ def test_merge_stream_rewrites_only_touched_buckets(spark, tdir):
     q = cdc.start_merge_stream(cdc.read_change_stream(spark, drop2), table, ck2)
     q.awaitTermination(120)
 
-    buckets_after = {
-        d: sorted(os.listdir(os.path.join(table, d)))
-        for d in os.listdir(table)
-        if d.startswith("__bucket=")
-    }
+    buckets_after = _bucket_listing(table)
+    inodes_after = _bucket_inodes(table)
     changed = [d for d in buckets_before if buckets_after.get(d) != buckets_before[d]]
     assert len(changed) == 1  # O(touched buckets), not O(table)
+    # untouched buckets are HARD LINKS to the previous version's files:
+    # same inodes — zero data movement, metadata-only carry-over
+    for d in buckets_before:
+        if d in changed:
+            continue
+        assert inodes_after[d] == inodes_before[d], f"bucket {d} was rewritten"
 
     got = cdc.read_merge_table(spark, table)
     assert got.count() == 40

@@ -72,13 +72,13 @@ def test_merge_stream_latest_wins(spark, tdir):
     _drop_events_file(drop, _load_fixture_events())
     q = cdc.start_merge_stream(cdc.read_change_stream(spark, drop), table, ckpt)
     q.awaitTermination(120)
-    got = spark.read.parquet(table)
+    got = cdc.read_merge_table(spark, table)
     assert got.count() == 7  # one key REMOVEd
     # replay the same events → still 7 (idempotent apply)
     _drop_events_file(drop, _load_fixture_events())
     q = cdc.start_merge_stream(cdc.read_change_stream(spark, drop), table, ckpt)
     q.awaitTermination(120)
-    assert spark.read.parquet(table).count() == 7
+    assert cdc.read_merge_table(spark, table).count() == 7
 
 
 def test_streaming_dedup_with_watermark(spark, tdir):
@@ -473,3 +473,33 @@ def test_stream_stream_full_outer_emits_both_sides(spark, tdir):
     assert (1, 1) in got  # matched pair
     assert (2, None) in got  # left-unmatched emitted
     assert (None, 3) in got  # right-unmatched emitted
+
+
+def test_merge_stream_error_channel(spark, tdir):
+    """Unknown-eventName, corrupt, and keyless events land in
+    errors_dir as NDJSON; only mergeable rows reach the table, and
+    error-only content cannot force bucket rewrites."""
+    import os
+
+    drop, table, ck = f"{tdir}/edrop", f"{tdir}/etable", f"{tdir}/eck"
+    errors = f"{tdir}/errors"
+    os.makedirs(drop)
+    _drop_events_file(
+        drop,
+        [
+            {"eventName": "INSERT", "seq": 1,
+             "newImage": {"id": "a", "price": 1.0, "shares": 1}, "removedId": None},
+            {"eventName": "UPSERT", "seq": 2,
+             "newImage": {"id": "b", "price": 2.0, "shares": 1}, "removedId": None},
+            {"eventName": "INSERT", "seq": 3, "newImage": None, "removedId": None},
+        ],
+    )
+    q = cdc.start_merge_stream(
+        cdc.read_change_stream(spark, drop), table, ck, errors_dir=errors
+    )
+    q.awaitTermination(120)
+    got = cdc.read_merge_table(spark, table)
+    assert got.count() == 1 and got.first()["id"] == "a"
+    err = spark.read.json(errors)
+    assert err.count() == 2
+    assert sorted(r["seq"] for r in err.collect()) == [2, 3]
