@@ -79,12 +79,19 @@ def deserialize_attrvalue(av: dict[str, Any]) -> Any:
     """Generic pure-Python AttributeValue deserializer for schema-drifting
     documents (use inside mapInPandas).  Mirrors the public wire format:
     S/N/BOOL/NULL/L/M (binary and set types omitted — the reference's
-    data never produces them).  Numbers → float, the reference's policy."""
+    data never produces them).
+
+    Numbers: lexically integral N values decode to int — the expression
+    path (decode_trades_wire) casts shares/lag to long, and a float
+    round-trip silently corrupts integers above 2^53
+    (9007199254740993 → 9007199254740992.0; review-caught divergence
+    between the two decoders).  Fractional/exponent forms keep the
+    reference's Decimal→float policy."""
     (tag, v), = av.items()
     if tag == "S":
         return v
     if tag == "N":
-        return float(v)
+        return float(v) if any(c in v for c in ".eE") else int(v)
     if tag == "BOOL":
         return bool(v)
     if tag == "NULL":

@@ -61,11 +61,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    # entries from previous (stopped) sessions can never be returned —
+    # the appId key guards that — but they would otherwise accumulate
+    # forever in a process that restarts sessions (the test suite, a
+    # notebook server): evict them on first miss under a new appId
+    for stale in [k for k in _TABLE_CACHE if k[0] != key[0]]:
+        del _TABLE_CACHE[stale]
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        except Exception as e:  # noqa: BLE001 — probe, then re-raise
+            if "PARQUET" not in str(e) and "nanos" not in str(e).lower():
+                raise
+            # nanosecond physical type: the public escape hatch.  The
+            # conf is consulted again when the scan executes, so it must
+            # stay set for the lifetime of the returned DataFrame —
+            # deliberately not restored, but now only set when the
+            # footer actually needs it (a micros-era generation no
+            # longer mutates session state as a side effect).
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
+            # DIV truncates toward zero — for the post-epoch testdata
+            # this equals floor and matches DuckDB's own ns→µs read
+            # conversion; revisit the rounding direction only if
+            # pre-epoch nanosecond data ever appears
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))

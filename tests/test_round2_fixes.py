@@ -279,3 +279,66 @@ def test_kafka_shaped_debezium_stream_end_to_end(spark, tdir):
     assert out, "stream produced no batches"
     final = out[-1]
     assert final == {"a": 2.0, "c": 9.0}  # a upserted to 2.0, b deleted
+
+
+def test_debezium_tombstone_offset_and_key_fallback(spark):
+    """Review-driven Debezium decode behaviors: (a) delete tombstones
+    (value=null) are filtered, not routed to the error channel; (b) the
+    Kafka partition offset becomes seq, so same-millisecond updates
+    resolve in true per-key order; (c) a delete with no before-image
+    takes its key from the Kafka key; (d) keep_raw retains the raw
+    envelope for quarantine."""
+    from pyspark.sql import types as T
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources import debezium as dbz
+
+    payload = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("price", T.DoubleType())]
+    )
+
+    def frame(op, rid, price, ts_ms, offset, value_null=False, no_before=False):
+        if value_null:
+            value = None
+        else:
+            body = {"id": rid, "price": price}
+            value = json.dumps(
+                {
+                    "before": None if (op != "d" or no_before) else body,
+                    "after": None if op == "d" else body,
+                    "op": op,
+                    "ts_ms": ts_ms,
+                }
+            )
+        return (rid, value, offset)
+
+    raw = spark.createDataFrame(
+        [
+            frame("c", "a", 1.0, 100, 1),
+            frame("u", "a", 2.0, 100, 2),   # same ts_ms — offset must order
+            frame("u", "a", 3.0, 100, 3),   # latest by offset
+            frame(None, "a", None, None, 4, value_null=True),  # tombstone
+            frame("d", "b", None, 100, 5, no_before=True),     # keyless delete
+            frame("x", "z", 9.0, 100, 6),   # unknown op → error channel
+        ],
+        "key string, value string, offset long",
+    )
+    decoded = dbz.decode_kafka_frames(raw, payload, keep_raw=True)
+    changes = dbz.to_change_events(decoded, key="id")
+    rows = {r["seq"]: r for r in changes.collect()}
+
+    # (a) tombstone filtered: 5 decoded rows, none all-null
+    assert len(rows) == 5 and 4 not in rows
+    # (b) offset is seq
+    assert rows[3]["newImage"]["price"] == 3.0
+    # (c) before-less delete carries the Kafka key
+    assert rows[5]["eventName"] == "REMOVE" and rows[5]["removedId"] == "b"
+    # (d) unknown op keeps its raw envelope for the error channel
+    assert rows[6]["eventName"] is None and '"op": "x"' in rows[6]["_raw"]
+
+    # end-to-end: merge resolves a to the offset-latest image
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdc import (
+        apply_changes,
+    )
+
+    merged = {r["id"]: r["price"] for r in apply_changes(None, changes, key="id").collect()}
+    assert merged == {"a": 3.0}
