@@ -339,32 +339,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     with jaccard >= 0.25 via integer cross-multiplication (no float
     threshold ambiguity)."""
     docs = load_table(spark, sf_dir, "documents")
-    # flat hash rows feed the signature directly; per-doc sets are
-    # rebuilt only for the verify joins
-    ex = md5_shingle_rows(docs, 3).localCheckpoint(eager=False)
-    sh = ex.groupBy("id").agg(F.collect_set("h").alias("shingles"))
-    bk = _md5_band_keys(ex, n_bands=4, rows_per_band=1)
-    a, b = bk.alias("a"), bk.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
-        .dropDuplicates(["a", "b"])
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        pairs.join(sh.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a")), "a")
-        .join(sh.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b")), "b")
-        .filter(inter * 4 >= union)
-        .select(
-            "a", "b", (inter.cast("double") / union.cast("double")).alias("jaccard")
-        )
-    )
+    return md5_jaccard_pairs(docs, n_bands=4, rows_per_band=1, thr_num=1, thr_den=4)
 
 
 @register(
@@ -398,14 +373,48 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return md5_minhash_pairs(docs)
 
 
-def md5_minhash_pairs(docs: DataFrame) -> DataFrame:
+def jaccard_verify(
+    pairs: DataFrame,
+    sh: DataFrame,
+    left: str,
+    right: str,
+    thr_num: int,
+    thr_den: int,
+) -> DataFrame:
+    """Exact-Jaccard verification shared by every md5 band pipeline:
+    attach both shingle sets to the candidate pairs and keep
+    jaccard ≥ thr_num/thr_den via integer cross-multiplication (the
+    threshold boundary carries no float risk).  Extracted from three
+    hand-maintained copies (review-caught lockstep-edit hazard)."""
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(
+            sh.select(F.col("id").alias(left), F.col("shingles").alias("sh_a")), left
+        )
+        .join(
+            sh.select(F.col("id").alias(right), F.col("shingles").alias("sh_b")), right
+        )
+        .filter(inter * thr_den >= thr_num * union)
+        .select(
+            left,
+            right,
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def md5_jaccard_pairs(
+    docs: DataFrame, n_bands: int, rows_per_band: int, thr_num: int, thr_den: int
+) -> DataFrame:
     """(a, b, jaccard) near-dup pairs from the engine-portable md5
-    MinHash path (4 bands × 2 rows, exact Jaccard ≥ 0.5 verify) — the
-    pair feed shared by q_dedup_minhash_md5 and the oracle-checked
-    cluster resolution."""
+    band pipeline: flat shingle rows → band keys → bucket-mate
+    self-join → exact-Jaccard verify.  One parameterized body replaces
+    the previously triplicated block; the band/row/threshold knobs are
+    the only thing the variants ever differed in."""
     ex = md5_shingle_rows(docs, 3).localCheckpoint(eager=False)
     sh = ex.groupBy("id").agg(F.collect_set("h").alias("shingles"))
-    bk = _md5_band_keys(ex, n_bands=4, rows_per_band=2)
+    bk = _md5_band_keys(ex, n_bands=n_bands, rows_per_band=rows_per_band)
     a, b = bk.alias("a"), bk.alias("b")
     pairs = (
         a.join(
@@ -417,16 +426,15 @@ def md5_minhash_pairs(docs: DataFrame) -> DataFrame:
         .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        pairs.join(sh.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a")), "a")
-        .join(sh.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b")), "b")
-        .filter(inter * 2 >= union)
-        .select(
-            "a", "b", (inter.cast("double") / union.cast("double")).alias("jaccard")
-        )
-    )
+    return jaccard_verify(pairs, sh, "a", "b", thr_num, thr_den)
+
+
+def md5_minhash_pairs(docs: DataFrame) -> DataFrame:
+    """(a, b, jaccard) near-dup pairs from the engine-portable md5
+    MinHash path (4 bands × 2 rows, exact Jaccard ≥ 0.5 verify) — the
+    pair feed shared by q_dedup_minhash_md5 and the oracle-checked
+    cluster resolution."""
+    return md5_jaccard_pairs(docs, n_bands=4, rows_per_band=2, thr_num=1, thr_den=2)
 
 
 def simhash_signatures(docs: DataFrame, n_bits: int = 16) -> DataFrame:
@@ -442,20 +450,46 @@ def simhash_signatures(docs: DataFrame, n_bits: int = 16) -> DataFrame:
     ex = docs.select("doc_id", F.explode(X.tokens("text")).alias("t")).select(
         "doc_id", F.xxhash64("t").alias("h")
     )
+    return simhash_pack(ex, n_bits)
+
+
+def simhash_pack(ex: DataFrame, n_bits: int) -> DataFrame:
+    """(doc_id, h) hash rows → packed n-bit simhash: ONE hash-aggregate
+    of n_bits conditional ±1 bit sums (map-side partials — the shuffle
+    carries n_bits longs per doc), packed in the post-agg projection.
+    Bit b is tested as shiftright(h, b) & 1, identical in outcome to a
+    mask test for any sign of h.  Shared by the xxhash64 throughput
+    variant and the md5 oracle variant (review-caught duplication)."""
     bit_sums = ex.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(n_bits)
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(n_bits)
         ]
     )
     packed = F.lit(0).cast("bigint")
-    for i in range(n_bits):
+    for b in range(n_bits):
         packed = packed + F.when(
-            F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")
-        ).otherwise(F.lit(0))
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
     return bit_sums.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_equal_pairs(sig: DataFrame) -> DataFrame:
+    """Signature-equality bucket join (a < b) over a checkpointed
+    signature frame — the candidate stage both simhash variants share."""
+    a, b = sig.alias("a"), sig.alias("b")
+    return a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("a"),
+        F.col("b.doc_id").alias("b"),
+        F.col("a.simhash").alias("simhash"),
+    )
 
 
 @register("q_dedup_simhash")  # xxhash64-based — rows-only check
@@ -463,14 +497,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 SimHash near-dup: signature per doc, candidates = equal
     signature (bucket join), no pairwise scan."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = simhash_signatures(docs).localCheckpoint(eager=False)
-    a, b = sig.alias("a"), sig.alias("b")
-    return a.join(
-        b,
-        (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"), F.col("a.simhash").alias("simhash")
-    )
+    return simhash_equal_pairs(simhash_signatures(docs).localCheckpoint(eager=False))
 
 
 _SIMHASH_BITS = 16
@@ -533,36 +560,11 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     any scale; the signature join side is unhinted so AQE picks the
     strategy."""
     docs = load_table(spark, sf_dir, "documents")
-    ex = md5_shingle_rows(docs)
-    bit_sums = ex.groupBy(F.col("id").alias("doc_id")).agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(_SIMHASH_BITS)
-        ]
-    )
-    packed = F.lit(0).cast("bigint")
-    for b in range(_SIMHASH_BITS):
-        packed = packed + F.when(
-            F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
+    ex = md5_shingle_rows(docs).select(F.col("id").alias("doc_id"), "h")
     # the self-join consumes sig twice: checkpoint so the shingle
     # explode + bit-sum aggregate run once, not per join side
-    sig = bit_sums.select("doc_id", packed.alias("simhash")).localCheckpoint(
-        eager=False
-    )
-    a, b = sig.alias("a"), sig.alias("b")
-    return a.join(
-        b,
-        (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("a"),
-        F.col("b.doc_id").alias("b"),
-        F.col("a.simhash").alias("simhash"),
-    )
+    sig = simhash_pack(ex, _SIMHASH_BITS).localCheckpoint(eager=False)
+    return simhash_equal_pairs(sig)
 
 
 _SQL_DOT_FOLD = """
@@ -719,6 +721,16 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently returning intermediate labels would split a
+        # >max_iters-diameter component (e.g. a chain of incremental
+        # edits) and diverge from the exact closure oracle —
+        # review-caught; long chains need more rounds (or
+        # pointer-doubling), not a wrong answer
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -880,24 +892,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("base_id", "new_id")
         .dropDuplicates(["base_id", "new_id"])
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        pairs.join(
-            sh.select(F.col("id").alias("base_id"), F.col("shingles").alias("sh_a")),
-            "base_id",
-        )
-        .join(
-            sh.select(F.col("id").alias("new_id"), F.col("shingles").alias("sh_b")),
-            "new_id",
-        )
-        .filter(inter * 2 >= union)
-        .select(
-            "base_id",
-            "new_id",
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
-        )
-    )
+    return jaccard_verify(pairs, sh, "base_id", "new_id", thr_num=1, thr_den=2)
 
 
 @register(
@@ -916,7 +911,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))),
             6) AS jaccard
     FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-    WHERE 5 * length(list_intersect(a.s, b.s))
+    WHERE length(a.s) > 0
+      AND 5 * length(list_intersect(a.s, b.s))
           >= 3 * (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s)))
     """,
 )
@@ -948,6 +944,11 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.array_distinct(X.tokens("text")).alias("s")
         )
         .withColumn("sz", F.size("s"))
+        # token-less docs are excluded on BOTH engines: the oracle's
+        # 0 >= 0 would otherwise emit empty-empty pairs (jaccard NULL)
+        # that the prefix filter, which explodes zero rows for an empty
+        # set, can never generate (review-caught latent divergence)
+        .filter(F.col("sz") > 0)
         .localCheckpoint(eager=False)  # consumed by prefix + both verify sides
     )
     dt = sets.select("doc_id", F.explode("s").alias("tok"))
@@ -1026,8 +1027,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     first semi-join-pruned to tokens that occur in anyone's prefix, so
     the equi-join never shuffles the hot common-token posting lists.
     Prefix length uses exact integer arithmetic
-    (sz − (4·sz + 4) div 5 + 1): a float 0.8·sz miscomputes ceil at
-    multiples of 5 (45·0.8 = 36.000000000000006).
+    (sz − (4·sz + 4) div 5 + 1) — not because a concrete float failure
+    was measured (0.8·45 is exactly 36.0 in IEEE doubles; an earlier
+    revision of this docstring claimed otherwise — corrected on
+    review), but because integer ceil is exact by construction while
+    float-boundary ceil must be re-audited per threshold.
 
     The oracle is the exact all-pairs quadratic join; this plan must
     (and does) reproduce it exactly — candidate generation is

@@ -114,13 +114,15 @@ def _table_signatures(col: F.Column) -> F.Column:
 
 @register("q_sim_topk_lsh")  # ANN: bucket recall != exact — rows-only
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3 ANN: multi-table multi-probe hyperplane LSH — 8 tables x 8
-    bits, query probes its own bucket plus the 8 Hamming-1 neighbors in
-    every table, exact cosine only on candidates, per-query top-5.
-    Measured recall@5 vs the exact q_sim_topk is pinned by
-    tests/test_sim_recall.py (single-table single-probe scored ~0 on
-    this corpus — its neighbors sit at cosine ~0.3, where one 12-bit
-    bucket almost never agrees on all bits).
+    """C3 ANN: multi-table multi-probe hyperplane LSH — _L_TABLES=12
+    tables x _N_BITS=8 bits, query probes its own bucket plus the 8
+    Hamming-1 neighbors in every table, exact cosine only on
+    candidates, per-query top-5.  Measured recall@5 vs the exact
+    q_sim_topk is pinned by tests/test_sim_recall.py (single-table
+    single-probe scored ~0 on this corpus — its neighbors sit at
+    cosine ~0.3, where one 8-bit bucket almost never agrees on all
+    bits).  (The knob values here previously disagreed with the
+    constants — corrected on review; the constants are authoritative.)
 
     The 100 TB shape: candidates carry only (table, sig, id) into the
     equi-join — a few bytes/row, never the embedding; embeddings are
@@ -354,7 +356,11 @@ def q_sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j, qid in enumerate(qids):
                 col = sims[:, j].copy()
                 col[cids == qid] = -np.inf  # mask self-match
-                top = np.argsort(-col, kind="stable")[:k]
+                # (cosine DESC, cand_id ASC) — the local truncation must
+                # use the SAME total order as the final window, or a
+                # partition holding ≥k equal-cosine candidates could
+                # drop the one the oracle keeps (review-caught)
+                top = np.lexsort((cids, -col))[:k]
                 top = top[np.isfinite(col[top])]
                 out_q.extend([qid] * len(top))
                 out_c.extend(cids[top])
@@ -434,6 +440,17 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain partial-aggregated double sum — the engine keeps both forms
     one line apart."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # the oracle derives its dimension bound from max(length(embedding))
+    # and NULL-poisons on ragged arrays while posexplode silently
+    # averages over present positions — fail loudly instead of
+    # diverging if a fixture ever ships mixed dimensions (ADVICE r2 +
+    # review)
+    n_dims = emb.select(F.size("embedding").alias("d")).distinct().count()
+    if n_dims > 1:  # 0 = empty table: nothing to diverge on
+        raise ValueError(
+            f"q_embedding_centroids requires a uniform embedding dimension; "
+            f"found {n_dims} distinct lengths"
+        )
     return (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
