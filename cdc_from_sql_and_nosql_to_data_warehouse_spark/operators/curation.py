@@ -131,14 +131,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5_shingle_rows, the codegen shape shared with the MinHash
     anchor), split into eval/train sides; the eval gram set is tiny
     relative to the corpus, so it broadcasts and the overlap check is a
-    broadcast hash join — the training side never shuffles.  At 100 TB
-    the eval set (benchmarks) is megabytes: this exact plan holds."""
+    broadcast hash join — the training side never shuffles.
+
+    The eval side carries NO hard broadcast hint (review-caught): a
+    real benchmark eval set is megabytes and AQE will broadcast it on
+    its own, but THIS file's stand-in (doc_id % 97) is
+    corpus-proportional — a forced broadcast would OOM the driver at
+    the operator's own claimed scale, exactly the hint-discipline rule
+    the repo applies to every data-scaled side."""
     docs = load_table(spark, sf_dir, "documents")
     g = md5_shingle_rows(docs, 5).localCheckpoint(eager=False)
     ev = g.filter(F.col("id") % 97 == 0).select("h").distinct()
     tr = g.filter(F.col("id") % 97 != 0).dropDuplicates(["id", "h"])
     return (
-        tr.join(F.broadcast(ev), "h")
+        tr.join(ev, "h")
         .groupBy(F.col("id").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
@@ -210,6 +216,48 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_HOT_K = 4096  # head-split size: hot-key cover, broadcast-trivial
 
 
+def _lm_model_and_bigrams(spark: SparkSession, sf_dir: str):
+    """(corpus-bigrams ⋈ broadcast head, vocab-side model) — the
+    pre-checkpoint frames of q_lm_score, exposed so the head-split plan
+    stays inspectable after the query checkpoints them (lineage
+    truncation hides the join from the final executedPlan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bg = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        F.element_at("toks", F.col("i")).alias("w1"),
+        F.element_at("toks", F.col("i") + 1).alias("w2"),
+    )
+    # three consumers (c2, c1, final join) — checkpoint so the corpus
+    # is scanned and exploded ONCE, not three times (measured: 3
+    # FileScans without this)
+    bg = bg.localCheckpoint(eager=False)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy(F.col("w1").alias("m1")).agg(F.count(F.lit(1)).alias("n1"))
+    # the model is consumed by the head pick AND the tail join:
+    # checkpoint the vocab-bounded frame so the corpus-sized bigram
+    # aggregates behind it run once
+    sc = c2.join(c1, F.col("w1") == F.col("m1")).select(
+        "w1",
+        "w2",
+        F.col("n2"),
+        F.round(F.log(F.col("n2").cast("double") / F.col("n1")), 6).alias("logp"),
+    ).localCheckpoint(eager=False)
+    # head split: the _LM_HOT_K most frequent bigrams broadcast
+    # (TakeOrderedAndProject on the |vocab²|-bounded model, never the
+    # corpus); every corpus row scores map-side if its bigram is in the
+    # head, and only the no-hot-keys-left tail takes the shuffle join
+    head = (
+        sc.orderBy(F.col("n2").desc(), "w1", "w2").limit(_LM_HOT_K).drop("n2")
+    )
+    return bg.join(F.broadcast(head), ["w1", "w2"], "left"), sc
+
+
 @register(
     "q_lm_score",
     oracle=f"""
@@ -257,38 +305,13 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln is rounded to 6dp on both engines (libm ulp guard, the
     q_text_tfidf precedent) and per-doc summation is DECIMAL-exact, so
     the mean is order-independent and hash-stable."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = X.tokens("text")
-    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
-    bg = base.select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
-    ).select(
-        "doc_id",
-        F.element_at("toks", F.col("i")).alias("w1"),
-        F.element_at("toks", F.col("i") + 1).alias("w2"),
-    )
-    # three consumers (c2, c1, final join) — checkpoint so the corpus
-    # is scanned and exploded ONCE, not three times (measured: 3
-    # FileScans without this)
-    bg = bg.localCheckpoint(eager=False)
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bg.groupBy(F.col("w1").alias("m1")).agg(F.count(F.lit(1)).alias("n1"))
-    sc = c2.join(c1, F.col("w1") == F.col("m1")).select(
-        "w1",
-        "w2",
-        F.col("n2"),
-        F.round(F.log(F.col("n2").cast("double") / F.col("n1")), 6).alias("logp"),
-    )
-    # head split: the _LM_HOT_K most frequent bigrams broadcast
-    # (TakeOrderedAndProject on the |vocab²|-bounded model, never the
-    # corpus); every corpus row scores map-side if its bigram is in the
-    # head, and only the no-hot-keys-left tail takes the shuffle join
-    head = (
-        sc.orderBy(F.col("n2").desc(), "w1", "w2").limit(_LM_HOT_K).drop("n2")
-    )
-    j = bg.join(F.broadcast(head), ["w1", "w2"], "left")
+    j, sc = _lm_model_and_bigrams(spark, sf_dir)
+    # j feeds BOTH split branches: checkpoint so the corpus-sized
+    # broadcast join runs once, not once per branch (review-verified:
+    # 14 HashAggregates / 2 head joins without the j+sc checkpoints;
+    # the head-split plan itself is pinned on the PRE-checkpoint frame
+    # by test_lm_score_join_is_head_split)
+    j = j.localCheckpoint(eager=False)
     covered = j.filter(F.col("logp").isNotNull())
     tail = (
         j.filter(F.col("logp").isNull())
@@ -467,12 +490,21 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint-only silver table (16 bytes/doc, bucketed on fp so
     nightly batches anti-join with zero shuffle on the base side)."""
     docs = load_table(spark, sf_dir, "documents")
+    raw_n = F.substring("source", 4, 10)
+    # loud parse (review-caught): an unexpected source value made src_n
+    # NULL, and NULL fails BOTH role filters — the document silently
+    # vanished from the dedup decision while the oracle's CAST raises
+    src_n = F.when(raw_n.rlike(r"^\d+$"), raw_n.cast("int")).otherwise(
+        F.raise_error(
+            F.concat(F.lit("q_cross_dedup: unparseable source "), F.col("source"))
+        ).cast("int")
+    )
     fp = docs.select(
         "doc_id",
         "source",
         X.fingerprint("text").alias("fp"),
-        F.substring("source", 4, 10).cast("int").alias("src_n"),
-    )
+        src_n.alias("src_n"),
+    ).localCheckpoint(eager=False)  # base + incoming: fingerprint once
     base = fp.filter(F.col("src_n") < 10).select("fp").distinct()
     incoming = fp.filter(F.col("src_n") >= 10)
     return incoming.join(base, "fp", "left_anti").select("doc_id", "source")
@@ -491,8 +523,8 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks WHERE length(toks) > 0
       )
     ),
-    w AS (SELECT h, MIN(doc_id * 1000000 + seg_idx) AS wkey FROM segs GROUP BY h),
-    k AS (SELECT wkey // 1000000 AS doc_id, COUNT(*) AS n_kept FROM w GROUP BY 1),
+    w AS (SELECT h, MIN(doc_id * 2147483648 + seg_idx) AS wkey FROM segs GROUP BY h),
+    k AS (SELECT wkey // 2147483648 AS doc_id, COUNT(*) AS n_kept FROM w GROUP BY 1),
     t AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id)
     SELECT t.doc_id, t.n_segs,
       COALESCE(k.n_kept, 0) AS n_kept,
@@ -559,11 +591,19 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    winners = segs.groupBy("h").agg(
-        F.min(F.col("doc_id") * 1000000 + F.col("seg_idx")).alias("wkey")
-    )
+    # pack (doc_id, seg_idx) into one bigint so attribution rides the
+    # min-aggregate without a self-join.  2^31 multiplier (not 10^6 —
+    # review-caught: a 10M-token doc would collide into its neighbor's
+    # key space) with LOUD guards: packing silently corrupting is the
+    # one failure the oracle can never catch because it mirrors the
+    # same packing.
+    packed = F.when(
+        (F.col("seg_idx") < F.lit(2147483648)) & (F.col("doc_id") < F.lit(4294967296)),
+        F.col("doc_id") * F.lit(2147483648) + F.col("seg_idx"),
+    ).otherwise(F.raise_error(F.lit("q_dedup_segments: packed key overflow")).cast("bigint"))
+    winners = segs.groupBy("h").agg(F.min(packed).alias("wkey"))
     kept = (
-        winners.select(F.expr("wkey div 1000000").alias("doc_id"))
+        winners.select(F.expr("wkey div 2147483648").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
@@ -802,7 +842,15 @@ def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     size.  p ratios are exact int/int double divisions (deterministic);
     only the ln() term is rounded (libm-vs-JVM last-ulp)."""
     docs = load_table(spark, sf_dir, "documents")
-    is_new = F.substring("source", 4, 10).cast("int") >= 10
+    raw_n = F.substring("source", 4, 10)
+    is_new = (
+        F.when(raw_n.rlike(r"^\d+$"), raw_n.cast("int")).otherwise(
+            F.raise_error(
+                F.concat(F.lit("q_feature_drift: unparseable source "), F.col("source"))
+            ).cast("int")
+        )
+        >= 10
+    )
     counts = (
         docs.select(
             F.least(F.floor(F.col("n_chars") / 64), F.lit(9)).alias("bin"),
@@ -813,6 +861,10 @@ def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(~F.col("is_new")).alias("c_base"),
             F.count_if(F.col("is_new")).alias("c_new"),
         )
+        # 10 rows, two consumers (totals + final join): checkpoint so
+        # the corpus scan runs once, making the docstring's "one scan"
+        # true (review-verified: 2 FileScans without it)
+        .localCheckpoint(eager=False)
     )
     tot = counts.agg(
         F.sum("c_base").alias("t_base"), F.sum("c_new").alias("t_new")

@@ -131,7 +131,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = running_total(counts, ["doc_id"], "n_tok", "cum_tok")
     binned = cum.withColumn(
-        "bin_id", F.floor((F.col("cum_tok") - 1) / PACK_CAPACITY).cast("bigint")
+        # integer div, not floor(a/b): double division loses integer
+        # exactness past 2^53 cumulative tokens and can land a doc in
+        # the adjacent bin vs the oracle's // (review-caught)
+        "bin_id", F.expr(f"(cum_tok - 1) div {PACK_CAPACITY}").cast("bigint")
     )
     return binned.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -214,11 +214,22 @@ def test_lm_score_join_is_head_split(spark):
     # side, and only the tail rows reach a shuffle join.  The head
     # selection itself must be a TakeOrderedAndProject on the model
     # (|vocab²|-bounded), never a global sort of corpus rows.
-    df = REGISTRY["q_lm_score"].fn(spark, SF_DIR)
-    txt = df._jdf.queryExecution().executedPlan().toString()
+    # the query checkpoints the joined frame (single-execution fix), so
+    # inspect the PRE-checkpoint frame the query is built from
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.curation import (
+        _lm_model_and_bigrams,
+    )
+
+    j, _ = _lm_model_and_bigrams(spark, SF_DIR)
+    txt = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in txt, f"no broadcast head join in plan:\n{txt}"
     assert "TakeOrderedAndProject" in txt, f"head pick is not a bounded top-k:\n{txt}"
     assert "CartesianProduct" not in txt and "BroadcastNestedLoopJoin" not in txt, txt
+    # and the final plan must consume the checkpointed frame once per
+    # branch (ExistingRDD), not rebuild the join per branch
+    df = REGISTRY["q_lm_score"].fn(spark, SF_DIR)
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in final, final
 
 
 def test_spine_ops_scan_facts_once(spark):
