@@ -228,8 +228,6 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key state O(1).  event_id tie-breaks equal timestamps for a
     deterministic result under any partitioning.
     """
-    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.exact import dsum
-
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev = load_table(spark, sf_dir, "events")
@@ -601,7 +599,7 @@ _SLIDE_MICROS = 600 * 1_000_000  # 10-minute slide, 30-minute window
     ),
     sl AS (
       SELECT user_id,
-        make_timestamp((us // {_SLIDE_MICROS} + k) * {_SLIDE_MICROS}) AS slot
+        make_timestamp((us // {_SLIDE_MICROS} - k) * {_SLIDE_MICROS}) AS slot
       FROM x CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) t
     )
     SELECT slot, COUNT(DISTINCT user_id) AS n_active
@@ -623,8 +621,14 @@ def q_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = e.select("user_id", F.unix_micros(F.col("ts")).alias("us")).select(
         "user_id", "us", k
     )
+    # an event at t lies in the 30-min windows STARTING at
+    # (t div slide − k)·slide for k ∈ {0,1,2} — the label is the window
+    # start, matching F.window / streaming sliding_counts.  (An earlier
+    # form added k, labeling windows by their LAST slide — 20 minutes
+    # off from the streaming twin on every row; review-caught, oracle
+    # mirrored the same bug so the gate couldn't see it.)
     slot = F.timestamp_micros(
-        (F.expr(f"us div {_SLIDE_MICROS}") + F.col("k")) * F.lit(_SLIDE_MICROS)
+        (F.expr(f"us div {_SLIDE_MICROS}") - F.col("k")) * F.lit(_SLIDE_MICROS)
     )
     return (
         sl.select("user_id", slot.alias("slot"))
@@ -677,10 +681,15 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = bounds.select(
         F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day")
     )
-    return spine.join(daily, "day", "left").select(
+    # was_missing keys on join presence, not revenue nullity: a day
+    # whose orders all carry NULL totals aggregates to NULL revenue but
+    # IS present — the oracle tests daily.day IS NULL (review-caught)
+    return spine.join(
+        daily.withColumn("__present", F.lit(True)), "day", "left"
+    ).select(
         "day",
         F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
-        F.col("revenue").isNull().alias("was_missing"),
+        F.col("__present").isNull().alias("was_missing"),
     )
 
 
@@ -1056,7 +1065,12 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
             (
-                F.sum(F.col("cents") * F.col("dur")).cast("double")
+                # cents·µs products sum past int64 once a user's span
+                # grows (~1.9e16 at sf0.01 already, measured): sum in
+                # DECIMAL(38,0) — exact like the oracle's HUGEINT —
+                # instead of wrapping silently under ANSI-off int64
+                F.sum((F.col("cents") * F.col("dur")).cast("decimal(38,0)"))
+                .cast("double")
                 / F.sum("dur").cast("double")
                 / 100.0
             ).alias("twa_value"),
