@@ -32,8 +32,17 @@ def salted_join(
     match the big side are dropped, mirroring the list-``on`` join."""
     big_keys = [big_key] if isinstance(big_key, str) else list(big_key)
     small_keys = [small_key] if isinstance(small_key, str) else list(small_key)
+    # the salt must vary WITHIN a key or salting is a no-op: a salt
+    # derived from the join key alone maps every row of the hot key to
+    # one constant, landing them all in the same task anyway while the
+    # small side still pays ×salt_n replication (review-caught — the
+    # original form hashed only the key columns).  Hashing the whole
+    # row spreads a hot key across salts deterministically (no RNG, so
+    # results are reproducible); only fully identical duplicate rows
+    # share a salt, which no salting scheme can split further
+    # meaningfully.
     salted_big = big.withColumn(
-        "__salt", F.pmod(F.hash(*[F.col(k) for k in big_keys]), F.lit(salt_n))
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n))
     )
     # replicating the small side is a flatMap, not a shuffle
     salted_small = small.withColumn(

@@ -1550,8 +1550,11 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        # dim is the region-filtered supplier closure — data-scaled, so
+        # no hard broadcast hint (q_min_cost_supplier's documented rule;
+        # review-caught inconsistency): AQE broadcasts while it fits
         .join(
-            F.broadcast(dim),
+            dim,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -1747,8 +1750,6 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule (larger buckets first); the c_custkey tie-break makes the
     assignment deterministic.  Partitioned by nation, so no global
     single-task window."""
-    from pyspark.sql.window import Window
-
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return c.select(
@@ -2078,7 +2079,8 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT recency <= r_med AS r_high, frequency > f_med AS f_high,
       monetary > m_med AS m_high,
       COUNT(*) AS n_customers,
-      round(SUM(monetary) / COUNT(*), 4) AS avg_monetary
+      round(CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
+        AS avg_monetary
     FROM per_cust CROSS JOIN th
     GROUP BY recency <= r_med, frequency > f_med, monetary > m_med
     """,
@@ -2130,7 +2132,16 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("monetary") / F.count(F.lit(1)), 4).alias("avg_monetary"),
+            # re-enter DECIMAL for the segment sum: monetary is an
+            # exact 2dp value rendered as double, so the cast recovers
+            # it exactly and the sum is order-insensitive (a raw double
+            # sum differs in last ulps between engines — review-caught
+            # numeric-policy violation)
+            F.round(
+                F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_monetary"),
         )
     )
 
@@ -2174,7 +2185,12 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-derived doubles: c_ab·n and fa·fb are exact, the single
     division is deterministic, rounded 6dp for belt."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # four consumers (both pair sides, freq, totals): checkpoint so the
+    # scan + distinct shuffle run once, not four times (CSE policy;
+    # review-caught missing materialization)
+    items = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
+    )
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
     b = items.select(
         F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")

@@ -136,3 +136,19 @@ def test_transform_with_state_matches_group_state(spark, tmp_path):
     assert got["a"]["last_price"] == 10.0
     assert got["a"]["n_events"] == 2
     assert got["b"]["last_seq"] == 3 and got["b"]["last_price"] == 7.0
+
+
+def test_salted_join_actually_spreads_hot_key(spark):
+    """The point of salting: a hot key's rows must land on MULTIPLE
+    salts (the original key-derived salt was a constant per key —
+    every hot row still hit one task)."""
+    from pyspark.sql import functions as F
+
+    hot = spark.range(1000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    salted = hot.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in hot.columns]), F.lit(4))
+    )
+    n_salts = salted.select("__salt").distinct().count()
+    assert n_salts == 4, f"hot key spread over {n_salts}/4 salts"
