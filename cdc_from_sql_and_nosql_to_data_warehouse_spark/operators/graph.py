@@ -133,7 +133,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         return nat.select(
             "n_nationkey", "n_name", F.lit(0.0).alias("rank")
         ).where(F.lit(False))
-    base = (1.0 - _DAMP) / n_count
+    # 0.15 as a LITERAL, not 1.0 - _DAMP: python's double subtraction
+    # yields 0.15000000000000002 while the oracle's decimal 0.15
+    # converts to the 0.15 double — a 2-ulp base difference that leaked
+    # into every pre-round rank (review-caught bit-exactness break)
+    base = 0.15 / n_count
 
     ranks = nodes.select("id", F.lit(1.0 / n_count).alias("r"))
     for _ in range(_ITERS):

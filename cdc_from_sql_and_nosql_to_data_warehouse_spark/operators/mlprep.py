@@ -111,6 +111,24 @@ def _sql_lloyd_round(k: int) -> str:
     )"""
 
 
+def _assert_clean_embeddings(emb) -> None:
+    """Fail LOUDLY on ragged dimensions or NULL vector elements: the
+    sorted-fold means these operators share silently diverge from the
+    DuckDB oracles on such input (collect_list drops NULL elements and
+    zip_with NULL-pads ragged pairs, while list()/generate_series
+    NULL-poison or truncate) — the q_embedding_centroids guard applied
+    to every mlprep entry (review).  One bounded aggregate job."""
+    row = emb.agg(
+        F.countDistinct(F.size("embedding")).alias("dims"),
+        F.max(F.exists("embedding", lambda x: x.isNull())).alias("has_null"),
+    ).first()
+    if (row["dims"] or 0) > 1 or row["has_null"]:
+        raise ValueError(
+            f"embeddings must be rectangular and NULL-free: "
+            f"{row['dims']} distinct dims, null elements={row['has_null']}"
+        )
+
+
 @register(
     "q_kmeans_assign",
     oracle=f"""
@@ -151,6 +169,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; means are sorted folds, distances element-order folds, so
     every double is bit-identical."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _assert_clean_embeddings(emb)
     cents = (
         emb.filter(F.col("vec_id") < _K)
         .select(
@@ -388,6 +407,7 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cb side unchanged; the md5-free deterministic seed codebook is
     what makes the full encode oracle-checkable."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _assert_clean_embeddings(emb)
     return _pq_encode(emb).select(
         "vec_id",
         F.col("s").cast("bigint").alias("subspace"),
@@ -482,6 +502,7 @@ def q_sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines via sorted collect; the ADC sum folds in subspace
     order, so every double is bit-identical before the 8dp guard."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _assert_clean_embeddings(emb)
     cb = _pq_codebook(emb)  # shared by encode AND LUT: trained once
     codes = _pq_encode(emb, cb).groupBy("vec_id").agg(
         F.transform(
@@ -500,9 +521,13 @@ def q_sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # full M×K* slot spine: a codeword emptied by Lloyd training must
     # still occupy its LUT slot (as +inf) or the positional fold below
-    # would shift every later index
+    # would shift every later index.  Query ids come from the PRUNED
+    # key-only scan, not distinct() over lut0 — the latter re-executed
+    # the whole explode+codebook-join subtree a second time just to
+    # recover the ids (review-caught)
     spine = (
-        lut0.select("query_id")
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"))
         .distinct()
         .select(
             "query_id",
@@ -684,6 +709,7 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
+    _assert_clean_embeddings(emb)
     dims = emb.select(
         "label", F.posexplode("embedding").alias("pos0", "x")
     ).select(

@@ -136,7 +136,14 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     parts = []
     for name, child, ckey, parent, pkey in _REF_CHECKS:
-        c = load_table(spark, sf_dir, child).select(ckey)
+        # NULL FKs are excluded: left_anti would count them as orphans
+        # while the oracle's NOT IN evaluates NULL and filters them —
+        # a latent cross-engine split (review-caught).  A NULL FK is a
+        # completeness finding (q_dq_expectations' null rules), not a
+        # referential one.
+        c = load_table(spark, sf_dir, child).select(ckey).filter(
+            F.col(ckey).isNotNull()
+        )
         p = load_table(spark, sf_dir, parent).select(pkey)
         orphans = c.join(p, c[ckey] == p[pkey], "left_anti")
         parts.append(
@@ -197,7 +204,8 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.p_brand, p.p_partkey, p.p_size, p.p_retailprice AS price
     FROM part p
-    WHERE NOT EXISTS (
+    WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+      AND NOT EXISTS (
       SELECT 1 FROM part q
       WHERE q.p_brand = p.p_brand
         AND q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
@@ -223,6 +231,13 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     p = load_table(spark, sf_dir, "part").select(
         "p_brand", "p_partkey", "p_size", F.col("p_retailprice").alias("price")
+    ).filter(
+        # NULL price/size rows are excluded on BOTH engines: the
+        # oracle's NOT EXISTS would KEEP them (every dominator
+        # comparison is NULL) while the min-decomposition drops them —
+        # review-caught latent divergence; a NULL measure can't sit on
+        # a Pareto front meaningfully anyway
+        F.col("price").isNotNull() & F.col("p_size").isNotNull()
     )
     per_size = p.groupBy("p_brand", "p_size").agg(F.min("price").alias("minp"))
     w = (
