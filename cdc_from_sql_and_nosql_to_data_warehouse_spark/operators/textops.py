@@ -226,12 +226,10 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 word n-grams (bigrams) with corpus frequencies — the shingle
     generator reused at n=2, token column materialized first (see
     functions.text.word_shingles note)."""
-    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.text import word_shingles
-
     docs = load_table(spark, sf_dir, "documents")
     grams = (
         docs.select(X.tokens("text").alias("toks"))
-        .select(F.explode(word_shingles("toks", 2)).alias("bigram"))
+        .select(F.explode(X.word_shingles("toks", 2)).alias("bigram"))
     )
     return grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 5)
 
@@ -298,6 +296,8 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, token string")
     class SplitTokens:
         def eval(self, doc_id: int, text: str):
+            if text is None:  # oracle's unnest(NULL) emits zero rows
+                return
             for tok in text.lower().split():
                 if tok:
                     yield doc_id, tok
@@ -461,7 +461,7 @@ def q_bpe_pair_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cnt.source, t AS n_tokens, vocab,
       round(-list_reduce(
         list_prepend(CAST(0 AS DOUBLE),
-          list_sort(list((CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)))),
+          list_sort(list((CAST(c AS DOUBLE) / t) * round(ln(CAST(c AS DOUBLE) / t), 6)))),
         (x, y) -> x + y), 6) AS entropy
     FROM cnt JOIN tot USING (source)
     GROUP BY cnt.source, t, vocab
@@ -494,7 +494,10 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("c").cast("double") / F.col("t")
     return (
         cnt.join(tot, "source")
-        .select("source", "t", "vocab", (p * F.log(p)).alias("term"))
+        # the docstring's 6dp libm guard was claimed but not applied
+        # (review-caught: 410/5000 ln values differ bitwise JVM-vs-
+        # DuckDB); round ln BEFORE the product like every sibling op
+        .select("source", "t", "vocab", (p * F.round(F.log(p), 6)).alias("term"))
         .groupBy("source", F.col("t").alias("n_tokens"), "vocab")
         .agg(
             F.round(
@@ -854,6 +857,10 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.pair").alias("merge_pair"),
             (-F.col("m.neg")).alias("freq"),
         )
+        # a round with no adjacent pairs yields ONE all-NULL row from
+        # the global min (the oracle's LIMIT 1 yields zero rows) — drop
+        # it so exhausted corpora terminate cleanly on both engines
+        best = best.filter(F.col("merge_pair").isNotNull())
         best = best.localCheckpoint(eager=False)  # consumed by output AND next round
         steps.append(best)
         w = (
@@ -901,8 +908,8 @@ _BM25_TERMS_SQL = "('spark', 'merge', 'window')"
       SELECT tf.doc_id,
         round(
           round(ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5) + 1), 6)
-          * (CAST(44 * tf * l_total AS DOUBLE)
-             / CAST(20 * tf * l_total + 6 * l_total + 18 * dl * n_docs AS DOUBLE)),
+          * ((44.0 * tf * l_total)
+             / (20.0 * tf * l_total + 6.0 * l_total + 18.0 * dl * n_docs)),
           6) AS s
       FROM tf JOIN df USING (token) CROSS JOIN stats
     )
@@ -970,11 +977,15 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    ratio = (44 * F.col("tf") * F.col("l_total")).cast("double") / (
-        20 * F.col("tf") * F.col("l_total")
-        + 6 * F.col("l_total")
-        + 18 * F.col("dl") * F.col("n_docs")
-    ).cast("double")
+    # double arithmetic from the first multiply (same order both
+    # engines → still bit-identical): the int64 form 44·tf·l_total
+    # overflows at the ~1e13-token corpora this operator targets
+    # (review-caught; ANSI-on raises, ANSI-off silently wraps)
+    ratio = (F.lit(44.0) * F.col("tf") * F.col("l_total")) / (
+        F.lit(20.0) * F.col("tf") * F.col("l_total")
+        + F.lit(6.0) * F.col("l_total")
+        + F.lit(18.0) * F.col("dl") * F.col("n_docs")
+    )
     scored = (
         tf.join(F.broadcast(df_), "token")
         .crossJoin(F.broadcast(stats))

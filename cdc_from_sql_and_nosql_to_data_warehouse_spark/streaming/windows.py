@@ -100,7 +100,21 @@ def join_streams(
     watermark passes their eviction point — exactly the "impression
     with no click" attribution output."""
 
-    def _as(df: DataFrame, src: str, dst: str) -> DataFrame:
+    def _as(df: DataFrame, src: str, dst: str, explicit: bool) -> DataFrame:
+        # an EXPLICITLY named source column always wins: when the
+        # caller passes right_key/right_ts, a stale pre-existing
+        # r_{key}/rts column must not silently hijack the join
+        # (review-caught); the rename drops the stale one.  Only when
+        # the caller names nothing do we accept an already-renamed
+        # frame as-is.
+        if explicit:
+            if src not in df.columns:
+                raise ValueError(
+                    f"right stream lacks the named column {src!r}; columns: {df.columns}"
+                )
+            if dst in df.columns and src != dst:
+                df = df.drop(dst)
+            return df.withColumnRenamed(src, dst) if src != dst else df
         if dst in df.columns:
             return df
         if src not in df.columns:
@@ -109,8 +123,8 @@ def join_streams(
             )
         return df.withColumnRenamed(src, dst)
 
-    r = _as(right, right_key or key, f"r_{key}")
-    r = _as(r, right_ts or left_ts, "rts")
+    r = _as(right, right_key or key, f"r_{key}", explicit=right_key is not None)
+    r = _as(r, right_ts or left_ts, "rts", explicit=right_ts is not None)
     lw = left.withWatermark(left_ts, watermark)
     rw = r.withWatermark("rts", watermark)
     cond = (
