@@ -129,18 +129,28 @@ _R02_CHECKED = frozenset(
     }
 )
 
-def _driver_checked_from_disk() -> frozenset[str]:
+def _driver_rows_from_disk() -> tuple[frozenset[str], frozenset[str]]:
     """Absorb every CORRECTNESS_r*.json the driver has produced so far,
-    so the window self-rolls at the start of each round: any query with
-    a driver row (green or rows-only) yields its slot to a
-    never-checked one.  The hardcoded _R01/_R02 sets remain the
-    fallback if the files are absent (fresh clone)."""
+    so the window self-rolls at the start of each round.  Returns
+    (green, attempted):
+
+    - *green* — rows that passed (hash match, or the rows-only
+      ``no_oracle`` outcome); these yield their window slot for good.
+    - *attempted* — ANY driver row, including failures and errors.
+      A failed/errored query stays in the window (it is not green) but
+      it HAS consumed its round, so the parked queue behind it must
+      still self-promote — computing round-doneness from greens alone
+      was the round-3 priority inversion (VERDICT r3 §wrong-4).
+
+    The hardcoded _R01/_R02 sets remain the fallback if the files are
+    absent (fresh clone)."""
     import glob
     import json
     from pathlib import Path
 
     repo = Path(__file__).resolve().parents[2]
-    names: set[str] = set()
+    green: set[str] = set()
+    attempted: set[str] = set()
     for path in glob.glob(str(repo / "CORRECTNESS_r*.json")):
         try:
             rows = json.load(open(path))
@@ -151,15 +161,22 @@ def _driver_checked_from_disk() -> frozenset[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
+            attempted.add(name)
             # only GREEN rows yield their window slot: a failed or
             # errored query stays in the window for re-verification
             # after the fix
             if row.get("hash_match") or row.get("err") == "no_oracle":
-                names.add(name)
-    return frozenset(names)
+                green.add(name)
+    return frozenset(green), frozenset(attempted)
 
 
-_DRIVER_CHECKED = _R01_CHECKED | _R02_CHECKED | _driver_checked_from_disk()
+def _driver_checked_from_disk() -> frozenset[str]:
+    return _driver_rows_from_disk()[0]
+
+
+_DISK_GREEN, _DISK_ATTEMPTED = _driver_rows_from_disk()
+_DRIVER_CHECKED = _R01_CHECKED | _R02_CHECKED | _DISK_GREEN
+_DRIVER_ATTEMPTED = _R01_CHECKED | _R02_CHECKED | _DISK_ATTEMPTED
 
 # The round-3 window: every remaining never-driver-checked oracle-bearing
 # query (48 = this queue + _DEFER_REDUNDANT).  Newly-registered round-3
@@ -308,27 +325,29 @@ _R04_QUEUE = frozenset(
 )
 
 
-_R03_DONE = _R03_QUEUE <= _DRIVER_CHECKED
-
-
 def _window_priority(spec: QuerySpec) -> int:
     if spec.name in _DRIVER_CHECKED:
-        return 5
-    if not spec.oracle:
-        return 4
-    if spec.name in _R03_QUEUE:
+        return 6  # green — yields its slot for good
+    if spec.name in _DRIVER_ATTEMPTED:
+        # attempted but NOT green: a driver failure/error.  Highest
+        # priority — the fix ships this round and must be re-verified
+        # before anything new consumes a slot.
         return 0
-    if spec.name in _DEFER_REDUNDANT:
+    if not spec.oracle:
+        return 5  # rows-only; can't go green, last among unchecked
+    if spec.name in _R03_QUEUE:
         return 1
+    if spec.name in _DEFER_REDUNDANT:
+        return 2
     if spec.name in _R04_QUEUE:
-        # once CORRECTNESS_r03 has absorbed the round-3 window, the
-        # parked round-4 queue self-promotes to the window front —
-        # ahead of anything registered in round 4 itself
-        return 0 if _R03_DONE else 3
-    # oracle-bearing queries registered this round: behind the queued
-    # set so a new addition can never push a queued query out of the
-    # window
-    return 2
+        # parked queue: self-promotes the moment the round-3 window
+        # was ATTEMPTED (not necessarily green) — always ahead of
+        # anything registered after it
+        return 3
+    # oracle-bearing queries registered this round: strictly behind
+    # the parked queue so a new addition can never push a parked
+    # query out of the window
+    return 4
 
 
 def _reorder_registry() -> None:

@@ -175,7 +175,10 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_files"),
             F.sum("n_bytes").alias("bin_bytes"),
-            F.sort_array(F.collect_list("file")).alias("files"),
+            # comma-joined (file names are catalog-controlled, no commas):
+            # the harness canonicalizer cannot hash array cells, so the
+            # plan row carries a scalar string instead of array<string>
+            F.array_join(F.sort_array(F.collect_list("file")), ",").alias("files"),
         )
         .orderBy("bin_id")
     )

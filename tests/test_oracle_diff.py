@@ -40,10 +40,15 @@ def canon(v):
         return ("ts", v.isoformat())
     if isinstance(v, datetime.date):
         return ("d", v.isoformat())
-    if isinstance(v, (list, tuple)):
-        return ("l", tuple(canon(x) for x in v))
-    if isinstance(v, dict):
-        return ("m", tuple(sorted((k, canon(x)) for k, x in v.items())))
+    if isinstance(v, (list, tuple, dict, set)):
+        # Mirror the driver's real limitation: its pandas canonicalizer
+        # cannot hash nested cells (round-3 ERR class).  A lenient local
+        # canon here is exactly how three queries shipped "green" and
+        # died at the gate — so nested output now fails locally too.
+        raise TypeError(
+            f"nested cell {type(v).__name__} in oracle-checked output — "
+            "explode to scalar rows or serialize in BOTH query and oracle"
+        )
     if isinstance(v, (bytes, bytearray)):
         return ("by", bytes(v))
     return ("s", str(v))
@@ -147,3 +152,23 @@ def test_rows_only_runs(spark, spec):
     df = spec.fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+def test_no_nested_types_in_oracle_output(spark, spec):
+    """Structural ban making the round-3 ERR class impossible: the
+    driver's pandas canonicalizer cannot hash array/map/struct cells,
+    so no oracle-bearing query may emit one — explode to scalar rows
+    or serialize (to_json/array_join) instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = spec.fn(spark, SF_DIR)
+    nested = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"{spec.name} emits nested column(s) {nested} — the driver's "
+        "canonicalizer dies on these (round-3 ERR class)"
+    )

@@ -1,10 +1,10 @@
 """Registry verification-window budget (SURVEY.md §5.2.1).
 
 The driver's CORRECTNESS gate checks only the FIRST 50 entries of
-``operators.REGISTRY`` per round.  These tests pin the round-3 contract:
-every oracle-bearing query that has never received a driver CORRECTNESS
-row sits inside the first 50 positions, and nothing already verified in
-rounds 1-2 wastes a window slot while unchecked work remains.
+``operators.REGISTRY`` per round.  These tests pin the post-round-3
+contract: driver failures re-verify first, the parked round-4 queue
+self-promotes once its predecessors were ATTEMPTED (green or not), and
+queries registered later can never displace parked ones.
 """
 
 from __future__ import annotations
@@ -18,35 +18,78 @@ def _window_names() -> list[str]:
     return list(ops.REGISTRY)[:WINDOW]
 
 
-def test_all_unchecked_oracle_queries_fit_in_window():
-    unchecked = [
+def test_driver_failures_reverify_at_window_front():
+    """Every query the driver attempted but did not pass (the round-3
+    ERR rows) must sit at the very front of the window — their fixes
+    ship this round and need a green row before new work spends
+    slots."""
+    failed = [
         s.name
         for s in ops.REGISTRY.values()
-        if s.oracle
-        and s.name not in ops._DRIVER_CHECKED
-        and s.name not in ops._R04_QUEUE  # explicitly parked for round 4
+        if s.name in ops._DRIVER_ATTEMPTED and s.name not in ops._DRIVER_CHECKED
     ]
-    window = set(_window_names())
-    missing = [n for n in unchecked if n not in window]
-    assert not missing, (
-        f"{len(unchecked)} unchecked oracle-bearing queries but these fell "
-        f"outside the 50-entry driver window: {missing} — park extras in "
-        f"_R04_QUEUE instead of letting them displace the queue"
-    )
-    # parked queries sit immediately behind the window, nothing lost
     order = list(ops.REGISTRY)
-    for n in ops._R04_QUEUE:
-        assert order.index(n) >= WINDOW, f"{n} is parked but inside the window"
+    for n in failed:
+        assert order.index(n) < len(failed), (
+            f"driver-failed query {n} is not at the window front: "
+            f"index {order.index(n)}, {len(failed)} failures total"
+        )
 
 
-def test_checked_queries_do_not_occupy_window_while_unchecked_remain():
-    n_unchecked = sum(
+def test_window_filled_by_unverified_before_anything_green():
+    """While not-yet-green queries remain, no green query occupies a
+    window slot."""
+    n_not_green = sum(
         1 for s in ops.REGISTRY.values() if s.name not in ops._DRIVER_CHECKED
     )
-    if n_unchecked < WINDOW:
-        return  # window has spare room; checked entries may legitimately fill it
-    rechecked = [n for n in _window_names() if n in ops._DRIVER_CHECKED]
-    assert not rechecked, f"window slots wasted on already-green queries: {rechecked}"
+    if n_not_green < WINDOW:
+        return  # window has spare room; green entries may legitimately fill it
+    greens = [n for n in _window_names() if n in ops._DRIVER_CHECKED]
+    assert not greens, f"window slots wasted on already-green queries: {greens}"
+
+
+def test_parked_queue_promotes_ahead_of_new_registrations():
+    """The round-3 priority-inversion regression test: every
+    never-attempted _R04_QUEUE query precedes every oracle-bearing
+    query that is in NO queue (i.e. registered in round 4+)."""
+    order = list(ops.REGISTRY)
+    queued = ops._R03_QUEUE | ops._DEFER_REDUNDANT | ops._R04_QUEUE
+    parked_idx = [
+        order.index(s.name)
+        for s in ops.REGISTRY.values()
+        if s.name in ops._R04_QUEUE and s.name not in ops._DRIVER_ATTEMPTED
+    ]
+    new_idx = [
+        order.index(s.name)
+        for s in ops.REGISTRY.values()
+        if s.oracle
+        and s.name not in queued
+        and s.name not in ops._DRIVER_ATTEMPTED
+    ]
+    if parked_idx and new_idx:
+        assert max(parked_idx) < min(new_idx), (
+            "a round-4+ registration displaced a parked _R04_QUEUE query"
+        )
+
+
+def test_window_is_exactly_failures_then_parked_queue():
+    """With 3 driver failures and >47 parked queries, the round-4
+    window must be: the failures, then the first 47 parked entries in
+    registration order — nothing else."""
+    failed = {
+        s.name
+        for s in ops.REGISTRY.values()
+        if s.name in ops._DRIVER_ATTEMPTED and s.name not in ops._DRIVER_CHECKED
+    }
+    if not failed:
+        return  # a future round where everything went green
+    window = _window_names()
+    assert failed <= set(window[: len(failed)])
+    for n in window[len(failed) :]:
+        assert n in ops._R04_QUEUE, (
+            f"{n} fills a window slot but is neither a driver failure "
+            "nor a parked _R04_QUEUE query"
+        )
 
 
 def test_queue_names_are_registered():
@@ -73,17 +116,28 @@ def test_disk_absorption_matches_hardcoded_sets():
     assert _R01_CHECKED <= disk
 
 
-def test_window_rolls_forward_when_r03_lands(tmp_path, monkeypatch):
-    """Simulate the driver writing CORRECTNESS_r03.json: every green
-    name must leave the front of the window (priority 5)."""
-    import json
+def test_failed_rows_are_attempted_but_not_green():
+    """The three round-3 ERR rows drive the new priority logic: they
+    must be in _DRIVER_ATTEMPTED yet outside _DRIVER_CHECKED."""
+    green, attempted = ops._driver_rows_from_disk()
+    assert green <= attempted
+    failed = attempted - green
+    # round-3 produced exactly these errors; later rounds may clear them
+    for n in failed:
+        assert n in ops.REGISTRY
+        assert n not in ops._DRIVER_CHECKED
+        assert n in ops._DRIVER_ATTEMPTED
 
-    from cdc_from_sql_and_nosql_to_data_warehouse_spark import operators as ops
+
+def test_window_rolls_forward_when_correctness_lands(tmp_path, monkeypatch):
+    """Simulate the driver writing a new CORRECTNESS file: every green
+    name must be absorbed; a failed row must not be."""
+    import json
 
     front = list(ops.REGISTRY)[:50]
     fake = {name: {"rows_match": True, "schema_match": True,
                    "hash_match": True, "err": None} for name in front}
-    # one failure: must stay in the window
+    # one failure: must stay unabsorbed (but count as attempted)
     fail_name = front[0]
     fake[fail_name]["hash_match"] = False
     p = tmp_path / "CORRECTNESS_r99.json"
@@ -95,6 +149,7 @@ def test_window_rolls_forward_when_r03_lands(tmp_path, monkeypatch):
     monkeypatch.setattr(
         _glob, "glob", lambda pat: real_glob(pat) + [str(p)]
     )
-    absorbed = ops._driver_checked_from_disk()
-    assert fail_name not in absorbed
-    assert set(front[1:]) <= absorbed
+    green, attempted = ops._driver_rows_from_disk()
+    assert fail_name not in green
+    assert fail_name in attempted
+    assert set(front[1:]) <= green

@@ -57,10 +57,17 @@ def canon(v):
         return "ts:" + v.isoformat()
     if isinstance(v, datetime.date):
         return "d:" + v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "l:[" + ",".join(canon(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "m:{" + ",".join(f"{k}={canon(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (list, tuple, dict, set)):
+        # The driver's canonicalizer is a pandas sort_values over every
+        # column — it CANNOT hash nested cells and dies with
+        # "unhashable type: 'list'" (the round-3 ERR class).  The local
+        # gate must be at least as strict, so nested output is a hard
+        # local failure, not a silent lenient pass.
+        raise TypeError(
+            f"nested cell {type(v).__name__} in oracle-checked output — the "
+            "driver's pandas canonicalizer cannot hash it; explode to scalar "
+            "rows or serialize (to_json/array_join) in BOTH query and oracle"
+        )
     if isinstance(v, (bytes, bytearray)):
         return "by:" + bytes(v).hex()
     return "s:" + str(v)
