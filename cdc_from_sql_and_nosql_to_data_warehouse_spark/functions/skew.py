@@ -30,6 +30,8 @@ def salted_join(
     to ``big.join(small, on=<keys>, how)`` for inner/left joins.
     Accepts composite keys (lists); small-side key columns whose names
     match the big side are dropped, mirroring the list-``on`` join."""
+    from pyspark.sql.types import MapType
+
     big_keys = [big_key] if isinstance(big_key, str) else list(big_key)
     small_keys = [small_key] if isinstance(small_key, str) else list(small_key)
     # the salt must vary WITHIN a key or salting is a no-op: a salt
@@ -38,12 +40,21 @@ def salted_join(
     # small side still pays ×salt_n replication (review-caught — the
     # original form hashed only the key columns).  Hashing the whole
     # row spreads a hot key across salts deterministically (no RNG, so
-    # results are reproducible); only fully identical duplicate rows
-    # share a salt, which no salting scheme can split further
-    # meaningfully.
-    salted_big = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n))
-    )
+    # task placement is reproducible).  Map-typed columns are EXCLUDED
+    # from the hash — xxhash64 rejects MapType at analysis time
+    # (advisory r3); with no hashable non-key variation left (all-map
+    # payload, or fully duplicate hot rows), the salt falls back to
+    # the physical position (partition id + in-partition id), which
+    # spreads even identical rows — join RESULTS are salt-independent,
+    # so the fallback trades only placement determinism.
+    hashable = [
+        f.name for f in big.schema.fields if not isinstance(f.dataType, MapType)
+    ]
+    if hashable and set(hashable) - set(big_keys):
+        salt_src = F.xxhash64(*[F.col(c) for c in hashable])
+    else:
+        salt_src = F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id())
+    salted_big = big.withColumn("__salt", F.pmod(salt_src, F.lit(salt_n)))
     # replicating the small side is a flatMap, not a shuffle
     salted_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))

@@ -36,6 +36,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_VERSION"
+_COMMITS = "_COMMITS"
 _TMP_PREFIX = "_staging_"
 
 
@@ -43,24 +44,57 @@ def _pointer_path(table_dir: str) -> str:
     return os.path.join(table_dir, _POINTER)
 
 
+def _journal_path(table_dir: str) -> str:
+    return os.path.join(table_dir, _COMMITS)
+
+
+def _journal_high(table_dir: str) -> int | None:
+    """Highest version recorded in the append-only commit journal that
+    still has its version dir on disk; None if no usable entry."""
+    try:
+        with open(_journal_path(table_dir)) as fh:
+            lines = fh.read().split()
+    except OSError:
+        return None
+    on_disk = set(list_versions(table_dir))
+    best = None
+    for tok in lines:
+        if tok.isdigit() and int(tok) in on_disk:
+            best = max(best or 0, int(tok))
+    return best
+
+
 def current_version(table_dir: str) -> int:
     """Version the pointer names; 0 if the table has never committed.
 
     A corrupt/truncated pointer (possible only if the filesystem loses
     the pointer's data after persisting the rename — the fsync in
-    commit_version closes that window on POSIX) falls back to the
-    HIGHEST version directory present rather than bricking the table:
-    every ``_v{n}`` dir is complete by construction (staged + renamed),
-    and falling back LOW would let the next commit's orphan-clean
-    delete published data."""
+    commit_version closes that window on POSIX) recovers from the
+    append-only ``_COMMITS`` journal, which records every version that
+    was PROVABLY published (appended right after the pointer flip).
+    The previous fallback — highest ``_v{n}`` dir on disk — could
+    expose an unpublished orphan (crash between the version rename and
+    the pointer flip, or a WAP-audit reject mid-flight); the journal
+    cannot, because entries are written only post-flip.  With no
+    journal entry either, the table FAILS LOUDLY: guessing high risks
+    serving never-committed data, guessing low lets the next commit's
+    orphan-clean delete published data — both are worse than a human
+    look at two small files."""
     try:
         with open(_pointer_path(table_dir)) as fh:
             return int(fh.read().strip())
     except FileNotFoundError:
         return 0
     except ValueError:
-        versions = list_versions(table_dir)
-        return versions[-1] if versions else 0
+        recovered = _journal_high(table_dir)
+        if recovered is not None:
+            return recovered
+        raise RuntimeError(
+            f"corrupt version pointer for {table_dir} and no usable "
+            f"_COMMITS journal — refusing to guess; inspect "
+            f"{_pointer_path(table_dir)} (on-disk versions: "
+            f"{list_versions(table_dir)})"
+        ) from None
 
 
 def list_versions(table_dir: str) -> list[int]:
@@ -148,6 +182,13 @@ def flip_pointer(table_dir: str, n: int) -> None:
         os.fsync(dir_fd)  # rename itself durable
     finally:
         os.close(dir_fd)
+    # append-only journal of provably-published versions: written only
+    # AFTER the flip, so a corrupt-pointer recovery reading it can never
+    # resurrect an unpublished orphan (current_version's fallback)
+    with open(_journal_path(table_dir), "a") as fh:
+        fh.write(f"{n}\n")
+        fh.flush()
+        os.fsync(fh.fileno())
 
 
 def link_tree(src: str, dst: str) -> None:

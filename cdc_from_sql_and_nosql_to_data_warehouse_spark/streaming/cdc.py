@@ -125,11 +125,46 @@ def apply_changes(
     # such rows to the error channel BEFORE apply (errors_dir)
     flat = flat.filter(F.col("__key").isNotNull())
     if target is not None:
+        # ADDITIVE schema evolution: the change images and the target
+        # may each carry columns the other lacks (a new column added
+        # upstream, or a legacy column no longer sent).  Align both
+        # __img structs to the UNION of field names, null-filling the
+        # missing side, so the union below cannot fail with
+        # INCOMPATIBLE_COLUMN_TYPE and a later-added column survives
+        # the merge instead of wedging the stream.  Type CHANGES to an
+        # existing column are not resolved here (they still fail
+        # loudly — silent cast-widening hides real producer bugs).
+        img_schema = {
+            f.name: f.dataType
+            for f in valid.schema["newImage"].dataType.fields
+        }
+        tgt_schema = {f.name: f.dataType for f in target.schema.fields}
+        all_names = list(img_schema) + [
+            c for c in target.columns if c not in img_schema
+        ]
+
+        def _aligned(schema: dict, col_of) -> F.Column:
+            return F.struct(
+                *[
+                    (
+                        col_of(name)
+                        if name in schema
+                        else F.lit(None).cast(
+                            img_schema.get(name) or tgt_schema[name]
+                        )
+                    ).alias(name)
+                    for name in all_names
+                ]
+            )
+
         base = target.select(
             F.col(key).alias("__key"),
             F.lit(_BASE_SEQ).cast("long").alias("__seq"),
             F.lit(False).alias("__is_remove"),
-            F.struct(*[F.col(c) for c in target.columns]).alias("__img"),
+            _aligned(tgt_schema, F.col).alias("__img"),
+        )
+        flat = flat.withColumn(
+            "__img", _aligned(img_schema, lambda n: F.col(f"__img.{n}"))
         )
         flat = base.unionByName(flat)
     # seq ties resolve deterministically: REMOVE beats an image at the
@@ -191,9 +226,16 @@ def start_append_stream(
     ``errors_dir``: where unknown/corrupt events land as NDJSON (the
     error channel made REAL — a split whose invalid side is discarded
     is silent data loss with extra steps).  foreachBatch is used so
-    both sides of the split write from one micro-batch; error writes
-    are at-least-once under replay (append mode), which is the right
-    trade for a diagnostics feed."""
+    both sides of the split write from one micro-batch.  The DATA side
+    stays exactly-once under replay: each batch OVERWRITES its own
+    ``batch_id=N`` partition subdir, so a crash after the write but
+    before the checkpoint commit converges on redo instead of
+    duplicating rows (a plain ``mode('append')`` here silently
+    downgraded the main output to at-least-once; advisory r3).  Read
+    the table with ``spark.read.parquet(out_dir)`` — partition
+    discovery exposes ``batch_id`` as an extra bigint column (drop it,
+    or keep it as free write lineage).  Error writes remain
+    at-least-once (append), the right trade for a diagnostics feed."""
     if errors_dir is None:
         valid, _ = split_change_events(changes)
         images = valid.select(F.col("newImage.*"))
@@ -210,7 +252,9 @@ def start_append_stream(
     def _append(batch: DataFrame, batch_id: int) -> None:
         valid, invalid = split_change_events(batch)
         invalid.write.mode("append").json(errors_dir)
-        valid.select(F.col("newImage.*")).write.mode("append").parquet(out_dir)
+        valid.select(F.col("newImage.*")).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
     writer = changes.writeStream.foreachBatch(_append).option(
         "checkpointLocation", checkpoint_dir
@@ -311,10 +355,22 @@ def start_merge_stream(
             committed = V.current_version(table_dir)
             V._clean_orphans(table_dir, committed)
             cur_dir = os.path.join(table_dir, f"_v{committed}")
+            schema_dir = os.path.join(table_dir, "_schema")
             if committed >= 1:
+                # read with the _schema sidecar when present (mirrors
+                # read_merge_table): an all-keys-REMOVEd version holds
+                # zero parquet files, and schema inference over it
+                # raises UNABLE_TO_INFER_SCHEMA — which wedged the
+                # stream forever under checkpoint replay (advisory r3)
+                if os.path.isdir(schema_dir):
+                    cur_reader = spark.read.schema(
+                        spark.read.parquet(schema_dir).schema
+                    )
+                else:
+                    cur_reader = spark.read
                 # partition pruning: only the touched bucket dirs are read
                 current = (
-                    spark.read.parquet(cur_dir)
+                    cur_reader.parquet(cur_dir)
                     .filter(F.col("__bucket").isin(touched))
                     .drop("__bucket")
                 )
@@ -335,10 +391,29 @@ def start_merge_stream(
                         os.path.join(cur_dir, entry), os.path.join(staging, entry)
                     )
             # schema sidecar: keeps the table readable (typed, empty)
-            # even when a later batch REMOVEs every key
-            schema_dir = os.path.join(table_dir, "_schema")
-            if not os.path.isdir(schema_dir):
-                merged.limit(0).write.mode("overwrite").parquet(schema_dir)
+            # even when a later batch REMOVEs every key.  REFRESHED
+            # whenever the merged schema differs (a write-once sidecar
+            # pinned the first batch's schema forever and silently
+            # nulled later-added columns; advisory r3) — staged + dir
+            # rename so a concurrent reader never sees a partial write.
+            def _shape(schema):  # nullability churns across parquet round-trips
+                return [(f.name, f.dataType) for f in schema.fields]
+
+            stale = os.path.isdir(schema_dir) and _shape(
+                spark.read.parquet(schema_dir).schema
+            ) != _shape(merged.schema)
+            if stale or not os.path.isdir(schema_dir):
+                schema_tmp = schema_dir + ".tmp"
+                merged.limit(0).write.mode("overwrite").parquet(schema_tmp)
+                if os.path.isdir(schema_dir):
+                    retired = schema_dir + f".old{n}"
+                    os.rename(schema_dir, retired)
+                    os.rename(schema_tmp, schema_dir)
+                    import shutil
+
+                    shutil.rmtree(retired, ignore_errors=True)
+                else:
+                    os.rename(schema_tmp, schema_dir)
             os.rename(staging, os.path.join(table_dir, f"_v{n}"))
             V.flip_pointer(table_dir, n)
             V.vacuum(table_dir, keep_last=keep_versions)

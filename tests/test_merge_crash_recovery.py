@@ -182,3 +182,80 @@ def test_versions_vacuum_down_to_keep(spark, tdir):
     assert V.current_version(table) == 4
     assert len(V.list_versions(table)) <= 2
     assert cdc.read_merge_table(spark, table).count() == 4
+
+
+def test_merge_after_all_keys_removed_does_not_wedge(spark, tdir):
+    """Advisory r3 (high): after an all-keys-REMOVEd batch, the NEXT
+    batch's internal read of the empty current version must use the
+    _schema sidecar — plain inference raises UNABLE_TO_INFER_SCHEMA
+    and checkpoint replay re-fails forever."""
+    drop, table, ck = f"{tdir}/drop", f"{tdir}/table", f"{tdir}/ck"
+    os.makedirs(drop)
+    _drop_file(drop, [_trade(i, i, float(i)) for i in range(4)])
+    q = cdc.start_merge_stream(cdc.read_change_stream(spark, drop), table, ck)
+    q.awaitTermination(120)
+
+    drop2, ck2 = f"{tdir}/drop2", f"{tdir}/ck2"
+    os.makedirs(drop2)
+    _drop_file(drop2, [_remove(i, 100 + i) for i in range(4)])
+    q = cdc.start_merge_stream(cdc.read_change_stream(spark, drop2), table, ck2)
+    q.awaitTermination(120)
+    assert cdc.read_merge_table(spark, table).count() == 0
+
+    # the wedge: merging NEW keys into the emptied table
+    drop3, ck3 = f"{tdir}/drop3", f"{tdir}/ck3"
+    os.makedirs(drop3)
+    _drop_file(drop3, [_trade(100 + i, 200 + i, 9.5) for i in range(3)])
+    q = cdc.start_merge_stream(cdc.read_change_stream(spark, drop3), table, ck3)
+    q.awaitTermination(120)
+    got = cdc.read_merge_table(spark, table)
+    assert got.count() == 3
+    assert {r["id"] for r in got.collect()} == {"t100", "t101", "t102"}
+
+
+def test_schema_sidecar_refreshes_on_evolution(spark, tdir):
+    """Advisory r3 (low): a batch whose payload carries a new column
+    must refresh the _schema sidecar, or read_merge_table pins the
+    first batch's schema forever and silently nulls the new column —
+    proven here by EMPTYING the evolved table, where the sidecar is
+    the only schema source left."""
+    drop, table, ck = f"{tdir}/drop", f"{tdir}/table", f"{tdir}/ck"
+    os.makedirs(drop)
+    _drop_file(drop, [_trade(i, i, float(i)) for i in range(3)])
+    q = cdc.start_merge_stream(cdc.read_change_stream(spark, drop), table, ck)
+    q.awaitTermination(120)
+
+    # evolved source: newImage carries an extra 'venue' column
+    from pyspark.sql import types as T
+
+    img = cdc.CHANGE_EVENT_SCHEMA["newImage"].dataType
+    evolved_img = T.StructType(
+        list(img.fields) + [T.StructField("venue", T.StringType(), True)]
+    )
+    evolved_schema = T.StructType(
+        [
+            f if f.name != "newImage" else T.StructField("newImage", evolved_img, True)
+            for f in cdc.CHANGE_EVENT_SCHEMA.fields
+        ]
+    )
+    drop2, ck2 = f"{tdir}/drop2", f"{tdir}/ck2"
+    os.makedirs(drop2)
+    ev = _trade(10, 100, 1.5)
+    ev["newImage"]["venue"] = "NYSE"
+    _drop_file(drop2, [ev])
+    evolved = spark.readStream.schema(evolved_schema).json(drop2)
+    q = cdc.start_merge_stream(evolved, table, ck2)
+    q.awaitTermination(120)
+    assert "venue" in cdc.read_merge_table(spark, table).columns
+
+    # empty the table: the refreshed sidecar must now carry 'venue'
+    drop3, ck3 = f"{tdir}/drop3", f"{tdir}/ck3"
+    os.makedirs(drop3)
+    _drop_file(
+        drop3, [_remove(i, 200 + i) for i in range(3)] + [_remove(10, 210)]
+    )
+    q = cdc.start_merge_stream(cdc.read_change_stream(spark, drop3), table, ck3)
+    q.awaitTermination(120)
+    got = cdc.read_merge_table(spark, table)
+    assert got.count() == 0
+    assert "venue" in got.columns, "sidecar pinned the pre-evolution schema"

@@ -152,3 +152,43 @@ def test_salted_join_actually_spreads_hot_key(spark):
     )
     n_salts = salted.select("__salt").distinct().count()
     assert n_salts == 4, f"hot key spread over {n_salts}/4 salts"
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    """Advisory r3: a map-typed payload column must not crash the salt
+    hash (xxhash64 rejects MapType); results still match the plain
+    join."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 3, {"k": str(i)}) for i in range(30)], "k int, payload map<string,string>"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, v string")
+    out = salted_join(big, small, "k", "k").collect()
+    plain = big.join(small, "k").collect()
+    assert len(out) == len(plain) == 30
+    assert sorted(r["v"] for r in out) == sorted(r["v"] for r in plain)
+
+
+def test_salted_join_spreads_fully_duplicate_hot_rows(spark):
+    """All-duplicate hot-key rows (no non-key variation) fall back to a
+    positional salt: more than one distinct salt must appear."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.skew import salted_join
+    from pyspark.sql import functions as F
+
+    big = spark.createDataFrame([(7,)] * 64, "k int").repartition(8)
+    small = spark.createDataFrame([(7, "x")], "k int, v string")
+    out = salted_join(big, small, "k", "k")
+    assert out.count() == 64
+    # peek at the salt distribution before it is dropped
+    from pyspark.sql.types import MapType  # noqa: F401
+
+    salted = big.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+            F.lit(8),
+        ),
+    )
+    n_salts = salted.select("__salt").distinct().count()
+    assert n_salts > 1, "duplicate hot rows still collapse onto one salt"

@@ -503,3 +503,42 @@ def test_merge_stream_error_channel(spark, tdir):
     err = spark.read.json(errors)
     assert err.count() == 2
     assert sorted(r["seq"] for r in err.collect()) == [2, 3]
+
+
+def test_append_stream_with_errors_is_exactly_once_on_replay(spark, tdir):
+    """Advisory r3 (medium): enabling errors_dir must not downgrade the
+    DATA output to at-least-once.  Each batch overwrites its own
+    batch_id=N subdir, so replaying the same batch (crash before the
+    checkpoint commit, simulated by wiping the checkpoint) converges
+    instead of duplicating rows."""
+    import os
+
+    drop, out, ck = f"{tdir}/drop", f"{tdir}/out", f"{tdir}/ck"
+    errors = f"{tdir}/errors"
+    os.makedirs(drop)
+    _drop_events_file(
+        drop,
+        [
+            {"eventName": "INSERT", "seq": 1,
+             "newImage": {"id": "a", "price": 1.0, "shares": 1}, "removedId": None},
+            {"eventName": "BOGUS", "seq": 2,
+             "newImage": {"id": "b", "price": 2.0, "shares": 1}, "removedId": None},
+        ],
+    )
+    q = cdc.start_append_stream(
+        cdc.read_change_stream(spark, drop), out, ck, errors_dir=errors
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(out).drop("batch_id")
+    assert first.count() == 1 and first.first()["id"] == "a"
+
+    # replay batch 0: fresh checkpoint, same source → same batch_id
+    shutil.rmtree(ck)
+    q = cdc.start_append_stream(
+        cdc.read_change_stream(spark, drop), out, f"{tdir}/ck2", errors_dir=errors
+    )
+    q.awaitTermination(120)
+    again = spark.read.parquet(out).drop("batch_id")
+    assert again.count() == 1, "replayed batch duplicated data rows"
+    # the diagnostics feed is allowed to duplicate (at-least-once)
+    assert spark.read.json(errors).count() >= 1

@@ -129,11 +129,11 @@ def test_unpublished_version_is_unreadable(spark, tmp_path, monkeypatch):
         V.read_table(spark, t, version=2)  # ...but not readable
 
 
-def test_corrupt_pointer_self_heals_high(spark, tmp_path):
+def test_corrupt_pointer_recovers_from_commit_journal(spark, tmp_path):
     """A truncated pointer must not brick the table: current_version
-    falls back to the highest version dir (falling back low would let
-    orphan-cleaning delete published data), reads keep working, and
-    the next commit repairs the pointer."""
+    recovers the last PROVABLY-published version from the _COMMITS
+    journal (appended post-flip), reads keep working, and the next
+    commit repairs the pointer."""
     t = str(tmp_path / "tbl")
     V.commit_version(_df(spark, "v1"), t)
     V.commit_version(_df(spark, "v2"), t)
@@ -143,3 +143,39 @@ def test_corrupt_pointer_self_heals_high(spark, tmp_path):
     assert V.read_table(spark, t).select("tag").distinct().collect()[0][0] == "v2"
     assert V.commit_version(_df(spark, "v3"), t) == 3
     assert V.current_version(t) == 3
+
+
+def test_corrupt_pointer_never_resurrects_unpublished_orphan(spark, tmp_path, monkeypatch):
+    """The round-3 advisory: with a corrupt pointer, an on-disk version
+    dir ABOVE the last journaled commit (crash between version rename
+    and pointer flip, or a rejected WAP audit) must NOT become current —
+    the journal, not the directory listing, is the publication witness."""
+    t = str(tmp_path / "tbl")
+    V.commit_version(_df(spark, "v1"), t)
+    # orphan: crash injected between rename and flip
+    real_flip = V.flip_pointer
+
+    def crash_flip(table_dir, n):
+        raise RuntimeError("crash before pointer flip")
+
+    monkeypatch.setattr(V, "flip_pointer", crash_flip)
+    with pytest.raises(RuntimeError, match="crash"):
+        V.commit_version(_df(spark, "orphan"), t)
+    monkeypatch.setattr(V, "flip_pointer", real_flip)
+    assert os.path.isdir(os.path.join(t, "_v2"))  # orphan present
+    with open(os.path.join(t, V._POINTER), "w") as fh:
+        fh.write("garbage")
+    assert V.current_version(t) == 1  # journal wins, orphan invisible
+    assert V.read_table(spark, t).select("tag").distinct().collect()[0][0] == "v1"
+
+
+def test_corrupt_pointer_without_journal_fails_loudly(spark, tmp_path):
+    """No pointer AND no journal → refuse to guess (raising beats
+    silently serving data that may never have been committed)."""
+    t = str(tmp_path / "tbl")
+    V.commit_version(_df(spark, "v1"), t)
+    os.remove(os.path.join(t, V._COMMITS))
+    with open(os.path.join(t, V._POINTER), "w") as fh:
+        fh.write("not-a-number")
+    with pytest.raises(RuntimeError, match="refusing to guess"):
+        V.current_version(t)
