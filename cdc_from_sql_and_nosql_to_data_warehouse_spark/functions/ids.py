@@ -80,41 +80,76 @@ def running_total(
     value_col: str,
     total_col: str = "running_total",
     partitions: int | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Inclusive global prefix sum of ``value_col`` in the total order
-    of ``order_cols`` — the value analogue of ``assign_dense_ids``
+    """Inclusive prefix sum of ``value_col`` in the total order of
+    ``order_cols`` — the value analogue of ``assign_dense_ids``
     (same plan: range-partition, in-partition window cumsum, add the
     exclusive prefix sum of per-partition totals collected to the
     driver — one long per partition).  Equivalent to the single-task
     ``sum(v) over (order by …)`` but every stage is parallel; this is
     what sequence packing / shard sizing use to place 10^9 documents
-    on token-offset boundaries without a global sort bottleneck."""
+    on token-offset boundaries without a global sort bottleneck.
+
+    ``group_cols`` makes the prefix sum PER-GROUP (``sum(v) over
+    (partition by g order by …)``) while still parallelizing WITHIN a
+    group: rows range-partition on (group, order), the in-partition
+    window restarts per group, and the driver-side offset is keyed on
+    (partition, group) — one entry per group-run that touches a
+    partition boundary, ≈ partitions + groups entries, a few KB even
+    at 100 TB.  This is how a running budget over one giant source
+    (e.g. a 10^9-doc crawl dump) avoids the one-task-per-source
+    window.  Group values must round-trip through a string cast
+    (string/int/date keys do; binary/float keys don't belong in a
+    group key anyway)."""
+    groups = list(group_cols or [])
     cols: list[Column] = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    range_cols = [F.col(g) for g in groups] + cols
     ranged = (
-        df.repartitionByRange(partitions, *cols) if partitions else df.repartitionByRange(*cols)
+        df.repartitionByRange(partitions, *range_cols)
+        if partitions
+        else df.repartitionByRange(*range_cols)
     )
     ranged = (
-        ranged.sortWithinPartitions(*cols)
+        ranged.sortWithinPartitions(*range_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
     totals = {
-        r["__pid"]: r["t"]
-        for r in ranged.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect()
+        tuple(r[c] for c in ["__pid", *groups]): r["t"]
+        for r in ranged.groupBy("__pid", *groups)
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
     }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid] or 0
+    offsets: dict[tuple, int] = {}
+    acc: dict[tuple, int] = {}
+    for key in sorted(totals, key=lambda k: k[0]):
+        g = key[1:]
+        offsets[key] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + (totals[key] or 0)
+
+    def _key_col() -> Column:
+        parts = [F.col("__pid").cast("string")] + [
+            F.coalesce(F.col(g).cast("string"), F.lit("\x01NULL")) for g in groups
+        ]
+        return F.concat_ws("\x00", *parts)
+
+    def _key_str(key: tuple) -> str:
+        return "\x00".join(
+            [str(key[0])]
+            + ["\x01NULL" if v is None else str(v) for v in key[1:]]
+        )
+
+    keys = sorted(offsets, key=_key_str)
     offset_col = F.element_at(
         F.map_from_arrays(
-            F.array(*[F.lit(p) for p in sorted(offsets)]),
-            F.array(*[F.lit(offsets[p]) for p in sorted(offsets)]),
+            F.array(*[F.lit(_key_str(k)) for k in keys]),
+            F.array(*[F.lit(offsets[k]) for k in keys]),
         ),
-        F.col("__pid"),
+        _key_col(),
     )
     w = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__pid", *groups)
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -225,3 +225,35 @@ def test_json_error_channel_splits_good_and_bad(spark, tmp_path):
     raws = {r["raw"] for r in bad.collect()}
     assert len(raws) == 2
     assert any("NOT JSON" in r for r in raws)
+
+
+def test_grouped_running_total_matches_per_group_window(spark):
+    """running_total(group_cols=[...]) == sum(v) over (partition by g
+    order by ...) — including groups that straddle range-partition
+    boundaries and NULL group values."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import running_total
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select(
+            "doc_id",
+            # NULL group for one slice to pin null-key handling
+            F.when(F.col("doc_id") % 17 == 0, F.lit(None)).otherwise(F.col("source")).alias("g"),
+            F.length("text").alias("v"),
+        )
+        .repartition(13)
+    )
+    got = running_total(docs, ["doc_id"], "v", "cum", partitions=7, group_cols=["g"])
+    w = (
+        Window.partitionBy("g")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expect = docs.withColumn("cum", F.sum("v").over(w))
+    g = {r["doc_id"]: r["cum"] for r in got.collect()}
+    e = {r["doc_id"]: r["cum"] for r in expect.collect()}
+    assert g == e
