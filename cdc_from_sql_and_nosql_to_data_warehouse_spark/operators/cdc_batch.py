@@ -136,7 +136,7 @@ def q_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-native: one shuffle on the key, row_number desc, keep rn=1.
     At scale this is the standard MERGE-free dedup-on-read."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    w = Window.partitionBy("user_id").orderBy(F.desc_nulls_last("ts"), F.col("event_id").desc())
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -292,7 +292,7 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the key, no self-join, no state beyond the frame.
     event_id tie-breaks equal timestamps for determinism.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     return (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
@@ -559,7 +559,7 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "kind", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "kind", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (

@@ -508,7 +508,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B14 analytic window functions (lag/lead/first)."""
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -536,7 +536,7 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL accumulation keeps it exact in any execution order."""
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ev = load_table(spark, sf_dir, "events")
@@ -564,7 +564,7 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15 moving average over a 3-row frame (exact sum / frame count)."""
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
         .rowsBetween(-2, Window.currentRow)
     )
     return load_table(spark, sf_dir, "orders").select(
@@ -1896,7 +1896,7 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return o.select(
@@ -2065,7 +2065,7 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         dsum("o_totalprice", 14, 2).alias("rev")
     )
-    w = Window.orderBy("day")
+    w = Window.orderBy(F.asc_nulls_last("day"))
     lagged = daily.select("rev", F.lag("rev").over(w).alias("prev")).filter(
         F.col("prev").isNotNull()
     )

@@ -87,7 +87,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy(F.asc_nulls_last("ts"), "side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # Carry BOTH right-side fields in ONE struct through a single
@@ -228,7 +228,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key state O(1).  event_id tie-breaks equal timestamps for a
     deterministic result under any partitioning.
     """
-    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    order = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev = load_table(spark, sf_dir, "events")
     marked = ev.select(
@@ -467,7 +467,7 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     typ = F.col("event_type")
@@ -577,7 +577,7 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     The (ts, event_id) order is a total order, so the successor of
     every event is deterministic in both engines."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     s = e.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
     )
@@ -771,8 +771,8 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day")
     )
     j = spine.join(daily, "day", "left")
-    wb = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    wf = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    wb = Window.orderBy(F.asc_nulls_last("day")).rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy(F.asc_nulls_last("day")).rowsBetween(0, Window.unboundedFollowing)
     obs_day = F.when(F.col("cents").isNotNull(), F.col("day"))
     n = j.select(
         "day",
@@ -850,7 +850,7 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_rev")
     )
-    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wrun = Window.orderBy(F.asc_nulls_last("day")).rowsBetween(Window.unboundedPreceding, 0)
     c = daily.join(F.broadcast(mu)).select(
         "day", F.sum(F.col("rev") - F.col("mean_rev")).over(wrun).alias("s")
     )
@@ -896,7 +896,7 @@ def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily_new = first_seen.groupBy(F.col("d0").alias("day")).agg(
         F.count(F.lit(1)).alias("new_users")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.orderBy(F.asc_nulls_last("day")).rowsBetween(Window.unboundedPreceding, 0)
     return daily_new.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
     )
@@ -1052,7 +1052,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a single final int/int double division — the q_interpolate
     integer-arithmetic policy, so no rounding guard is needed."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     seq = ev.select(
         "user_id",
         (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
@@ -1121,7 +1121,7 @@ def q_rolling_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         dsum("o_totalprice", 14, 2).alias("rev")
     )
-    w = Window.orderBy("day").rowsBetween(-27, -1)
+    w = Window.orderBy(F.asc_nulls_last("day")).rowsBetween(-27, -1)
     b = daily.select(
         "day",
         "rev",
@@ -1234,7 +1234,7 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = spine.join(daily, "day", "left").select(
         "day", F.coalesce("cents", F.lit(0)).cast("double").alias("c")
     )
-    wspec = Window.orderBy("day")
+    wspec = Window.orderBy(F.asc_nulls_last("day"))
     arr = F.array(*[F.lead("c", j).over(wspec) for j in range(7)])
     wins = (
         series.select(F.col("day").alias("start_day"), arr.alias("w"))
@@ -1266,7 +1266,7 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         z.crossJoin(F.broadcast(q))
         .select("start_day", F.sqrt(d2).alias("d"))
-        .orderBy("d", "start_day")
+        .orderBy(F.asc_nulls_last("d"), "start_day")
         .limit(5)
         .select("start_day", F.round("d", 6).alias("zdist"))
     )
