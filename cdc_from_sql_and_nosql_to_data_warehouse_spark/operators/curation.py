@@ -20,14 +20,14 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import md5_shingle_rows
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
 
-# Shared DuckDB tokenization CTE (mirror of functions.text.tokens).
-_SQL_TOKS = """
-    toks AS (
-      SELECT doc_id,
-        list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
-      FROM documents
-    )
-"""
+# Shared DuckDB tokenization CTE (single-sourced; functions/portable_hash.py)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (  # noqa: E402
+    SQL_TOKS_CTE as _SQL_TOKS,
+    md5_prefix_int,
+    md5_unit,
+    sql_md5_int,
+    sql_md5_unit,
+)
 
 
 @register(
@@ -106,8 +106,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_TOKS},
     g AS (
       SELECT doc_id,
-        ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                         || ' ' || toks[i+3] || ' ' || toks[i+4]), 1, 15))::BIGINT AS h
+        {sql_md5_int("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]")} AS h
       FROM (
         SELECT doc_id, toks, unnest(generate_series(1, length(toks) - 4)) AS i
         FROM toks WHERE length(toks) >= 5
@@ -343,8 +342,7 @@ _MIX_CAP = 15  # expected docs kept per source
     gated AS (
       SELECT d.source, n_in,
         least(1.0, CAST({_MIX_CAP} AS DOUBLE) / n_in) AS keep_prob,
-        CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
-             AS DOUBLE) / 1152921504606846976.0 AS u,
+        {sql_md5_unit("CAST(d.doc_id AS VARCHAR)")} AS u,
         length(list_filter(string_split_regex(lower(d.text), '\\s+'),
                            t -> t <> '')) AS n_tok
       FROM documents d JOIN counts USING (source)
@@ -376,12 +374,7 @@ def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_prob = F.least(
         F.lit(1.0), F.lit(float(_MIX_CAP)) / F.col("n_in").cast("double")
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(float(1 << 60))
-    )
+    u = md5_unit(F.col("doc_id").cast("string"))
     gated = (
         docs.join(counts, F.col("source") == F.col("csource"))
         .select(
@@ -520,8 +513,7 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_TOKS},
     segs AS (
       SELECT doc_id, i AS seg_idx,
-        ('0x' || substr(md5(array_to_string(toks[(i*10+1):(i*10+10)], ' ')),
-                        1, 15))::BIGINT AS h
+        {sql_md5_int("array_to_string(toks[(i*10+1):(i*10+10)], ' ')")} AS h
       FROM (
         SELECT doc_id, toks, unnest(generate_series(0, (length(toks) - 1) // 10)) AS i
         FROM toks WHERE length(toks) > 0
@@ -623,10 +615,10 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_split_train_eval",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT source, n_chars,
-        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+        {sql_md5_int("CAST(doc_id AS VARCHAR)", 4)} % 100 AS b
       FROM documents
     )
     SELECT
@@ -650,11 +642,7 @@ def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (split, source) — at 100 TB the map side combines down to
     |splits|×|sources| rows before the only shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    b = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    b = md5_prefix_int(F.col("doc_id").cast("string"), 4) % 100
     split = (
         F.when(b < 90, F.lit("train")).when(b < 95, F.lit("val")).otherwise(F.lit("test"))
     )
@@ -752,7 +740,7 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         list_reduce(
           list_prepend(CAST(0 AS DOUBLE),
             list_transform(toks, t ->
-              CAST((('0x' || substr(md5('w' || t), 1, 8))::BIGINT % 2001) - 1000
+              CAST(({sql_md5_int("'w' || t", 8)} % 2001) - 1000
                    AS DOUBLE) / 1000.0)),
           (a, b) -> a + b) / length(toks) AS z
       FROM toks WHERE length(toks) > 0

@@ -17,6 +17,10 @@ from pyspark.sql.window import Window
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import vectors as V
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+    SQL_TOKS_EXPR,
+    sql_md5_int,
+)
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
 
@@ -190,17 +194,17 @@ _M31 = 2147483647  # fold to < 2^31 so a*h+b stays inside 2^63
 # Shared DuckDB CTE: distinct hashed word-3-gram shingles per document,
 # short (< 3-token) documents excluded — generate_series(1, 0) is empty
 # in DuckDB, and the Spark side's _shingle_starts guard matches it.
-_SQL_SHINGLES = """
+_SQL_SHINGLES = f"""
     sh AS (
       SELECT doc_id,
         list_distinct(list_transform(
           list_transform(
             generate_series(1, greatest(length(toks) - 2, 0)),
             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
-          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS shingles
+          s -> {sql_md5_int('s')})) AS shingles
       FROM (
         SELECT doc_id,
-          list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+          {SQL_TOKS_EXPR} AS toks
         FROM documents
       )
     ),
@@ -508,13 +512,13 @@ _SQL_MD5_SIMHASH_SIG = """
         unnest(generate_series(1, greatest(length(toks) - 2, 0))) AS i
       FROM (
         SELECT doc_id,
-          list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+          """ + SQL_TOKS_EXPR + """ AS toks
         FROM documents
       )
     ),
     flat AS (
       SELECT doc_id,
-        ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT AS h
+        """ + sql_md5_int("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]") + """ AS h
       FROM st
     ),
     bits AS (

@@ -23,6 +23,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+    md5_unit,
+    sql_md5_unit,
+)
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
 
@@ -616,10 +620,8 @@ def q_sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_weighted_sample",
     oracle=f"""
     SELECT doc_id, n_chars,
-      CAST(n_chars AS DOUBLE) / (
-        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-             AS DOUBLE) / 1152921504606846976.0
-      ) AS priority
+      CAST(n_chars AS DOUBLE) /
+        {sql_md5_unit("CAST(doc_id AS VARCHAR)")} AS priority
     FROM documents
     ORDER BY priority DESC, doc_id
     LIMIT {_SAMPLE_K}
@@ -643,12 +645,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix of a real digest is never all-zero in practice, and w/u on
     doubles is bit-deterministic in both engines)."""
     docs = load_table(spark, sf_dir, "documents")
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(float(1 << 60))
-    )
+    u = md5_unit(F.col("doc_id").cast("string"))
     return (
         docs.select(
             "doc_id",

@@ -19,14 +19,10 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import running
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
 
-# DuckDB tokenization CTE (mirror of functions.text.tokens).
-_SQL_TOKS = """
-    toks AS (
-      SELECT doc_id,
-        list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
-      FROM documents
-    )
-"""
+# DuckDB tokenization CTE (single-sourced; functions/portable_hash.py)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (  # noqa: E402
+    SQL_TOKS_CTE as _SQL_TOKS,
+)
 
 # Small window/stride so the ~54-token testdata documents produce
 # several overlapping chunks each; a production context window only

@@ -17,7 +17,10 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
 
 # DuckDB fragment: lowercased whitespace tokens, empties removed
-_SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+# (single-sourced; functions/portable_hash.py)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (  # noqa: E402
+    SQL_TOKS_EXPR as _SQL_TOKS,
+)
 
 
 @register(

@@ -36,6 +36,37 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_
 # ---------------------------------------------------------------- as-of join
 
 
+def _cents(col: str) -> F.Column:
+    """Exact per-day money total in integer CENTS: decimal sum × 100 →
+    bigint.  Integer cents make downstream float math (interpolation
+    slopes, z-scores) start from identical values on both engines."""
+    return (F.sum(F.col(col).cast("decimal(14,2)")) * 100).cast("bigint")
+
+
+def _daily(o: DataFrame, value: F.Column, name: str, checkpoint: bool = True) -> DataFrame:
+    """Per-day aggregate of orders — the shared first stage of every
+    daily-series operator (gap fill, interpolate, CUSUM, seasonality,
+    rolling bands, ts-similarity).  One shuffle keyed on the date
+    domain; ``checkpoint`` cuts lineage when the (bounded, ≤ a few
+    thousand rows) aggregate is consumed by 2+ branches — Catalyst has
+    no cross-branch CSE, so without it each consumer re-scans the fact
+    table (measured; SCALE.md)."""
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        value.alias(name)
+    )
+    return d.localCheckpoint(eager=False) if checkpoint else d
+
+
+def _date_spine(daily: DataFrame) -> DataFrame:
+    """Dense calendar spine spanning the series' min..max day — the
+    1-row bounds aggregate exploded through ``sequence`` (domain-
+    bounded; never a data-scaled generator)."""
+    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    return bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day")
+    )
+
+
 @register(
     "q_asof_join",
     oracle="""
@@ -672,15 +703,8 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # daily is consumed twice (bounds + fill join); post-aggregate it
     # is bounded by the date domain, so checkpointing it saves the
     # second fact scan (CSE policy, plan-tested: one FileScan)
-    daily = (
-        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
-        .agg(dsum("o_totalprice", 14, 2).alias("revenue"))
-        .localCheckpoint(eager=False)
-    )
-    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
-    spine = bounds.select(
-        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day")
-    )
+    daily = _daily(o, dsum("o_totalprice", 14, 2), "revenue")
+    spine = _date_spine(daily)
     # was_missing keys on join presence, not revenue nullity: a day
     # whose orders all carry NULL totals aggregates to NULL revenue but
     # IS present — the oracle tests daily.day IS NULL (review-caught)
@@ -754,22 +778,10 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding boundaries because midpoints of 2dp values land exactly
     on .xxx5: the first attempt differed by 1e-4 on 4 of 2406 days."""
     o = load_table(spark, sf_dir, "orders")
-    daily = (
-        o.filter(F.col("o_orderpriority") == "1-URGENT")
-        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
-        .agg(
-            (F.sum(F.col("o_totalprice").cast("decimal(14,2)")) * 100)
-            .cast("bigint")
-            .alias("cents")
-        )
-        # consumed twice (bounds + fill join): checkpoint the bounded
-        # per-day aggregate so orders is scanned once (CSE policy)
-        .localCheckpoint(eager=False)
+    daily = _daily(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"), _cents("o_totalprice"), "cents"
     )
-    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
-    spine = bounds.select(
-        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day")
-    )
+    spine = _date_spine(daily)
     j = spine.join(daily, "day", "left")
     wb = Window.orderBy(F.asc_nulls_last("day")).rowsBetween(Window.unboundedPreceding, 0)
     wf = Window.orderBy(F.asc_nulls_last("day")).rowsBetween(0, Window.unboundedFollowing)
@@ -838,11 +850,7 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     float adds in both engines — so only the output guard rounding is
     needed."""
     o = load_table(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
-        .agg(dsum("o_totalprice", 14, 2).alias("rev"))
-        .localCheckpoint(eager=False)  # consumed by mean + trace (CSE)
-    )
+    daily = _daily(o, dsum("o_totalprice", 14, 2), "rev")
     mu = daily.agg(
         F.round(
             F.sum(F.col("rev").cast("decimal(16,2)")).cast("double")
@@ -940,11 +948,7 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and guarded at 4/6dp.  DuckDB's dayofweek (0=Sunday) matches
     Spark's dayofweek − 1, aligned explicitly."""
     o = load_table(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
-        .agg(dsum("o_totalprice", 14, 2).alias("rev"))
-        .localCheckpoint(eager=False)  # consumed by dow + overall (CSE)
-    )
+    daily = _daily(o, dsum("o_totalprice", 14, 2), "rev")
     dow = daily.groupBy(
         (F.dayofweek("day") - 1).cast("int").alias("weekday")
     ).agg(
@@ -1118,9 +1122,7 @@ def q_rolling_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulps — the q_stats_agg policy applied per frame); the band compare
     then operates on identical doubles in both engines."""
     o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        dsum("o_totalprice", 14, 2).alias("rev")
-    )
+    daily = _daily(o, dsum("o_totalprice", 14, 2), "rev", checkpoint=False)
     w = Window.orderBy(F.asc_nulls_last("day")).rowsBetween(-27, -1)
     b = daily.select(
         "day",
@@ -1218,19 +1220,8 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical and the top-5 cut is stable; σ = 0 (constant/empty
     weeks against the zero-filled spine) maps z to 0 on both sides."""
     o = load_table(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
-        .agg(
-            (F.sum(F.col("o_totalprice").cast("decimal(14,2)")) * 100)
-            .cast("bigint")
-            .alias("cents")
-        )
-        .localCheckpoint(eager=False)  # bounds + fill join: one fact scan
-    )
-    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
-    spine = bounds.select(
-        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day")
-    )
+    daily = _daily(o, _cents("o_totalprice"), "cents")
+    spine = _date_spine(daily)
     series = spine.join(daily, "day", "left").select(
         "day", F.coalesce("cents", F.lit(0)).cast("double").alias("c")
     )
