@@ -32,8 +32,12 @@ def dsum(col: Column | str, prec: int = 12, scale: int = 2) -> Column:
 
 def davg(col: Column | str, prec: int = 12, scale: int = 2) -> Column:
     """Exact-sum / count average (double division of identical operands
-    is bitwise deterministic across engines)."""
-    return dsum(col, prec, scale) / F.count(F.lit(1))
+    is bitwise deterministic across engines).  Divides by the NON-NULL
+    count — AVG semantics — not COUNT(*): on a nullable column (e.g.
+    parse_money output, where blanks are NULL by design) dividing by
+    all rows silently underestimates (review-caught)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c, prec, scale) / F.count(c)
 
 
 # Matching DuckDB SQL fragments (oracle side of the same policy).
@@ -42,4 +46,4 @@ def sql_dsum(expr: str, prec: str = "12,2") -> str:
 
 
 def sql_davg(expr: str, prec: str = "12,2") -> str:
-    return f"{sql_dsum(expr, prec)} / COUNT(*)"
+    return f"{sql_dsum(expr, prec)} / COUNT({expr})"

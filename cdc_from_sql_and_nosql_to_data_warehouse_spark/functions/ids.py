@@ -99,9 +99,11 @@ def running_total(
     partition boundary, ≈ partitions + groups entries, a few KB even
     at 100 TB.  This is how a running budget over one giant source
     (e.g. a 10^9-doc crawl dump) avoids the one-task-per-source
-    window.  Group values must round-trip through a string cast
-    (string/int/date keys do; binary/float keys don't belong in a
-    group key anyway)."""
+    window.  The offset lookup is a broadcast join on the native
+    (partition, group) values — no string round-trip, so any
+    equality-comparable group type works (a str(py)/cast(string)
+    mismatch on boolean/timestamp keys previously NULLed every
+    total; review-caught)."""
     groups = list(group_cols or [])
     cols: list[Column] = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     range_cols = [F.col(g) for g in groups] + cols
@@ -115,38 +117,27 @@ def running_total(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
-    totals = {
-        tuple(r[c] for c in ["__pid", *groups]): r["t"]
-        for r in ranged.groupBy("__pid", *groups)
-        .agg(F.sum(value_col).alias("t"))
-        .collect()
-    }
-    offsets: dict[tuple, int] = {}
-    acc: dict[tuple, int] = {}
-    for key in sorted(totals, key=lambda k: k[0]):
-        g = key[1:]
-        offsets[key] = acc.get(g, 0)
-        acc[g] = acc.get(g, 0) + (totals[key] or 0)
-
-    def _key_col() -> Column:
-        parts = [F.col("__pid").cast("string")] + [
-            F.coalesce(F.col(g).cast("string"), F.lit("\x01NULL")) for g in groups
-        ]
-        return F.concat_ws("\x00", *parts)
-
-    def _key_str(key: tuple) -> str:
-        return "\x00".join(
-            [str(key[0])]
-            + ["\x01NULL" if v is None else str(v) for v in key[1:]]
-        )
-
-    keys = sorted(offsets, key=_key_str)
-    offset_col = F.element_at(
-        F.map_from_arrays(
-            F.array(*[F.lit(_key_str(k)) for k in keys]),
-            F.array(*[F.lit(offsets[k]) for k in keys]),
-        ),
-        _key_col(),
+    # per-(partition, group) totals → exclusive prefix sum per group in
+    # __pid order (ranges ascend with pid, so pid order IS the global
+    # order).  The frame is ≈ partitions + group-boundary rows — tiny —
+    # so the unpartitioned-per-group window and the broadcast are safe.
+    totals = ranged.groupBy("__pid", *groups).agg(F.sum(value_col).alias("__t"))
+    w_off = (
+        Window.partitionBy(*[F.col(g) for g in groups])
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        totals.withColumn("__offset", F.coalesce(F.sum("__t").over(w_off), F.lit(0)))
+        .drop("__t")
+        .withColumnRenamed("__pid", "__opid")
+        .select("__opid", "__offset", *[F.col(g).alias(f"__og_{g}") for g in groups])
+    )
+    cond = ranged["__pid"] == offsets["__opid"]
+    for g in groups:
+        cond = cond & ranged[g].eqNullSafe(offsets[f"__og_{g}"])
+    joined = ranged.join(F.broadcast(offsets), cond, "left").drop(
+        *[f"__og_{g}" for g in groups]
     )
     w = (
         Window.partitionBy("__pid", *groups)
@@ -154,6 +145,6 @@ def running_total(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        ranged.withColumn(total_col, F.sum(value_col).over(w) + offset_col)
-        .drop("__pid")
+        joined.withColumn(total_col, F.sum(value_col).over(w) + F.col("__offset"))
+        .drop("__pid", "__opid", "__offset")
     )

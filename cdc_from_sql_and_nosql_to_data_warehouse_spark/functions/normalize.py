@@ -6,6 +6,12 @@ comma-grouped strings (``"  1,000,000.00 "``), dates as ``d-MMM-yy``
 (``29-Jun-17``), booleans as ``TRUE``/``FALSE`` (txns.csv).  These are
 the inverse parsers — pure JVM-side column expressions (no UDFs), so
 they stay inside whole-stage codegen.
+
+All parsers use ``try_cast``/``try_to_timestamp`` so the documented
+malformed→NULL contract holds regardless of ``spark.sql.ansi.enabled``
+(Spark 4 defaults it ON, under which a plain cast ABORTS the job on the
+first dirty cell — exactly what a 100 TB ingest of crawl-grade CSV must
+never do).
 """
 
 from __future__ import annotations
@@ -19,7 +25,7 @@ def parse_money(col: Column | str, prec: int = 18, scale: int = 2) -> Column:
     (reference CSV uses empty string for NULL, txns.csv:2)."""
     c = F.col(col) if isinstance(col, str) else col
     cleaned = F.regexp_replace(F.trim(c), ",", "")
-    return F.when(cleaned == "", None).otherwise(cleaned).cast(f"decimal({prec},{scale})")
+    return F.when(cleaned == "", None).otherwise(cleaned).try_cast(f"decimal({prec},{scale})")
 
 
 def parse_date_dmmm(col: Column | str, fmt: str = "d-MMM-yy") -> Column:
@@ -27,14 +33,14 @@ def parse_date_dmmm(col: Column | str, fmt: str = "d-MMM-yy") -> Column:
     ``yy`` reads 17 as 2017 (base 2000); pass ``d-MMM-yyyy`` for
     four-digit years."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_date(F.trim(c), fmt)
+    return F.try_to_timestamp(F.trim(c), F.lit(fmt)).cast("date")
 
 
 def parse_bool(col: Column | str) -> Column:
     """``TRUE``/``FALSE`` (any case) → BOOLEAN; blank → NULL."""
     c = F.col(col) if isinstance(col, str) else col
     t = F.upper(F.trim(c))
-    return F.when(t == "", None).otherwise(t.cast("boolean"))
+    return F.when(t == "", None).otherwise(t.try_cast("boolean"))
 
 
 def typed_parse(df: DataFrame, spec: dict[str, str]) -> DataFrame:
@@ -46,8 +52,8 @@ def typed_parse(df: DataFrame, spec: dict[str, str]) -> DataFrame:
         "date4": lambda c: parse_date_dmmm(c, "d-MMM-yyyy"),
         "bool": parse_bool,
         "string": lambda c: F.trim(F.col(c) if isinstance(c, str) else c),
-        "int": lambda c: (F.col(c) if isinstance(c, str) else c).cast("long"),
-        "double": lambda c: (F.col(c) if isinstance(c, str) else c).cast("double"),
+        "int": lambda c: (F.col(c) if isinstance(c, str) else c).try_cast("long"),
+        "double": lambda c: (F.col(c) if isinstance(c, str) else c).try_cast("double"),
     }
     cols = [
         kinds[spec[c]](c).alias(c) if c in spec else F.col(c)

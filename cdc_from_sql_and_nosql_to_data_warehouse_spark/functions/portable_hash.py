@@ -45,7 +45,7 @@ def sql_md5_unit(expr: str) -> str:
 
 # DuckDB whitespace tokenization (mirror of functions.text.tokens):
 # lowercased, split on runs of whitespace, empties removed
-SQL_TOKS_EXPR = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+SQL_TOKS_EXPR = "list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
 
 # the same, as a ready-to-WITH CTE over the documents table
 SQL_TOKS_CTE = f"""

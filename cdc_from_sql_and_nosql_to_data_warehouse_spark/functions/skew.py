@@ -32,28 +32,41 @@ def salted_join(
     match the big side are dropped, mirroring the list-``on`` join."""
     from pyspark.sql.types import MapType
 
+    if how not in ("inner", "left"):
+        # right/full would be silently WRONG: the exploded small side
+        # holds salt_n copies of every row, and an unmatched small row
+        # fails the join condition salt_n times — surviving salt_n
+        # times in the preserved side (review-caught: full join
+        # returned 8 rows where plain returned 2).  Deduplicating the
+        # preserved side post-join costs more than the skew it avoids;
+        # flip the sides and use 'left', or let AQE skew-split handle it.
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the replicated small side would duplicate unmatched "
+            "preserved rows salt_n times under right/full joins"
+        )
     big_keys = [big_key] if isinstance(big_key, str) else list(big_key)
     small_keys = [small_key] if isinstance(small_key, str) else list(small_key)
     # the salt must vary WITHIN a key or salting is a no-op: a salt
     # derived from the join key alone maps every row of the hot key to
     # one constant, landing them all in the same task anyway while the
     # small side still pays ×salt_n replication (review-caught — the
-    # original form hashed only the key columns).  Hashing the whole
-    # row spreads a hot key across salts deterministically (no RNG, so
-    # task placement is reproducible).  Map-typed columns are EXCLUDED
-    # from the hash — xxhash64 rejects MapType at analysis time
-    # (advisory r3); with no hashable non-key variation left (all-map
-    # payload, or fully duplicate hot rows), the salt falls back to
-    # the physical position (partition id + in-partition id), which
-    # spreads even identical rows — join RESULTS are salt-independent,
-    # so the fallback trades only placement determinism.
+    # original form hashed only the key columns).  The hash mixes the
+    # non-key payload (map-typed columns excluded — xxhash64 rejects
+    # MapType at analysis time, advisory r3) WITH the physical position
+    # (partition id + in-partition id): payload alone leaves exact
+    # duplicate rows of a hot key on one salt/task — the celebrity-key
+    # case is exactly where duplicates are likely (review-caught).
+    # Join RESULTS are salt-independent; mixing in position trades only
+    # placement determinism, never output rows.
     hashable = [
-        f.name for f in big.schema.fields if not isinstance(f.dataType, MapType)
+        F.col(f.name)
+        for f in big.schema.fields
+        if not isinstance(f.dataType, MapType) and f.name not in big_keys
     ]
-    if hashable and set(hashable) - set(big_keys):
-        salt_src = F.xxhash64(*[F.col(c) for c in hashable])
-    else:
-        salt_src = F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id())
+    salt_src = F.xxhash64(
+        *hashable, F.spark_partition_id(), F.monotonically_increasing_id()
+    )
     salted_big = big.withColumn("__salt", F.pmod(salt_src, F.lit(salt_n)))
     # replicating the small side is a flatMap, not a shuffle
     salted_small = small.withColumn(
@@ -70,12 +83,23 @@ def salted_join(
 
 
 def key_histogram(df: DataFrame, key: str, top: int = 10) -> DataFrame:
-    """Skew diagnosis: the top-N heaviest keys and their share."""
-    total = df.count()
-    return (
+    """Skew diagnosis: the top-N heaviest keys and their share.
+
+    One scan of the input: the total row count is the sum over the
+    (already aggregated, |distinct keys|-sized) counts frame — a
+    separate ``df.count()`` would double the I/O of a diagnostic call
+    at 100 TB.  The counts frame is checkpointed (post-aggregate, tiny)
+    so the two consumers don't re-execute the scan."""
+    counts = (
         df.groupBy(key)
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("share", F.col("n") / F.lit(float(total)))
+        .localCheckpoint(eager=False)
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n") / F.col("__total").cast("double"))
+        .drop("__total")
         .orderBy(F.col("n").desc())
         .limit(top)
     )

@@ -41,7 +41,14 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 def hyperplane_signature(a: Column | str, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: bit i = sign(a · plane_i),
     packed into a BIGINT bucket key.  ``planes`` are deterministic
-    (seeded) constants broadcast as literals — no shuffle to build."""
+    (seeded) constants broadcast as literals — no shuffle to build.
+    At most 63 planes: bit 63 is the BIGINT sign bit and ``1 << 63``
+    overflows the long literal (review-caught); signatures wider than
+    63 bits belong in multiple bucket columns."""
+    if not 1 <= len(planes) <= 63:
+        raise ValueError(
+            f"hyperplane_signature needs 1..63 planes, got {len(planes)}"
+        )
     bits = [
         F.when(
             F.aggregate(

@@ -182,10 +182,10 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
       COUNT(*) AS n_docs,
-      COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+      COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
         AS n_unique,
       CAST(1 AS DOUBLE)
-        - CAST(COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+        - CAST(COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
                AS DOUBLE) / COUNT(*) AS dup_frac
     FROM documents
     GROUP BY source
@@ -343,7 +343,7 @@ _MIX_CAP = 15  # expected docs kept per source
       SELECT d.source, n_in,
         least(1.0, CAST({_MIX_CAP} AS DOUBLE) / n_in) AS keep_prob,
         {sql_md5_unit("CAST(d.doc_id AS VARCHAR)")} AS u,
-        length(list_filter(string_split_regex(lower(d.text), '\\s+'),
+        length(list_filter(string_split_regex(lower(d.text), '[ \\t\\n\\x0B\\f\\r]+'),
                            t -> t <> '')) AS n_tok
       FROM documents d JOIN counts USING (source)
     )
@@ -462,7 +462,7 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH fp AS (
       SELECT doc_id, source,
-        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+        md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp,
         CAST(substr(source, 4) AS INTEGER) AS src_n
       FROM documents
     )
@@ -661,7 +661,7 @@ def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT doc_id, lang,
-        CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),
+        CAST(length(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                 t -> t <> '')) AS BIGINT) AS n_tok
       FROM documents
     ),

@@ -28,11 +28,11 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_
 @register(
     "q_dedup_exact",
     oracle="""
-    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+    SELECT md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp,
       MIN(doc_id) AS keep_doc_id,
       COUNT(*) AS n_copies
     FROM documents
-    GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+    GROUP BY md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +52,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, lang, source, n_chars FROM (
       SELECT *, row_number() OVER (
-        PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+        PARTITION BY md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
         ORDER BY doc_id) AS rn
       FROM documents
     ) WHERE rn = 1
@@ -904,7 +904,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH sets AS (
       SELECT doc_id,
-        list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+        list_distinct(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                   t -> t <> '')) AS s
       FROM documents
     )

@@ -1248,7 +1248,7 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-        list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+        list_filter(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''),
                     x -> length(x) > 8) AS long_toks
       FROM documents
     )

@@ -66,9 +66,9 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id, text,
-        list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks,
+        list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS toks,
         CAST(length(text) AS BIGINT) AS n_char,
-        CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct
+        CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS BIGINT) AS n_punct
     FROM documents
     ), s AS (
       SELECT doc_id, n_char, n_punct, CAST(length(toks) AS BIGINT) AS n_tok,
@@ -200,7 +200,7 @@ def q_text_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fingerprint",
     oracle="""
     SELECT doc_id,
-      md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
     FROM documents
     """,
 )
@@ -242,7 +242,7 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-        unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+        unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS token
       FROM documents
     ),
     tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
@@ -319,7 +319,7 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id,
         list_filter(
-          string_split_regex(regexp_replace(lower(text), '([^\w\s]+)', ' \1 ', 'g'), '\s+'),
+          string_split_regex(regexp_replace(lower(text), '([^\w \t\n\x0B\f\r]+)', ' \1 ', 'g'), '[ \t\n\x0B\f\r]+'),
           x -> x <> '') AS toks
       FROM documents
     )
@@ -346,8 +346,8 @@ _SW_SQL = "['the','and','of','to','a','in','is','it','for','on','with','as','at'
       SELECT doc_id, text,
         {_SQL_TOKS} AS toks,
         CAST(length(text) AS BIGINT) AS n_char,
-        CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
-        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS BIGINT) AS n_punct,
+        md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
       FROM documents
     ), surv AS (
       SELECT * FROM (

@@ -27,7 +27,7 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_
     "q_udf_scalar",
     oracle="""
     SELECT doc_id,
-      CAST(length(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS BIGINT)
+      CAST(length(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS BIGINT)
         AS n_tokens
     FROM documents
     """,

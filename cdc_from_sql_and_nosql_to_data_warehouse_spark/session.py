@@ -45,7 +45,10 @@ def tune(spark: SparkSession) -> SparkSession:
     The driver calls ``entry(spark)`` / ``queries()`` with its own session;
     these are the confs our operators rely on that can still be set after
     session start (timezone pins timestamp semantics against the DuckDB
-    oracle; ansi off matches the reference's permissive casts).
+    oracle).  ANSI mode is deliberately NOT touched: the reference's
+    permissive casts are reproduced locally via try_cast in
+    functions/normalize.py, so the operators are correct under either
+    ansi setting and the driver's session keeps its own default.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
