@@ -117,28 +117,51 @@ def running_total(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
-    # per-(partition, group) totals → exclusive prefix sum per group in
-    # __pid order (ranges ascend with pid, so pid order IS the global
-    # order).  The frame is ≈ partitions + group-boundary rows — tiny —
-    # so the unpartitioned-per-group window and the broadcast are safe.
-    totals = ranged.groupBy("__pid", *groups).agg(F.sum(value_col).alias("__t"))
-    w_off = (
-        Window.partitionBy(*[F.col(g) for g in groups])
-        .orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        totals.withColumn("__offset", F.coalesce(F.sum("__t").over(w_off), F.lit(0)))
-        .drop("__t")
-        .withColumnRenamed("__pid", "__opid")
-        .select("__opid", "__offset", *[F.col(g).alias(f"__og_{g}") for g in groups])
-    )
-    cond = ranged["__pid"] == offsets["__opid"]
-    for g in groups:
-        cond = cond & ranged[g].eqNullSafe(offsets[f"__og_{g}"])
-    joined = ranged.join(F.broadcast(offsets), cond, "left").drop(
-        *[f"__og_{g}" for g in groups]
-    )
+    if not groups:
+        # pid-only offsets: a driver-side prefix sum keyed by the int
+        # partition id (ints round-trip exactly; one long per
+        # partition) — no window, no join, nothing single-partition
+        sizes = {
+            r["__pid"]: r["t"]
+            for r in ranged.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect()
+        }
+        off, acc = {}, 0
+        for pid in sorted(sizes):
+            off[pid] = acc
+            acc += sizes[pid] or 0
+        offset_col = F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(p) for p in sorted(off)]),
+                F.array(*[F.lit(off[p]) for p in sorted(off)]),
+            ),
+            F.col("__pid"),
+        )
+        joined = ranged.withColumn("__offset", offset_col)
+    else:
+        # per-(partition, group) totals → exclusive prefix sum per
+        # group in __pid order (ranges ascend with pid, so pid order IS
+        # the global order).  The frame is ≈ partitions + group-boundary
+        # rows — tiny — so the per-group window and broadcast are safe.
+        totals = ranged.groupBy("__pid", *groups).agg(F.sum(value_col).alias("__t"))
+        w_off = (
+            Window.partitionBy(*[F.col(g) for g in groups])
+            .orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = (
+            totals.withColumn(
+                "__offset", F.coalesce(F.sum("__t").over(w_off), F.lit(0))
+            )
+            .drop("__t")
+            .withColumnRenamed("__pid", "__opid")
+            .select("__opid", "__offset", *[F.col(g).alias(f"__og_{g}") for g in groups])
+        )
+        cond = ranged["__pid"] == offsets["__opid"]
+        for g in groups:
+            cond = cond & ranged[g].eqNullSafe(offsets[f"__og_{g}"])
+        joined = ranged.join(F.broadcast(offsets), cond, "left").drop(
+            *[f"__og_{g}" for g in groups]
+        )
     w = (
         Window.partitionBy("__pid", *groups)
         .orderBy(*cols)
@@ -147,4 +170,4 @@ def running_total(
     return (
         joined.withColumn(total_col, F.sum(value_col).over(w) + F.col("__offset"))
         .drop("__pid", "__opid", "__offset")
-    )
+    )  # __opid absent in the ungrouped path; drop ignores missing names

@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.tpch_shapes import (
+    _SQL_VOLUME,
+    _volume,
+)
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
 
 
@@ -94,9 +98,7 @@ FROM reach GROUP BY dst"""
       JOIN customer ON o_custkey = c_custkey
       JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY s_nationkey, c_nationkey
-      HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
-        > {_EDGE_MIN_REVENUE}
+      HAVING CAST(SUM({_SQL_VOLUME}) AS DOUBLE) > {_EDGE_MIN_REVENUE}
     ),
     {_RECURSIVE_BODY.format(edges="strong_edges")}
     """,
@@ -118,10 +120,7 @@ def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
-    one = F.lit(1).cast("decimal(3,2)")
-    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        one - F.col("l_discount").cast("decimal(3,2)")
-    )
+    vol = _volume()
     edges = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])

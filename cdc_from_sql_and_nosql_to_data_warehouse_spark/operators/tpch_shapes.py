@@ -37,6 +37,17 @@ def _volume() -> F.Column:
     )
 
 
+def _ts_range(col: str, lo: str, hi: str) -> F.Column:
+    """Half-open ``[lo, hi)`` timestamp-range predicate — the one
+    definition of the shipdate/orderdate window every seasonal query
+    repeats (was hand-copied six times with two local-variable
+    conventions; both boundary operators live here now)."""
+    c = F.col(col)
+    return (c >= F.lit(f"{lo} 00:00:00").cast("timestamp")) & (
+        c < F.lit(f"{hi} 00:00:00").cast("timestamp")
+    )
+
+
 @register(
     "q_volume_shipping",
     oracle=f"""
@@ -69,8 +80,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem⋈orders on orderkey, ⋈customer on custkey) carry only the
     two-year shipdate slice, which is pushed to the lineitem scan."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        _ts_range("l_shipdate", "1996-01-01", "1998-01-01")
     )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -134,8 +144,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical-valued doubles is bitwise deterministic."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        _ts_range("o_orderdate", "1996-01-01", "1998-01-01")
     )
     c = load_table(spark, sf_dir, "customer")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
@@ -241,8 +250,7 @@ def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey, both CASE sums in a single aggregate pass."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        _ts_range("l_shipdate", "1996-01-01", "1997-01-01")
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
@@ -311,8 +319,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     unfiltered (every part's type decides the CASE), so it carries no
     broadcast hint — AQE picks the strategy at runtime."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        _ts_range("l_shipdate", "1996-03-01", "1996-04-01")
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     vol = _volume()
@@ -351,25 +358,31 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape (small-quantity-order revenue): revenue that
     would vanish if below-fifth-of-average-quantity orders stopped, for
     one brand of small parts.  The correlated scalar subquery
-    (per-part average quantity) decorrelates to a grouped aggregate
-    joined back on the part key.
+    (per-part average quantity) decorrelates to a window average.
 
-    Plan: the brand/size-filtered part is unhinted (AQE broadcasts it
-    while small); the per-part average is a map-side
-    partial-agg of (partkey, sum, count) — one shuffle — then joined to
-    the filtered lineitem on the same key.  l_quantity is an
+    Plan: ONE lineitem scan.  Because the part-side filter removes whole
+    partkeys (never individual lineitem rows of a surviving part), the
+    per-part average over the post-join rows equals the decorrelated
+    grouped aggregate exactly — so a Window.partitionBy(l_partkey) AVG
+    replaces the separate aggregate-and-join-back, which cost a second
+    full fact-table scan plus an extra partkey shuffle (review-caught:
+    the old plan showed 2 lineitem FileScans / 4 Exchanges; the plan is
+    pinned single-scan in tests/test_plans.py).  The brand/size-filtered
+    part is unhinted (AQE broadcasts it while small); l_quantity is an
     integer-valued double, so AVG is exact in any order and the 0.2×
     threshold compares identically in both engines."""
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10)
     )
-    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
-        (F.lit(0.2).cast("double") * F.avg("l_quantity")).alias("qty_thresh")
+    qty_thresh = F.lit(0.2).cast("double") * F.avg("l_quantity").over(
+        Window.partitionBy("l_partkey")
     )
     return (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .join(pa, F.col("pa_partkey") == F.col("l_partkey"))
+        .withColumn("qty_thresh", qty_thresh)
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
             (
@@ -551,8 +564,7 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            _ts_range("l_shipdate", "1996-01-01", "1997-01-01")
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
@@ -593,10 +605,8 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension attaches by an unhinted equi-join.  Revenue equality is
     safe because both sides compare the same DECIMAL-exact sum cast
     once to double."""
-    cutlo = F.lit("1996-01-01 00:00:00").cast("timestamp")
-    cuthi = F.lit("1996-04-01 00:00:00").cast("timestamp")
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= cutlo) & (F.col("l_shipdate") < cuthi)
+        _ts_range("l_shipdate", "1996-01-01", "1996-04-01")
     )
     # rev feeds both the max subquery and the equality filter:
     # checkpoint so lineitem is scanned and aggregated once
@@ -720,13 +730,11 @@ def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     double, so both sums are order-exact and the 0.5× compare is
     deterministic."""
     from pyspark.sql.window import Window
-    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
-    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
     red = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("%red%")
     ).select("p_partkey")
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+        _ts_range("l_shipdate", "1996-01-01", "1997-01-01")
     )
     ship = (
         li.join(red, F.col("l_partkey") == F.col("p_partkey"))
@@ -796,8 +804,8 @@ def parts_supplier_count(
     partsupp: DataFrame,
     part: DataFrame,
     supplier: DataFrame,
-    brand: str = "BRAND_1",
-    type_prefix: str = "TYPE_1",
+    brand: str = "Brand#1",
+    type_prefix: str = "PROMO",
     sizes: tuple[int, ...] = (1, 5, 9, 13),
 ) -> DataFrame:
     """TPC-H Q16 plan shape (parts/supplier relationship): distinct
@@ -805,6 +813,12 @@ def parts_supplier_count(
     excluding flagged suppliers (testdata has no s_comment, so the
     'Customer Complaints' exclusion substitutes s_acctbal < 0 — same
     anti-join shape).
+
+    Defaults are drawn from the REAL testdata domain (p_brand is
+    'Brand#1'..'Brand#25', p_type starts ECONOMY/LARGE/MEDIUM/PROMO/
+    SMALL/STANDARD) so the exclusion predicates actually exclude rows
+    under test — the previous 'BRAND_1'/'TYPE_1' defaults matched
+    nothing, certifying the Q16 semantics vacuously (review-caught).
 
     100 TB plan: the exclusion list is an anti-join (never NOT IN over
     a collected list); part's filters push to its scan; the distinct

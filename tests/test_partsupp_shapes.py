@@ -104,25 +104,73 @@ def test_important_stock_matches_oracle(spark, ps_path):
     assert sorted((r["ps_partkey"], r["value"]) for r in got) == sorted(want)
 
 
-def test_parts_supplier_count_matches_oracle(spark, ps_path):
+@pytest.fixture(scope="module")
+def flagged_supplier_path(tmp_path_factory):
+    """sf0.001 supplier with every 5th supplier's acctbal forced
+    negative: the shipped testdata has NO negative balances, so without
+    this patch the Q16 flagged-supplier anti-join excludes zero rows
+    and its semantics are certified vacuously (review-caught)."""
+    import duckdb as d
+
+    path = str(tmp_path_factory.mktemp("flagsupp") / "supplier.parquet")
+    d.sql(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN s_suppkey % 5 = 0 THEN -abs(s_acctbal) - 1.0
+                 ELSE s_acctbal END AS s_acctbal)
+          FROM '{SF_DIR}/supplier.parquet'
+        ) TO '{path}' (FORMAT PARQUET)
+        """
+    )
+    return path
+
+
+def test_parts_supplier_count_matches_oracle(spark, ps_path, flagged_supplier_path):
+    # every predicate of the Q16 shape must be discriminating at test
+    # scale: real-domain brand/type defaults (Brand#1 / PROMO exist in
+    # part), and the patched supplier table makes the flagged anti-join
+    # drop real rows.  An inverted '!=' / dropped '~' / semi-for-anti
+    # swap now changes the result (previously all three predicates
+    # excluded zero rows and any inversion still passed).
+    # all 50 sizes: at sf0.001 (200 parts) no Brand#1/PROMO part lands
+    # in the default 4-size set, which would leave the brand/type
+    # predicates vacuous again
+    sizes = tuple(range(1, 51))
     ps = spark.read.parquet(ps_path)
-    got = tpch_shapes.parts_supplier_count(
-        ps, load_table(spark, SF_DIR, "part"), load_table(spark, SF_DIR, "supplier")
-    ).collect()
-    want = _oracle(
+    part = load_table(spark, SF_DIR, "part")
+    supp = spark.read.parquet(flagged_supplier_path)
+    got = tpch_shapes.parts_supplier_count(ps, part, supp, sizes=sizes).collect()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{SF_DIR}/part.parquet'")
+    con.execute(
+        f"CREATE VIEW supplier AS SELECT * FROM '{flagged_supplier_path}'"
+    )
+    con.execute(f"CREATE VIEW partsupp AS SELECT * FROM '{ps_path}'")
+    want = con.execute(
         """
         SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
         FROM partsupp
         JOIN part ON ps_partkey = p_partkey
-        WHERE p_brand <> 'BRAND_1' AND p_type NOT LIKE 'TYPE_1%'
-          AND p_size IN (1, 5, 9, 13)
+        WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+          AND p_size BETWEEN 1 AND 50
           AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY p_brand, p_type, p_size
-        """,
-        ps_path,
-    )
+        """
+    ).fetchall()
     assert len(got) > 0
     assert sorted((r["p_brand"], r["p_type"], r["p_size"], r["supplier_cnt"]) for r in got) == sorted(want)
+    # sanity: the predicates discriminate — each filter removes rows
+    n_flagged = con.execute(
+        "SELECT count(*) FROM supplier WHERE s_acctbal < 0"
+    ).fetchone()[0]
+    n_brand = con.execute(
+        "SELECT count(*) FROM part WHERE p_brand = 'Brand#1'"
+    ).fetchone()[0]
+    n_type = con.execute(
+        "SELECT count(*) FROM part WHERE p_type LIKE 'PROMO%'"
+    ).fetchone()[0]
+    assert n_flagged > 0 and n_brand > 0 and n_type > 0
 
 
 def test_important_stock_plan_broadcasts_threshold(spark, ps_path):
