@@ -205,9 +205,12 @@ def q_append_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     at configure_redshift…/handler.py:24)."""
     o = load_table(spark, sf_dir, "orders")
     a = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
-    # incoming batch arrives with a different column order; align by name
+    # incoming batch arrives with a different column order; unionByName
+    # receives it AS-IS — a pre-select(*a.columns) would positionally
+    # re-align first and certify the by-name semantics vacuously
+    # (review-caught)
     b = o.select("o_orderstatus", "o_orderkey", "o_totalprice")
-    return a.unionByName(b.select(*a.columns))
+    return a.unionByName(b)
 
 
 @register(
@@ -566,6 +569,14 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim.unionAll(fact)
         .withColumn("active_value", F.last("dim_value", ignorenulls=True).over(w))
         .filter(F.col("kind") == 1)
+        # a NULL-ts fact matches NO dimension interval (the oracle's
+        # c.ts >= d.valid_from is NULL) — but asc_nulls_last sorts it
+        # AFTER every version, so the running last() would carry the
+        # latest value onto it (review-caught divergence); mask it out
+        .withColumn(
+            "active_value",
+            F.when(F.col("ts").isNotNull(), F.col("active_value")),
+        )
         .select("event_id", "user_id", "ts", "active_value")
     )
 

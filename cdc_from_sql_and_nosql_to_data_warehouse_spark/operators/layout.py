@@ -65,6 +65,11 @@ def write_zordered(
         F.min(x).alias("xlo"), F.max(x).alias("xhi"),
         F.min(y).alias("ylo"), F.max(y).alias("yhi"),
     ).collect()[0]
+    if mm["xlo"] is None or mm["ylo"] is None:
+        # empty input (e.g. compacting a partition that filtered to
+        # zero rows): write the empty frame instead of int(None) crash
+        df.write.mode("overwrite").parquet(path)
+        return
     top = (1 << Z_BITS) - 1
 
     def norm(col: str, lo: int, hi: int) -> Column:

@@ -59,10 +59,15 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_decode(blob: bytes) -> tuple[int, int, int]:
+def _fake_decode(blob: bytes | None) -> tuple[int | None, int | None, int | None]:
     """DETERMINISTIC FAKE decode standing in for an image codec (real
     decoders aren't in this container).  Produces (width, height,
-    checksum) purely from the bytes so the oracle can replicate it."""
+    checksum) purely from the bytes so the oracle can replicate it.
+    A NULL payload decodes to NULL features (a real codec kernel must
+    tolerate missing blobs too — a len(None) crash here killed the
+    whole job where the oracle returned a NULL row; review-caught)."""
+    if blob is None:
+        return None, None, None
     n = len(blob)
     width = n % 64 + 1
     height = n % 37 + 1
@@ -76,9 +81,10 @@ def _decode_batches(it):
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "width": [f[0] for f in feats],
-                "height": [f[1] for f in feats],
-                "checksum": [f[2] for f in feats],
+                # nullable Int64 so None features survive the Arrow trip
+                "width": pd.array([f[0] for f in feats], dtype="Int64"),
+                "height": pd.array([f[1] for f in feats], dtype="Int64"),
+                "checksum": pd.array([f[2] for f in feats], dtype="Int64"),
             }
         )
 
@@ -90,8 +96,12 @@ def _decode_batches(it):
     SELECT doc_id,
       CAST(octet_length(payload) % 64 + 1 AS BIGINT) AS width,
       CAST(octet_length(payload) % 37 + 1 AS BIGINT) AS height,
-      CAST(ascii(substr(CAST(payload AS VARCHAR), 1, 1)) + octet_length(payload) AS BIGINT)
-        AS checksum
+      -- first BYTE (not first character: the kernel reads blob[0], and
+      -- ascii(substr(...)) returned the first CODEPOINT, diverging on
+      -- any non-ASCII leading character)
+      CAST(CASE WHEN octet_length(payload) = 0 THEN 0
+                ELSE ('0x' || substr(hex(payload), 1, 2))::INT END
+           + octet_length(payload) AS BIGINT) AS checksum
     FROM b
     """,
 )
@@ -124,12 +134,20 @@ def _frame_sample_batches(it):
     for pdf in it:
         ids, frame_nos, hashes = [], [], []
         for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            if blob is None:
+                continue  # no payload → no frames (oracle: generate_series(0, NULL) is empty)
             n = len(blob)
             for f in range(n % 5 + 1):
                 ids.append(doc_id)
                 frame_nos.append(f)
                 hashes.append(n + f * 7)
-        yield pd.DataFrame({"doc_id": ids, "frame_no": frame_nos, "frame_hash": hashes})
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "frame_no": pd.array(frame_nos, dtype="int64"),
+                "frame_hash": pd.array(hashes, dtype="int64"),
+            }
+        )
 
 
 @register(

@@ -34,11 +34,26 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_
 )
 def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 scalar pandas UDF (Arrow batch transfer, ~10-100× faster than
-    row-at-a-time Python UDFs per the public Spark docs)."""
+    row-at-a-time Python UDFs per the public Spark docs).
+
+    The kernel mirrors the engine's tokenizer class exactly: an
+    explicit ``[ \\t\\n\\x0B\\f\\r]+`` split (``str.split()`` with no
+    pattern splits on UNICODE whitespace — \\xa0, \\u2028 — which the
+    oracle does not), and NULL text maps to NULL instead of the
+    ``len(None)`` TypeError that killed the whole job (review-caught;
+    nullable Int64 carries the None through Arrow)."""
+    import re
+
+    ws_run = re.compile(r"[ \t\n\x0B\f\r]+")
 
     @pandas_udf("long")
     def n_tokens(text: pd.Series) -> pd.Series:
-        return text.str.split().map(len).astype("int64")
+        def count(t):
+            if not isinstance(t, str):
+                return None
+            return sum(1 for x in ws_run.split(t) if x)
+
+        return text.map(count).astype("Int64")
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", n_tokens("text").alias("n_tokens"))

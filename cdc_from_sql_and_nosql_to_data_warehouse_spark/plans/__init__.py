@@ -41,9 +41,8 @@ def reads_only_columns(df: DataFrame, allowed: set[str]) -> bool:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in df._jdf.queryExecution().executedPlan().toString() or (
-        "BroadcastNestedLoopJoin" in df._jdf.queryExecution().executedPlan().toString()
-    )
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s
 
 
 def codegen_stage_count(df: DataFrame) -> int:

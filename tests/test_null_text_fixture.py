@@ -1,0 +1,82 @@
+"""NULL / non-ASCII text fixture (round-4 review of udfs/multimodal).
+
+The shipped documents table is all-ASCII with no NULL text, so three
+kernels were certified vacuously: q_udf_scalar's pandas UDF crashed the
+job on NULL text (len(None)) and silently used unicode-whitespace
+splitting; both multimodal mapInPandas kernels crashed on a NULL
+payload; and q_multimodal_decode's checksum read the first BYTE while
+its oracle read the first CODEPOINT — divergent on any leading
+non-ASCII character.  This fixture injects NULL-text and non-ASCII
+rows and replays the oracle diff for the affected operators.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pytest
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import REGISTRY
+
+from conftest import SF_DIR, TABLES
+from test_oracle_diff import duck_rows, spark_rows
+
+QUERIES = ["q_udf_scalar", "q_multimodal_decode", "q_multimodal_frames", "q_binary_meta"]
+
+
+@pytest.fixture(scope="module")
+def dirty_text_dir(tmp_path_factory):
+    """sf0.001 testdata with 6 extra documents: NULL text, empty text,
+    leading non-ASCII (ü / 中), unicode whitespace (\\xa0, \\u2028)."""
+    d = tmp_path_factory.mktemp("dirtytext")
+    for t in TABLES:
+        if t == "documents":
+            continue
+        shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{SF_DIR}/documents.parquet'
+          UNION ALL BY NAME
+          SELECT * FROM (
+            SELECT maxid + i AS doc_id, t AS text, lang, source, n_chars
+            FROM (SELECT max(doc_id) AS maxid, any_value(lang) AS lang,
+                         any_value(source) AS source, 7 AS n_chars
+                  FROM '{SF_DIR}/documents.parquet'),
+            (VALUES (1, NULL), (2, ''), (3, 'über alles'),
+                    (4, '中文 text here'), (5, 'nbsp' || chr(160) || 'joined'),
+                    (6, 'line' || chr(8232) || 'sep')) v(i, t)
+          )
+        ) TO '{d / "documents.parquet"}' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_dirty_text_oracle_parity(spark, dirty_text_dir, name):
+    q = REGISTRY[name]
+    got_cols, got = spark_rows(q.fn(spark, dirty_text_dir))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{dirty_text_dir}/{t}.parquet'"
+        )
+    want_cols, want, _ = duck_rows(con, q.oracle)
+    con.close()
+    assert got_cols == want_cols
+    assert sorted(got) == sorted(want), name
+
+
+def test_write_zordered_empty_input(spark, tmp_path):
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        write_zordered,
+    )
+
+    empty = spark.createDataFrame([], "x bigint, y bigint, v string")
+    out = str(tmp_path / "z")
+    write_zordered(empty, "x", "y", out, partitions=2)
+    assert spark.read.parquet(out).count() == 0

@@ -42,6 +42,12 @@ EVENT_TS_QUERIES = [
     "q_new_vs_returning",
     "q_asof_join",
     "q_asof_tolerance",
+    # cdc_batch.py event-time windows (review-caught: this list
+    # originally covered only timeseries.py, and the one confirmed
+    # NULL-ts divergence lived in q_scd2_point_in_time)
+    "q_scd2_point_in_time",
+    "q_scd2_build",
+    "q_upsert_latest_wins",
 ]
 
 
