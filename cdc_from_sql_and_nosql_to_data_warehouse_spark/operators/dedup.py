@@ -1141,3 +1141,86 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_common").cast("double") / F.col("sz_a").cast("double"), 6
         ).alias("containment"),
     )
+
+
+_SPAN_K = 8  # tokens per rolling window (span granularity)
+
+
+@register(
+    "q_dedup_spans",
+    oracle=f"""
+    WITH st AS (
+      SELECT doc_id, toks,
+        unnest(generate_series(1, greatest(length(toks) - {_SPAN_K - 1}, 0))) AS i
+      FROM (SELECT doc_id, {SQL_TOKS_EXPR} AS toks FROM documents)
+    ),
+    w AS (
+      SELECT doc_id,
+        {sql_md5_int(f"array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')")} AS h
+      FROM st
+    ),
+    flagged AS (
+      SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS cnt FROM w
+    ),
+    perdoc AS (
+      SELECT doc_id,
+        COUNT(*) AS n_windows,
+        CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      COALESCE(n_windows, 0) AS n_windows,
+      COALESCE(n_dup_windows, 0) AS n_dup_windows,
+      CASE WHEN COALESCE(n_windows, 0) = 0 THEN 0.0
+           ELSE CAST(n_dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE)
+      END AS dup_frac
+    FROM documents d LEFT JOIN perdoc USING (doc_id)
+    """,
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2′ duplicate-SPAN detection (public algorithm: exact substring
+    dedup of "Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022, at fixed-window granularity): every
+    rolling {k}-token window is hashed; a window whose hash occurs
+    more than once CORPUS-WIDE is a duplicated span, and each document
+    reports its duplicated-span fraction — the per-doc signal used to
+    drop or trim boilerplate-heavy pages.
+
+    100 TB plan: flat (doc_id, h) window rows stay in whole-stage
+    codegen (md5_shingle_rows shape — explode start positions first,
+    never per-doc arrays in interpreted lambdas); corpus-wide window
+    multiplicity is a COUNT over Window.partitionBy(h) — ONE shuffle
+    on the 60-bit hash, no self-join, and the shingle subtree executes
+    once (a groupBy+join-back would re-execute it per consumer, the
+    no-cross-branch-CSE rule); then one per-doc hash aggregate.  Skew:
+    an ultra-hot span hash lands one window partition — bounded by the
+    corpus count of ONE boilerplate sentence; AQE skew-split handles
+    the partition, and no row explosion ever multiplies payloads.
+    Short documents (< 8 tokens) have zero windows and report
+    dup_frac 0.0 via the left join."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = md5_shingle_rows(docs, _SPAN_K).select(F.col("id").alias("doc_id"), "h")
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    perdoc = (
+        w.withColumn("cnt", cnt)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double")
+            )
+            .alias("dup_frac"),
+        )
+    )
