@@ -1050,3 +1050,90 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("canon_url")
         .agg(F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_urls"))
     )
+
+
+_TEMP_BUDGET = 100  # total expected docs in the temperature-resampled mix
+
+
+@register(
+    "q_mixture_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_in FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT list_reduce(
+        list_prepend(CAST(0 AS DOUBLE),
+                     list_sort(list(sqrt(CAST(n_in AS DOUBLE))))),
+        (a, x) -> a + x) AS z
+      FROM counts
+    ),
+    w AS (
+      SELECT source, n_in,
+        sqrt(CAST(n_in AS DOUBLE)) / z AS temp_weight,
+        least(1.0, CAST({_TEMP_BUDGET} AS DOUBLE)
+                   * (sqrt(CAST(n_in AS DOUBLE)) / z)
+                   / CAST(n_in AS DOUBLE)) AS keep_prob
+      FROM counts, tot
+    )
+    SELECT w.source, n_in, temp_weight, keep_prob,
+      COUNT(*) FILTER (
+        WHERE {sql_md5_unit("CAST(d.doc_id AS VARCHAR)")} < keep_prob
+      ) AS n_kept
+    FROM w JOIN documents d ON d.source = w.source
+    GROUP BY w.source, n_in, temp_weight, keep_prob
+    """,
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (the standard LLM
+    data-mixing scheme, public from the GPT-3/PaLM data recipes and
+    UniMax): source s is sampled proportionally to n_s^alpha with
+    alpha = 0.5, flattening the head sources relative to natural
+    proportions, and each source keeps an md5-deterministic subset
+    sized to its temperature weight under a fixed total budget.
+
+    Cross-engine determinism: alpha = 0.5 is computed as sqrt (IEEE-
+    exact and identical in both engines — POWER(x, 0.5) is NOT
+    guaranteed bit-equal to sqrt); the normalizer sums the per-source
+    sqrt terms through the sorted-fold (float sums are order-dependent,
+    and source iteration order differs between engines).
+
+    100 TB plan: per-source counts are a vocabulary-sized aggregate;
+    the normalizer is ONE row broadcast via cross join; keep/drop is a
+    flat md5-threshold projection (no RNG, rerun-stable) and the audit
+    aggregate shuffles once on source.  The same threshold yields the
+    kept ROWS at scale; the registered query emits per-source totals
+    to stay oracle-small."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy(F.col("source").alias("csource")).agg(
+        F.count(F.lit(1)).alias("n_in")
+    )
+    tot = counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.sqrt(F.col("n_in").cast("double")))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("z")
+    )
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "csource",
+        "n_in",
+        (F.sqrt(F.col("n_in").cast("double")) / F.col("z")).alias("temp_weight"),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(_TEMP_BUDGET))
+            * (F.sqrt(F.col("n_in").cast("double")) / F.col("z"))
+            / F.col("n_in").cast("double"),
+        ).alias("keep_prob"),
+    )
+    u = md5_unit(F.col("doc_id").cast("string"))
+    return (
+        docs.join(F.broadcast(w), F.col("source") == F.col("csource"))
+        .select("source", "n_in", "temp_weight", "keep_prob", u.alias("u"))
+        .groupBy("source", "n_in", "temp_weight", "keep_prob")
+        .agg(
+            F.sum(F.when(F.col("u") < F.col("keep_prob"), 1).otherwise(0)).alias(
+                "n_kept"
+            )
+        )
+    )
