@@ -40,6 +40,15 @@ def jdbc_reader(
         .option("fetchsize", str(fetch_size))
     )
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the JVM as the literal 'None' and
+            # die at load time with a NumberFormatException far from
+            # the misconfiguration — fail here instead
+            raise ValueError(
+                "partition_column requires lower_bound AND upper_bound "
+                "(Spark needs the numeric range to plan the parallel "
+                "range queries)"
+            )
         r = (
             r.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

@@ -109,9 +109,13 @@ class ChangeFeedStreamReader(SimpleDataSourceStreamReader):
     — same offset contract, executor-side reads."""
 
     def __init__(self, options: dict) -> None:
-        self._shards = int(options.get("shards", 2))
+        # defaults MATCH the batch reader's (shards=4, per_shard=1000):
+        # "the same feed" means identical shard counts, event sets, and
+        # seq values with no options given — divergent defaults broke
+        # any default-options batch-vs-stream comparison (review-caught)
+        self._shards = int(options.get("shards", 4))
         self._batch = int(options.get("batch_size", 50))
-        self._limit = int(options.get("per_shard", 200))  # feed end (bounded for tests)
+        self._limit = int(options.get("per_shard", 1000))  # feed end (bounded for tests)
         self._keys = int(options.get("keys", 100))
         self._seed = int(options.get("seed", 0))
 

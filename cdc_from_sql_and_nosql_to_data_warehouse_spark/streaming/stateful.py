@@ -23,6 +23,43 @@ STATE_SCHEMA = "last_seq long, n_events long, last_price double"
 OUTPUT_SCHEMA = "id string, last_seq long, n_events long, last_price double"
 
 
+def _fold(last_seq, n_events, last_price, batches):
+    """ONE definition of the per-key CDC fold, shared by BOTH stateful
+    APIs (was copy-pasted with stylistic drift — review-caught) and
+    VECTORIZED: per-row ``iterrows`` materializes a Series per event,
+    the slowest iteration form pandas has, and a skewed hot key's
+    micro-batch would spend its task time there.  Semantics preserved
+    exactly: events sorted by seq; only events with seq above the
+    running high-water mark advance it; among those, the last
+    non-null price in seq order wins; late/duplicate events (seq <=
+    last_seq, including equal seqs WITHIN a batch — stable sort +
+    keep='first' reproduces the row-at-a-time guard) bump the event
+    count but never regress state."""
+    for pdf in batches:
+        n_events += len(pdf)
+        sel = pdf if last_seq is None else pdf[pdf["seq"] > last_seq]
+        if len(sel):
+            sel = sel.sort_values("seq", kind="stable").drop_duplicates(
+                "seq", keep="first"
+            )
+            last_seq = int(sel["seq"].iloc[-1])
+            prices = sel["price"].dropna()
+            if len(prices):
+                last_price = float(prices.iloc[-1])
+    return last_seq, n_events, last_price
+
+
+def _fold_output(key, last_seq, n_events, last_price) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "id": [key[0]],
+            "last_seq": [last_seq],
+            "n_events": [n_events],
+            "last_price": [last_price],
+        }
+    )
+
+
 def _apply_key_state(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -32,23 +69,9 @@ def _apply_key_state(
         last_seq, n_events, last_price = state.get
     else:
         last_seq, n_events, last_price = None, 0, None
-    for pdf in batches:
-        pdf = pdf.sort_values("seq")
-        for _, row in pdf.iterrows():
-            if last_seq is None or row["seq"] > last_seq:
-                # late/duplicate events don't regress state
-                last_seq = int(row["seq"])
-                last_price = float(row["price"]) if pd.notna(row["price"]) else last_price
-            n_events += 1
+    last_seq, n_events, last_price = _fold(last_seq, n_events, last_price, batches)
     state.update((last_seq, n_events, last_price))
-    yield pd.DataFrame(
-        {
-            "id": [key[0]],
-            "last_seq": [last_seq],
-            "n_events": [n_events],
-            "last_price": [last_price],
-        }
-    )
+    yield _fold_output(key, last_seq, n_events, last_price)
 
 
 def keyed_cdc_state(changes: DataFrame) -> DataFrame:
@@ -105,23 +128,9 @@ class KeyedCdcProcessor(StatefulProcessor):
             last_seq, n_events, last_price = self._state.get()
         else:
             last_seq, n_events, last_price = None, 0, None
-        for pdf in rows:
-            pdf = pdf.sort_values("seq")
-            for _, row in pdf.iterrows():
-                if last_seq is None or row["seq"] > last_seq:
-                    last_seq = int(row["seq"])
-                    if pd.notna(row["price"]):
-                        last_price = float(row["price"])
-                n_events += 1
+        last_seq, n_events, last_price = _fold(last_seq, n_events, last_price, rows)
         self._state.update((last_seq, n_events, last_price))
-        yield pd.DataFrame(
-            {
-                "id": [key[0]],
-                "last_seq": [last_seq],
-                "n_events": [n_events],
-                "last_price": [last_price],
-            }
-        )
+        yield _fold_output(key, last_seq, n_events, last_price)
 
     def close(self) -> None:
         pass

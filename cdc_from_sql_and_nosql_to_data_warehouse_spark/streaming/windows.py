@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.exact import dec
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.exact import dsum
 
 
 def tumbling_counts(
@@ -25,7 +25,7 @@ def tumbling_counts(
         df.groupBy(F.window(ts, width).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec("value")).cast("double").alias("sum_value"),
+            dsum("value").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -38,20 +38,37 @@ def tumbling_counts(
 
 
 def sliding_counts(
-    events: DataFrame, ts: str = "ts", width: str = "10 minutes", slide: str = "5 minutes"
+    events: DataFrame,
+    ts: str = "ts",
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = None,
 ) -> DataFrame:
-    """B32 sliding window aggregation."""
+    """B32 sliding window aggregation.  Pass ``watermark`` on streams:
+    without one, append mode is rejected outright and complete mode
+    accumulates window state forever (unbounded state growth — the
+    watermark is what lets Spark retire closed windows)."""
+    df = events.withWatermark(ts, watermark) if watermark else events
     return (
-        events.groupBy(F.window(ts, width, slide).alias("w"))
+        df.groupBy(F.window(ts, width, slide).alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "n")
     )
 
 
-def session_counts(events: DataFrame, ts: str = "ts", gap: str = "5 minutes") -> DataFrame:
-    """B33 session windows per user (gap-based)."""
+def session_counts(
+    events: DataFrame,
+    ts: str = "ts",
+    gap: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """B33 session windows per user (gap-based).  Same watermark
+    contract as ``sliding_counts`` — session windows REQUIRE one on
+    streams (a session only closes when the watermark passes its
+    gap)."""
+    df = events.withWatermark(ts, watermark) if watermark else events
     return (
-        events.groupBy(F.session_window(ts, gap).alias("w"), F.col("user_id"))
+        df.groupBy(F.session_window(ts, gap).alias("w"), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.col("w.start").alias("session_start"),
