@@ -67,6 +67,9 @@ HEADLINE = [
     "q_bm25_search",
     "q_dedup_containment",
     "q_ts_similarity",
+    # round-4 additions (appended — earlier prefixes stay comparable)
+    "q_dedup_spans",
+    "q_mixture_temperature",
 ]
 
 

@@ -1105,8 +1105,13 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept ROWS at scale; the registered query emits per-source totals
     to stay oracle-small."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy(F.col("source").alias("csource")).agg(
-        F.count(F.lit(1)).alias("n_in")
+    # counts feeds BOTH the normalizer and the weights frame: without a
+    # checkpoint the vocabulary-sized aggregate (and its documents
+    # scan) re-executes per consumer (no cross-branch CSE)
+    counts = (
+        docs.groupBy(F.col("source").alias("csource"))
+        .agg(F.count(F.lit(1)).alias("n_in"))
+        .localCheckpoint(eager=False)
     )
     tot = counts.agg(
         F.aggregate(
