@@ -64,15 +64,20 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 
 def lang_id(col: Column | str) -> Column:
-    """argmax language by marker hits; 'und' when nothing matches.
-    Deterministic tie-break: language name ascending."""
+    """argmax language by marker hits; 'und' when nothing matches OR
+    the text is NULL (NULL scores made struct-min pick an arbitrary
+    language while the SQL oracle's CASE fell to its ELSE — divergent
+    verdicts on NULL text; fixture-caught).  Deterministic tie-break:
+    language name ascending."""
     scores = lang_scores(col)
     # struct sort: (-hits, lang) so max hits wins, ties to lexicographic
     pairs = F.array(
         *[F.struct((-s).alias("neg"), F.lit(lang).alias("lang")) for lang, s in scores.items()]
     )
     best = F.array_min(pairs)
-    return F.when(best["neg"] == 0, F.lit("und")).otherwise(best["lang"])
+    return F.when(
+        best["neg"].isNull() | (best["neg"] == 0), F.lit("und")
+    ).otherwise(best["lang"])
 
 
 def punct_ratio(col: Column | str) -> Column:

@@ -1252,7 +1252,9 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
                     x -> length(x) > 8) AS long_toks
       FROM documents
     )
-    SELECT doc_id, unnest(CASE WHEN length(long_toks) = 0 THEN [NULL] ELSE long_toks END) AS tok
+    SELECT doc_id,
+      unnest(CASE WHEN long_toks IS NULL OR length(long_toks) = 0
+                  THEN [NULL] ELSE long_toks END) AS tok
     FROM t
     """,
 )
@@ -1275,7 +1277,12 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
       CAST(length(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS BIGINT) AS n_a_words,
-      array_to_string(regexp_extract_all(text, '[a-z]+a[a-z]*'), ',') AS a_words
+      -- empty match list: Spark array_join gives '', DuckDB
+      -- array_to_string gives NULL — spell the '' case out (NULL text
+      -- still propagates NULL through the ELSE branch)
+      CASE WHEN length(regexp_extract_all(text, '[a-z]+a[a-z]*')) = 0 THEN ''
+           ELSE array_to_string(regexp_extract_all(text, '[a-z]+a[a-z]*'), ',')
+      END AS a_words
     FROM documents
     """,
 )

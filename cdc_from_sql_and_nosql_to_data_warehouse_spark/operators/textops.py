@@ -122,7 +122,8 @@ _MARKER_SQL = {
       FROM t
     )
     SELECT doc_id, labeled_lang, hits_en, hits_es, hits_fr, hits_de,
-      CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) = 0 THEN 'und'
+      CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) IS NULL
+             OR greatest(hits_en, hits_es, hits_fr, hits_de) = 0 THEN 'und'
            WHEN hits_de = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'de'
            WHEN hits_en = greatest(hits_en, hits_es, hits_fr) THEN 'en'
            WHEN hits_es = greatest(hits_es, hits_fr) THEN 'es'
@@ -564,12 +565,26 @@ def q_pmi_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(X.tokens("text").alias("toks"))
-    pos = toks.select(
-        "toks", F.explode(F.sequence(F.lit(1), F.size("toks"))).alias("i")
+    # generate ONLY in-bounds (i, k) pairs: i ≤ size−1, k ≤ min(3,
+    # size−i).  The previous explode-then-filter form evaluated
+    # element_at on out-of-range indexes for empty documents (Spark's
+    # sequence(1, 0) is the DESCENDING [1, 0]) and crashed the job
+    # under ANSI (review/fixture-caught); bounded sequences also skip
+    # the wasted ×3 explode-and-discard on short tails.
+    pos = (
+        toks.filter(F.size("toks") >= 2)
+        .select("toks", F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"))
     )
     pr = (
-        pos.select("toks", "i", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("k"))
-        .filter(F.col("i") + F.col("k") <= F.size("toks"))
+        pos.select(
+            "toks",
+            "i",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(3), F.size("toks") - F.col("i"))
+                )
+            ).alias("k"),
+        )
         .select(
             F.element_at("toks", F.col("i")).alias("w1"),
             F.element_at("toks", F.col("i") + F.col("k")).alias("w2"),
@@ -696,7 +711,7 @@ def _sql_bpe_chain(expr: str) -> str:
     return expr
 
 
-_SQL_CHARS = "' ' || trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) || ' '"
+_SQL_CHARS = "' ' || trim(regexp_replace(tok, '(?s)(.)', '\\1 ', 'g')) || ' '"
 _SQL_MERGED = _sql_bpe_chain(_SQL_CHARS)
 
 
@@ -735,7 +750,7 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(X.tokens("text")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
     spaced = F.concat(
-        F.lit(" "), F.trim(F.regexp_replace("tok", "(.)", "$1 ")), F.lit(" ")
+        F.lit(" "), F.trim(F.regexp_replace("tok", "(?s)(.)", "$1 ")), F.lit(" ")
     )
     merged = spaced
     for a, b in _BPE_MERGES:
@@ -764,7 +779,7 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_V = 2000  # head-vocabulary cap (count desc, word asc — deterministic)
 _BPE_ROUNDS = 3
 
-_SQL_SYM = "' ' || trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) || ' '"
+_SQL_SYM = "' ' || trim(regexp_replace(tok, '(?s)(.)', '\\1 ', 'g')) || ' '"
 
 
 def _sql_bpe_round(k: int) -> str:
@@ -831,7 +846,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = words.select(
         F.concat(
             F.lit(" "),
-            F.trim(F.regexp_replace(F.col("tok"), "(.)", "$1 ")),
+            F.trim(F.regexp_replace(F.col("tok"), "(?s)(.)", "$1 ")),
             F.lit(" "),
         ).alias("w"),
         "c",
