@@ -652,7 +652,12 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     modifies = base.filter(res == 2).select(
         "l_returnflag",
-        (F.lit(1.00).cast("decimal(14,2)")).alias("d_s"),  # new - old = +1.00
+        # new − old = +1.00, but ONLY for rows with a price: bumping a
+        # NULL price leaves it NULL (NULL + 1 = NULL), so its retract/
+        # apply delta is NULL (sum-skipped) — an unconditional +1.00
+        # drifted the MV off the recompute on NULL-measure rows
+        # (fixture-caught)
+        F.when(price.isNotNull(), F.lit(1.00).cast("decimal(14,2)")).alias("d_s"),
         F.lit(0).cast("bigint").alias("d_n"),
     )
     delta = inserts.unionAll(removes).unionAll(modifies)

@@ -1353,9 +1353,12 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_agg",
     oracle="""
     WITH a AS (
+      -- NULL prices excluded on BOTH sides: Spark's collect_list
+      -- drops NULL elements while DuckDB's list() keeps them — the
+      -- filter makes the declared non-null-collect semantics explicit
       SELECT o_custkey, list_sort(list(o_totalprice)) AS prices
       FROM orders
-      WHERE o_custkey < 100
+      WHERE o_custkey < 100 AND o_totalprice IS NOT NULL
       GROUP BY o_custkey
     )
     SELECT o_custkey, CAST(length(prices) AS INTEGER) AS n_orders,
@@ -1377,8 +1380,13 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verified in the EXPLODED (o_custkey, n_orders, pos, price) shape:
     the harness canonicalizer cannot hash array cells (round-3 driver
     ERR), and positional explode of the sorted array pins exactly the
-    same semantics — order, multiplicity, and per-group cardinality."""
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    same semantics — order, multiplicity, and per-group cardinality.
+    NULL prices are filtered explicitly on both engines (Spark's
+    collect_list silently drops NULL elements, DuckDB's list() keeps
+    them; fixture-caught)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_custkey") < 100) & F.col("o_totalprice").isNotNull()
+    )
     agg = o.groupBy("o_custkey").agg(
         F.array_sort(F.collect_list("o_totalprice")).alias("prices"),
     )
@@ -1966,20 +1974,26 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     an `Expand` node — each input row emits 4 rows in the same task,
     no shuffle, no join); column pruning still reaches the scan, so
     at 100 TB this reads exactly the 6 projected columns and never
-    exchanges."""
+    exchanges.  NULL cells are dropped to match the SQL-standard
+    UNPIVOT default (EXCLUDE NULLS — what DuckDB does; Spark's
+    unpivot keeps them; fixture-caught)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_quantity").alias("quantity"),
-        F.col("l_extendedprice").alias("extendedprice"),
-        F.col("l_discount").alias("discount"),
-        F.col("l_tax").alias("tax"),
-    ).unpivot(
-        ["l_orderkey", "l_linenumber"],
-        ["quantity", "extendedprice", "discount", "tax"],
-        "metric",
-        "val",
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("extendedprice"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["quantity", "extendedprice", "discount", "tax"],
+            "metric",
+            "val",
+        )
+        .filter(F.col("val").isNotNull())
     )
 
 
