@@ -565,17 +565,29 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc_nulls_last("ts"), "kind", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # the carried state is a STRUCT per dimension VERSION, not the bare
+    # value: a version whose value is NULL is still the active version
+    # (the oracle's interval join returns its NULL), while a bare
+    # last(value, ignorenulls) would skip it and resurrect the older
+    # version's value (fixture-caught)
+    ver = F.last(
+        F.when(F.col("kind") == 0, F.struct(F.col("dim_value").alias("v"))),
+        ignorenulls=True,
+    ).over(w)
     return (
         dim.unionAll(fact)
-        .withColumn("active_value", F.last("dim_value", ignorenulls=True).over(w))
+        .withColumn("active_ver", ver)
         .filter(F.col("kind") == 1)
-        # a NULL-ts fact matches NO dimension interval (the oracle's
-        # c.ts >= d.valid_from is NULL) — but asc_nulls_last sorts it
-        # AFTER every version, so the running last() would carry the
-        # latest value onto it (review-caught divergence); mask it out
+        # a NULL-ts fact matches NO dimension interval (c.ts >=
+        # d.valid_from is NULL) yet sorts after every version here, and
+        # a NULL user_id never equi-joins yet shares a window
+        # partition — mask both out (review/fixture-caught)
         .withColumn(
             "active_value",
-            F.when(F.col("ts").isNotNull(), F.col("active_value")),
+            F.when(
+                F.col("ts").isNotNull() & F.col("user_id").isNotNull(),
+                F.col("active_ver")["v"],
+            ),
         )
         .select("event_id", "user_id", "ts", "active_value")
     )

@@ -239,6 +239,13 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a Pareto front meaningfully anyway
         F.col("price").isNotNull() & F.col("p_size").isNotNull()
     )
+    # a NULL-brand part has NO same-brand competitors under the
+    # oracle's q.p_brand = p.p_brand (NULL never equals), so NOT
+    # EXISTS keeps it unconditionally — but the list-form equi-join
+    # below silently DROPS NULL brands (fixture-caught); route them
+    # straight to the output
+    null_brand = p.filter(F.col("p_brand").isNull())
+    p = p.filter(F.col("p_brand").isNotNull())
     per_size = p.groupBy("p_brand", "p_size").agg(F.min("price").alias("minp"))
     w = (
         Window.partitionBy("p_brand")
@@ -253,6 +260,7 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("price") <= F.col("minp"))
         )
         .select("p_brand", "p_partkey", "p_size", "price")
+        .unionByName(null_brand.select("p_brand", "p_partkey", "p_size", "price"))
     )
 
 

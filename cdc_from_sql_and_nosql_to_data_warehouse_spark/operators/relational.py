@@ -603,9 +603,12 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = assign_dense_ids(
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal"),
         [
-            F.col("c_nationkey").asc(),
+            # explicit NULLS LAST: Spark ASC defaults NULLS FIRST,
+            # DuckDB NULLS LAST (the ts-column audit, extended to
+            # nullable dim keys; fixture-caught)
+            F.col("c_nationkey").asc_nulls_last(),
             F.col("c_acctbal").desc_nulls_last(),
-            F.col("c_custkey").asc(),
+            F.col("c_custkey").asc_nulls_last(),
         ],
         id_col="sort_pos0",
     )
@@ -1312,7 +1315,10 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B13 distribution window functions: percent_rank/cume_dist —
     rational-valued, so the double results are bitwise identical across
     engines (same integer operands, one division)."""
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    # asc_nulls_last mirrors DuckDB's ASC default (Spark: NULLS FIRST)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc_nulls_last("c_acctbal"), F.asc_nulls_last("c_custkey")
+    )
     return load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_mktsegment",
@@ -1782,7 +1788,10 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment deterministic.  Partitioned by nation, so no global
     single-task window."""
     c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    # asc_nulls_last mirrors DuckDB's ASC default (Spark: NULLS FIRST)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc_nulls_last("c_acctbal"), F.asc_nulls_last("c_custkey")
+    )
     return c.select(
         "c_custkey",
         "c_nationkey",

@@ -130,6 +130,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("side") == 0, F.struct(F.col("ts").alias("m_ts"), F.col("click_value").alias("m_val"))),
         ignorenulls=True,
     ).over(w)
+    # a NULL user_id never matches under the join model (NULL = NULL
+    # is NULL in the ASOF ON clause) but DOES share a window partition
+    # here — mask the carried match for NULL-key rows (fixture-caught)
+    keyed = F.col("user_id").isNotNull()
     return (
         left.unionByName(right)
         .select(
@@ -138,8 +142,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts",
             "value",
             "side",
-            match["m_ts"].alias("click_ts"),
-            match["m_val"].alias("click_value"),
+            F.when(keyed, match["m_ts"]).alias("click_ts"),
+            F.when(keyed, match["m_val"]).alias("click_value"),
         )
         .filter(F.col("side") == 1)
         .select("event_id", "user_id", "ts", "value", "click_ts", "click_value")
