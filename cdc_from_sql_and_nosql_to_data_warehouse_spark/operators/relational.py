@@ -25,6 +25,9 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.exact import (
     sql_davg,
     sql_dsum,
 )
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.grouping import (
+    presummed_count_dsum_sets,
+)
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
 
@@ -424,11 +427,18 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B11 ROLLUP (hierarchical grouping sets + grand total)."""
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+    """B11 ROLLUP (hierarchical grouping sets + grand total),
+    pre-aggregated at (flag, status) so Expand multiplies a handful of
+    group rows instead of every lineitem row, with the grand total as a
+    guaranteed-one-row global aggregate (SQL `()` semantics hold on
+    empty input too — functions/grouping.py)."""
+    return presummed_count_dsum_sets(
+        load_table(spark, sf_dir, "lineitem"),
+        keys=[("l_returnflag", "l_returnflag"), ("l_linestatus", "l_linestatus")],
+        value="l_quantity",
+        sets=[("l_returnflag", "l_linestatus"), ("l_returnflag",)],
+        n_alias="n",
+        sum_alias="sum_qty",
     )
 
 
@@ -440,11 +450,20 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B11 CUBE (all grouping-set combinations)."""
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+    """B11 CUBE (all grouping-set combinations) — same pre-aggregated
+    decomposition as q_rollup (Expand over distinct groups, not rows;
+    grand total survives empty input)."""
+    return presummed_count_dsum_sets(
+        load_table(spark, sf_dir, "lineitem"),
+        keys=[("l_returnflag", "l_returnflag"), ("l_linestatus", "l_linestatus")],
+        value="l_quantity",
+        sets=[
+            ("l_returnflag", "l_linestatus"),
+            ("l_returnflag",),
+            ("l_linestatus",),
+        ],
+        n_alias="n",
+        sum_alias="sum_qty",
     )
 
 

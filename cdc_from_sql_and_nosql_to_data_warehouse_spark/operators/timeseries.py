@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.exact import dsum, sql_dsum
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.grouping import (
+    presummed_count_dsum_sets,
+)
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
 
@@ -308,25 +311,31 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11 GROUPING SETS — the hypertable-style multi-resolution
     continuous-aggregate shape: per (type, day), per type, and grand
-    total in ONE pass.  Spark expands the sets map-side and partial-
-    aggregates before the single shuffle, so the exchange carries one
-    row per (set x group), never per input row.  The rollup level is
-    derived from the null pattern (`lvl`) because the grouping columns
-    are non-null in this table; with nullable keys we would use
-    grouping_id() instead (bit order differs between engines, so the
-    oracle stays engine-neutral this way).
+    total.  Pre-aggregated at the finest set so the Expand multiplies
+    one row per (type, day) group instead of every event row, with the
+    grand total as a guaranteed-one-row global aggregate (SQL `()`
+    semantics hold on empty input — functions/grouping.py).  The
+    rollup level is derived from the null pattern (`lvl`) because the
+    grouping columns are non-null in this table; with nullable keys we
+    would use grouping_id() instead (bit order differs between
+    engines, so the oracle stays engine-neutral this way).
     """
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(
-        """
-        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-          COUNT(*) AS n_events,
-          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
-          CASE WHEN event_type IS NULL THEN 2
-               WHEN CAST(date_trunc('day', ts) AS DATE) IS NULL THEN 1 ELSE 0 END AS lvl
-        FROM events
-        GROUP BY GROUPING SETS ((event_type, CAST(date_trunc('day', ts) AS DATE)), (event_type), ())
-        """
+    out = presummed_count_dsum_sets(
+        load_table(spark, sf_dir, "events"),
+        keys=[
+            ("event_type", "event_type"),
+            ("day", F.date_trunc("day", F.col("ts")).cast("date")),
+        ],
+        value="value",
+        sets=[("event_type", "day"), ("event_type",)],
+        n_alias="n_events",
+        sum_alias="total_value",
+    )
+    return out.withColumn(
+        "lvl",
+        F.when(F.col("event_type").isNull(), F.lit(2))
+        .when(F.col("day").isNull(), F.lit(1))
+        .otherwise(F.lit(0)),
     )
 
 
