@@ -1181,7 +1181,7 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2′ duplicate-SPAN detection (public algorithm: exact substring
     dedup of "Deduplicating Training Data Makes Language Models
     Better", Lee et al. 2022, at fixed-window granularity): every
-    rolling {k}-token window is hashed; a window whose hash occurs
+    rolling 8-token (_SPAN_K) window is hashed; a window whose hash occurs
     more than once CORPUS-WIDE is a duplicated span, and each document
     reports its duplicated-span fraction — the per-doc signal used to
     drop or trim boilerplate-heavy pages.

@@ -11,14 +11,13 @@ Both engines must agree on the empty-input result, not just survive.
 
 from __future__ import annotations
 
-import duckdb
 import pyarrow.parquet as pq
 import pytest
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import REGISTRY
 
 from conftest import SF_DIR, TABLES
-from test_oracle_diff import duck_rows, spark_rows
+from test_oracle_diff import replay_oracle_parity
 
 QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
 
@@ -33,20 +32,5 @@ def empty_dir(tmp_path_factory):
 
 
 def test_empty_tables_oracle_parity(spark, empty_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{empty_dir}/{t}.parquet'")
-    failures = []
-    for name in QUERIES:
-        q = REGISTRY[name]
-        try:
-            got_cols, got = spark_rows(q.fn(spark, empty_dir))
-            want_cols, want, _ = duck_rows(con, q.oracle)
-            if got_cols != want_cols:
-                failures.append((name, "cols", got_cols, want_cols))
-            elif sorted(got) != sorted(want):
-                failures.append((name, "rows", len(got), len(want)))
-        except Exception as e:  # noqa: BLE001 - report every query's verdict
-            failures.append((name, "error", str(e).splitlines()[0][:160]))
-    con.close()
+    failures = replay_oracle_parity(spark, empty_dir, QUERIES)
     assert not failures, failures

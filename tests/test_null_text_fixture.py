@@ -20,7 +20,7 @@ import pytest
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import REGISTRY
 
 from conftest import SF_DIR, TABLES
-from test_oracle_diff import duck_rows, spark_rows
+from test_oracle_diff import replay_oracle_parity
 
 # EVERY oracle-bearing query over the documents table replays on the
 # dirty fixture — the systematic sweep that caught q_pmi_skipgram's
@@ -64,24 +64,7 @@ def dirty_text_dir(tmp_path_factory):
 
 
 def test_dirty_text_oracle_parity(spark, dirty_text_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{dirty_text_dir}/{t}.parquet'"
-        )
-    failures = []
-    for name in QUERIES:
-        q = REGISTRY[name]
-        try:
-            got_cols, got = spark_rows(q.fn(spark, dirty_text_dir))
-            want_cols, want, _ = duck_rows(con, q.oracle)
-            if got_cols != want_cols:
-                failures.append((name, "cols", got_cols, want_cols))
-            elif sorted(got) != sorted(want):
-                failures.append((name, "rows", len(got), len(want)))
-        except Exception as e:  # noqa: BLE001 - report every query's verdict
-            failures.append((name, "error", str(e).splitlines()[0][:120]))
-    con.close()
+    failures = replay_oracle_parity(spark, dirty_text_dir, QUERIES)
     assert not failures, failures
 
 

@@ -120,6 +120,38 @@ def spark_arrow_base(dtype: str) -> str:
     return _SPARK_TO_ARROW.get(dtype, dtype)
 
 
+def replay_oracle_parity(spark, fixture_dir, queries):
+    """Replay each named oracle query against a fixture dir on BOTH
+    engines and return the failure list — the shared harness of the
+    fixture sweeps (dirty text / NULL measures / NULL dims / empty
+    tables)."""
+    import duckdb
+
+    from conftest import TABLES
+
+    con = duckdb.connect()
+    failures = []
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{fixture_dir}/{t}.parquet'"
+            )
+        for name in queries:
+            q = ops.REGISTRY[name]
+            try:
+                got_cols, got = spark_rows(q.fn(spark, fixture_dir))
+                want_cols, want, _ = duck_rows(con, q.oracle)
+                if got_cols != want_cols:
+                    failures.append((name, "cols", got_cols, want_cols))
+                elif sorted(got) != sorted(want):
+                    failures.append((name, "rows", len(got), len(want)))
+            except Exception as e:  # noqa: BLE001 - report every query's verdict
+                failures.append((name, "error", str(e).splitlines()[0][:160]))
+    finally:
+        con.close()
+    return failures
+
+
 SPECS = [s for s in ops.REGISTRY.values() if s.oracle]
 ROWS_ONLY = [s for s in ops.REGISTRY.values() if not s.oracle]
 
