@@ -70,6 +70,9 @@ HEADLINE = [
     # round-4 additions (appended — earlier prefixes stay comparable)
     "q_dedup_spans",
     "q_mixture_temperature",
+    # pre-aggregated grouping-sets decomposition (functions/grouping.py)
+    "q_rollup",
+    "q_grouping_sets",
 ]
 
 
