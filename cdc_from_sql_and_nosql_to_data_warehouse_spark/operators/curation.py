@@ -457,6 +457,28 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _loud_src_n(qname: str):
+    """Parse the numeric suffix of `source` (srcNN), loudly but
+    NULL-tolerantly: a NULL source is a legitimate missing value — it
+    parses to NULL, which fails both role filters exactly as the
+    oracle's CAST(substr(NULL,4) AS INT) does (the NULL-metadata
+    sweep caught the previous guard killing the whole job, with a
+    NULL error message to boot, on the first NULL-source row) — while
+    a malformed NON-NULL source still raises: that is corruption, not
+    absence, and silently dropping it from both roles would be an
+    invisible dedup/drift hole."""
+    raw_n = F.substring("source", 4, 10)
+    return (
+        F.when(F.col("source").isNull(), F.lit(None).cast("int"))
+        .when(raw_n.rlike(r"^\d+$"), raw_n.cast("int"))
+        .otherwise(
+            F.raise_error(
+                F.concat(F.lit(f"{qname}: unparseable source "), F.col("source"))
+            ).cast("int")
+        )
+    )
+
+
 @register(
     "q_cross_dedup",
     oracle="""
@@ -487,15 +509,7 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint-only silver table (16 bytes/doc, bucketed on fp so
     nightly batches anti-join with zero shuffle on the base side)."""
     docs = load_table(spark, sf_dir, "documents")
-    raw_n = F.substring("source", 4, 10)
-    # loud parse (review-caught): an unexpected source value made src_n
-    # NULL, and NULL fails BOTH role filters — the document silently
-    # vanished from the dedup decision while the oracle's CAST raises
-    src_n = F.when(raw_n.rlike(r"^\d+$"), raw_n.cast("int")).otherwise(
-        F.raise_error(
-            F.concat(F.lit("q_cross_dedup: unparseable source "), F.col("source"))
-        ).cast("int")
-    )
+    src_n = _loud_src_n("q_cross_dedup")
     fp = docs.select(
         "doc_id",
         "source",
@@ -834,15 +848,7 @@ def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     size.  p ratios are exact int/int double divisions (deterministic);
     only the ln() term is rounded (libm-vs-JVM last-ulp)."""
     docs = load_table(spark, sf_dir, "documents")
-    raw_n = F.substring("source", 4, 10)
-    is_new = (
-        F.when(raw_n.rlike(r"^\d+$"), raw_n.cast("int")).otherwise(
-            F.raise_error(
-                F.concat(F.lit("q_feature_drift: unparseable source "), F.col("source"))
-            ).cast("int")
-        )
-        >= 10
-    )
+    is_new = _loud_src_n("q_feature_drift") >= 10
     counts = (
         docs.select(
             F.least(F.floor(F.col("n_chars") / 64), F.lit(9)).alias("bin"),
