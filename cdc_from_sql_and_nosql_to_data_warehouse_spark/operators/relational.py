@@ -134,7 +134,12 @@ def q_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         _disc_price().cast("double").alias("net_price"),
-        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+        # concat, not concat_ws: SQL || propagates NULL, concat_ws
+        # silently DROPS null operands and their separators ('R' on a
+        # NULL status vs the oracle's NULL — NULL-flag sweep-caught)
+        F.concat(F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")).alias(
+            "flag_status"
+        ),
         (F.col("l_quantity") * 2).alias("double_qty"),
     )
 
@@ -797,9 +802,15 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_totalprice") < 200000, "mid")
         .otherwise("large")
         .alias("size_bucket"),
-        (F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%")).alias(
-            "is_urgent"
-        ),
+        # CASE WHEN pred THEN true ELSE false maps a NULL predicate to
+        # false; the bare boolean expression stays NULL (NULL-flag
+        # sweep-caught) — mirror the CASE shape explicitly
+        F.when(
+            F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%"),
+            F.lit(True),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_urgent"),
     )
 
 
