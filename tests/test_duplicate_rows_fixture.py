@@ -1,0 +1,87 @@
+"""Duplicate-row (bag-semantics) fixture (round-4 sweep #8).
+
+Every shipped table is key-unique, so any operator that silently
+assumes primary-key uniqueness — a join used where the oracle
+de-duplicates, a window decomposition that double-carries state, an
+aggregate that would count a row once where the oracle counts twice —
+was never exercised.  SQL is bag semantics: an exact duplicate row
+must flow through every scan, join, aggregate, and window identically
+in both engines.  This fixture appends an exact-duplicate residue
+slice (~1/7 of rows, ids included) to ALL ten tables and replays every
+oracle query except the keyed-contract set below.  At 100 TB duplicate
+rows are routine (at-least-once ingest, replayed CDC batches,
+double-written files).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import REGISTRY
+
+from conftest import SF_DIR, TABLES
+from test_oracle_diff import replay_oracle_parity
+
+KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey + l_linenumber",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+# Operators whose CONTRACT is key-unique input: their semantics are
+# undefined (and engine-plan-specific) when the primary key itself is
+# duplicated — pairwise dedup emits per-ROW pairs in the oracle's bag
+# join but per-DOC pairs after the Spark side's groupBy(doc_id)
+# set-build; k-means/PQ training weights a duplicated vector twice on
+# whichever side doesn't dedup; and the token budget's cumulative sum
+# hits the ROWS-vs-RANGE peer-row divergence the moment its
+# (md5(doc_id), doc_id) order key stops being unique.  A real pipeline
+# restores the contract by running exact dedup (q_dedup_exact /
+# DISTINCT) first — which, for exact duplicates, reproduces the clean
+# tables this fixture perturbs.  Everything else must hold under bag
+# semantics.
+KEYED_CONTRACT = {
+    "q_dedup_containment",
+    "q_dedup_incremental",
+    "q_dedup_minhash_md5",
+    "q_dedup_ngram_jaccard",
+    "q_kmeans_assign",
+    "q_setsim_join",
+    "q_sim_pq",
+    "q_sim_pq_search",
+    "q_token_budget",
+}
+
+QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle and n not in KEYED_CONTRACT)
+
+
+@pytest.fixture(scope="module")
+def dup_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("duprows")
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"{SF_DIR}/{t}.parquet"
+        con.execute(
+            f"""
+            COPY (
+              SELECT * FROM '{src}'
+              UNION ALL
+              SELECT * FROM '{src}' WHERE ({KEYS[t]}) % 7 = 3
+            ) TO '{d / f"{t}.parquet"}' (FORMAT PARQUET)
+            """
+        )
+    con.close()
+    return str(d)
+
+
+def test_duplicate_rows_oracle_parity(spark, dup_dir):
+    failures = replay_oracle_parity(spark, dup_dir, QUERIES)
+    assert not failures, failures
