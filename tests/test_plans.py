@@ -396,3 +396,19 @@ def test_token_budget_running_sum_is_parallel_within_source(spark):
     text = plans.formatted_plan(df)
     assert "Exchange SinglePartition" not in text, text
     assert "windowspecdefinition(__pid" in text, text
+
+
+def test_grouping_sets_expand_never_sees_input_rows(spark):
+    # B11 decomposition (functions/grouping.py): the Expand that
+    # multiplies rows per grouping set must consume the tiny
+    # checkpointed pre-aggregate, never the lineitem/events scan —
+    # both union branches read the same materialized RDD (zero file
+    # scans in the final plan), and the grand total survives empty
+    # input as a plain global aggregate.
+    for name in ("q_rollup", "q_cube", "q_grouping_sets"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        df.collect()
+        text = df._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" in text, (name, text)
+        assert "Scan parquet" not in text and "FileScan" not in text, (name, text)
+        assert "Union" in text, (name, text)
