@@ -901,92 +901,106 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_setsim_join",
-    oracle="""
-    WITH sets AS (
-      SELECT doc_id,
-        list_distinct(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
-                                  t -> t <> '')) AS s
-      FROM documents
-    )
+    oracle=f"""
+    WITH {_SQL_SHINGLES}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      CAST(length(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
-      CAST(length(a.s) AS BIGINT) AS sz_a, CAST(length(b.s) AS BIGINT) AS sz_b,
-      round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
-            / (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))),
+      CAST(length(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_common,
+      CAST(length(a.shingles) AS BIGINT) AS sz_a,
+      CAST(length(b.shingles) AS BIGINT) AS sz_b,
+      round(CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (length(a.shingles) + length(b.shingles)
+               - length(list_intersect(a.shingles, b.shingles))),
             6) AS jaccard
-    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-    WHERE length(a.s) > 0
-      AND 5 * length(list_intersect(a.s, b.s))
-          >= 3 * (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s)))
+    FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+    WHERE 5 * length(list_intersect(a.shingles, b.shingles))
+          >= 3 * (length(a.shingles) + length(b.shingles)
+                  - length(list_intersect(a.shingles, b.shingles)))
     """,
 )
 def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity join with PREFIX FILTERING (AllPairs/PPJoin
     family, Bayardo et al. 2007 — public): all document pairs whose
-    token-SET Jaccard ≥ 0.6, found without comparing all pairs.
-    Candidate generation: order the vocabulary by ascending document
-    frequency; a pair with Jaccard ≥ t MUST share a token in each
-    side's first |x| − ⌈t·|x|⌉ + 1 rarest tokens (pigeonhole on the
-    ordered set), so an equi-join on PREFIX tokens is provably
-    complete — the oracle is the exact all-pairs join and matches
-    exactly, unlike the probabilistic MinHash/SimHash candidate
-    generators (their completeness is statistical; this one is
-    combinatorial).
+    3-token SHINGLE-set Jaccard ≥ 0.6, found without comparing all
+    pairs.  Candidate generation: order the shingle vocabulary by
+    ascending document frequency; a pair with Jaccard ≥ t MUST share a
+    shingle in each side's first |x| − ⌈t·|x|⌉ + 1 rarest shingles
+    (pigeonhole on the ordered set), so an equi-join on PREFIX
+    shingles is provably complete — the oracle is the exact all-pairs
+    join and matches exactly, unlike the probabilistic MinHash/SimHash
+    candidate generators (their completeness is statistical; this one
+    is combinatorial).
+
+    Shingles, not unigrams (q_dedup_containment's lesson, re-measured
+    here): unigram token sets saturate on a shared vocabulary — the
+    16-word synthetic corpus made nearly EVERY pair Jaccard-similar,
+    so the result itself (and the verify) was data-quadratic: 150 s at
+    sf0.1 regardless of candidate generation, vs ~3 s on 3-gram
+    phrase sets, where overlap means actual text reuse.
 
     Plan: df-ranking is one vocabulary-sized aggregate followed by
     ``functions.ids.assign_dense_ids`` (range-partitioned parallel
     numbering — every stage parallel, no single-task global sort even
     over a billions-row vocabulary); the candidate join keys on the
-    prefix TOKEN (rare tokens by construction → small buckets — the
-    frequency ordering is exactly what bounds bucket sizes);
-    verification joins the two bounded candidate sides back to the set
-    table and compares 5·|∩| ≥ 3·|∪| in EXACT INTEGERS, so the t = 0.6
-    boundary has no float risk."""
+    prefix SHINGLE (rare by construction → small buckets) and applies
+    the symmetric length bound 3·max(|A|,|B|) ≤ 5·min(|A|,|B|) a
+    Jaccard ≥ 3/5 match implies, before the distinct and the set-fetch
+    joins; prefix length is exact integer arithmetic
+    (sz − (3·sz + 4) div 5 + 1); verification compares 5·|∩| ≥ 3·|∪|
+    in EXACT INTEGERS, so the t = 0.6 boundary has no float risk."""
     docs = load_table(spark, sf_dir, "documents")
+    # flat 60-bit md5 shingle ids in codegen (md5_shingle_rows shape);
+    # sub-3-token docs vanish at the explode, matching the oracle's shn
+    # length guard — no empty-empty NULL-jaccard pairs on either side
+    dt = md5_shingle_rows(docs, 3).distinct().localCheckpoint(eager=False)
     sets = (
-        docs.select(
-            "doc_id", F.array_distinct(X.tokens("text")).alias("s")
-        )
+        dt.groupBy("id")
+        .agg(F.collect_set("h").alias("s"))
         .withColumn("sz", F.size("s"))
-        # token-less docs are excluded on BOTH engines: the oracle's
-        # 0 >= 0 would otherwise emit empty-empty pairs (jaccard NULL)
-        # that the prefix filter, which explodes zero rows for an empty
-        # set, can never generate (review-caught latent divergence)
-        .filter(F.col("sz") > 0)
         .localCheckpoint(eager=False)  # consumed by prefix + both verify sides
     )
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import (
         assign_dense_ids,
     )
 
-    dt = sets.select("doc_id", F.explode("s").alias("tok"))
-    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = dt.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # df-rank via range-partitioned parallel numbering: a plain
-    # Window.orderBy("df","tok") funnels the whole (data-scaled) token
+    # Window.orderBy("df","h") funnels the whole (data-scaled) shingle
     # vocabulary through ONE task — the round-3 verdict's scale-killer.
     # Prefix-filter completeness only needs that BOTH sides share one
-    # total order, which dense ids over (df, tok) provide exactly.
-    ranked = assign_dense_ids(dfreq, ["df", "tok"], id_col="tok_rank").select(
-        "tok", "tok_rank"
+    # total order, which dense ids over (df, h) provide exactly.
+    ranked = assign_dense_ids(dfreq, ["df", "h"], id_col="h_rank").select(
+        "h", "h_rank"
     )
-    wd = Window.partitionBy("doc_id").orderBy("tok_rank")
-    prefix_len = F.col("sz") - F.ceil(F.lit(0.6) * F.col("sz")) + 1
+    wd = Window.partitionBy("id").orderBy("h_rank")
+    prefix_len = F.col("sz") - F.expr("(3 * sz + 4) div 5") + 1
     prefix = (
-        dt.join(ranked, "tok")
-        .join(sets.select("doc_id", "sz"), "doc_id")
+        dt.join(ranked, "h")
+        .join(sets.select("id", "sz"), "id")
         .withColumn("pos", F.row_number().over(wd))
         .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "tok")
+        .select("id", "h", "sz")
     )
-    pa = prefix.select(F.col("doc_id").alias("doc_a"), "tok")
-    pb = prefix.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
+    pa = prefix.select(F.col("id").alias("doc_a"), "h", F.col("sz").alias("p_sz_a"))
+    pb = prefix.select(
+        F.col("id").alias("doc_b"),
+        F.col("h").alias("h_b"),
+        F.col("sz").alias("p_sz_b"),
+    )
     cand = (
-        pa.join(pb, (F.col("tok") == F.col("tok_b")) & (F.col("doc_a") < F.col("doc_b")))
+        pa.join(
+            pb,
+            (F.col("h") == F.col("h_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (
+                3 * F.greatest("p_sz_a", "p_sz_b")
+                <= 5 * F.least("p_sz_a", "p_sz_b")
+            ),
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"), F.col("sz").alias("sz_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"), F.col("sz").alias("sz_b"))
+    sa = sets.select(F.col("id").alias("doc_a"), F.col("s").alias("s_a"), F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("id").alias("doc_b"), F.col("s").alias("s_b"), F.col("sz").alias("sz_b"))
     scored = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
