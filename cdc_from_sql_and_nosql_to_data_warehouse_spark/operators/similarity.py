@@ -15,6 +15,9 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -98,17 +101,41 @@ def _table_planes(
     ]
 
 
-def _table_signatures(col: F.Column) -> F.Column:
-    """array<struct<table:int, sig:bigint>> — one signature per table,
-    computed in the scan from seeded literal planes (no fit step)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                V.hyperplane_signature(col, planes).alias("sig"),
-            )
-            for t, planes in enumerate(_table_planes())
-        ]
+def _signature_rows(emb: DataFrame) -> DataFrame:
+    """(vec_id, table, sig) hyperplane signatures for every vector.
+
+    All _L_TABLES×_N_BITS=96 projection bits come from ONE Arrow-batched
+    numpy matmul per record batch ((n, dim) @ (dim, 96), then an 8-bit
+    pack per table) — the expression form
+    (functions.vectors.hyperplane_signature per bit) runs 96 interpreted
+    zip_with+aggregate folds per row outside whole-stage codegen and
+    measured 6.6 s of the LSH query's 6.6 s at sf0.1; the matmul kernel
+    is memory-bandwidth-bound and map-only (no shuffle, planes are
+    closure constants).  A NULL embedding signs to bucket 0 in both
+    forms.  Sign ties at |dot| ≈ last-ulp may differ from the
+    sequential fold (pairwise vs left-to-right summation); recall is
+    floor-pinned, not bit-pinned (tests/test_sim_recall.py)."""
+    planes = np.asarray(_table_planes(), dtype=np.float64)  # (L, B, dim)
+    proj = planes.reshape(_L_TABLES * _N_BITS, planes.shape[-1]).T  # (dim, L*B)
+    weights = 1 << np.arange(_N_BITS, dtype=np.int64)
+    dim = proj.shape[0]
+
+    @F.pandas_udf("array<long>")
+    def all_sigs(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(
+            [
+                np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
+                for v in col
+            ]
+        )
+        bits = (mat @ proj) > 0
+        sigs = bits.reshape(len(col), _L_TABLES, _N_BITS).astype(np.int64) @ weights
+        return pd.Series(list(sigs))
+
+    return emb.select(
+        "vec_id", F.posexplode(all_sigs(F.col("embedding"))).alias("table", "sig")
     )
 
 
@@ -132,9 +159,7 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     raising b sharpens buckets, raising L or the probe radius buys
     recall with more candidates."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sigs = emb.select(
-        "vec_id", F.explode(_table_signatures(F.col("embedding"))).alias("ts")
-    ).select("vec_id", "ts.table", "ts.sig")
+    sigs = _signature_rows(emb)
     cand = sigs.select(F.col("vec_id").alias("cand_id"), "table", "sig")
     probes = (
         sigs.filter(F.col("vec_id") < 50)

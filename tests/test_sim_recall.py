@@ -71,15 +71,13 @@ def test_lsh_candidate_fraction_bounded(spark):
     # the point of the index: the exact-cosine stage must touch a small
     # fraction of (query x corpus) — here just the band-join fan-in
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.similarity import (
-        _table_signatures,
+        _signature_rows,
     )
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
 
     embdf = load_table(spark, SF_DIR, "embeddings")
     n = embdf.count()
-    sigs = embdf.select(
-        "vec_id", F.explode(_table_signatures(F.col("embedding"))).alias("ts")
-    ).select("vec_id", "ts.table", "ts.sig")
+    sigs = _signature_rows(embdf)
     cand = sigs.select(F.col("vec_id").alias("cand_id"), "table", "sig")
     probes = sigs.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
