@@ -66,3 +66,29 @@ def stringly(df: DataFrame) -> DataFrame:
     """The reference's forward direction: every column → string
     (all-varchar tables, SURVEY.md §2.1 A3)."""
     return df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
+
+
+def loud_src_n(col: Column | str, qname: str) -> Column:
+    """Parse the numeric suffix of a ``srcNN`` source tag, loudly but
+    NULL-tolerantly: NULL source is absence and parses to NULL (it
+    then fails both role filters exactly as the oracle's
+    CAST(substr(NULL, 4) AS INT) does), while a malformed OR
+    int-overflowing non-NULL source raises — corruption must never
+    silently vanish from a dedup/drift decision.  The overflow check
+    matters: a digits-only suffix past 2^31 try_casts to NULL, and
+    without it the "loud" guard would silently classify by nothing
+    (review-caught: the earlier form also TRUNCATED to 10 chars, so an
+    11-digit suffix was misclassified by its prefix instead of
+    raising, where DuckDB's CAST errors)."""
+    c = F.col(col) if isinstance(col, str) else col
+    suffix = F.substring(c, 4, 2_000_000_000)
+    parsed = suffix.try_cast("int")
+    return (
+        F.when(c.isNull(), F.lit(None).cast("int"))
+        .when(suffix.rlike(r"^\d+$") & parsed.isNotNull(), parsed)
+        .otherwise(
+            F.raise_error(
+                F.concat(F.lit(f"{qname}: unparseable source "), c)
+            ).cast("int")
+        )
+    )

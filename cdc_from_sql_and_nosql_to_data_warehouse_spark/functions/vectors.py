@@ -44,7 +44,14 @@ def hyperplane_signature(a: Column | str, planes: list[list[float]]) -> Column:
     (seeded) constants broadcast as literals — no shuffle to build.
     At most 63 planes: bit 63 is the BIGINT sign bit and ``1 << 63``
     overflows the long literal (review-caught); signatures wider than
-    63 bits belong in multiple bucket columns."""
+    63 bits belong in multiple bucket columns.
+
+    This is the expression-form REFERENCE implementation: the hot path
+    (operators.similarity._signature_rows) computes the same bits in
+    one Arrow numpy matmul (the per-bit interpreted folds here measured
+    6.6 s vs 1.0 s at sf0.1), and
+    tests/test_helper_review_fixes.py::test_signature_kernel_matches_reference
+    pins the two forms bit-identical on the testdata."""
     if not 1 <= len(planes) <= 63:
         raise ValueError(
             f"hyperplane_signature needs 1..63 planes, got {len(planes)}"

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.normalize import loud_src_n
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import md5_shingle_rows
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
@@ -458,25 +459,11 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _loud_src_n(qname: str):
-    """Parse the numeric suffix of `source` (srcNN), loudly but
-    NULL-tolerantly: a NULL source is a legitimate missing value — it
-    parses to NULL, which fails both role filters exactly as the
-    oracle's CAST(substr(NULL,4) AS INT) does (the NULL-metadata
-    sweep caught the previous guard killing the whole job, with a
-    NULL error message to boot, on the first NULL-source row) — while
-    a malformed NON-NULL source still raises: that is corruption, not
-    absence, and silently dropping it from both roles would be an
-    invisible dedup/drift hole."""
-    raw_n = F.substring("source", 4, 10)
-    return (
-        F.when(F.col("source").isNull(), F.lit(None).cast("int"))
-        .when(raw_n.rlike(r"^\d+$"), raw_n.cast("int"))
-        .otherwise(
-            F.raise_error(
-                F.concat(F.lit(f"{qname}: unparseable source "), F.col("source"))
-            ).cast("int")
-        )
-    )
+    """NULL-tolerant, overflow-loud srcNN parse — shared definition in
+    functions.normalize.loud_src_n (the NULL-metadata sweep caught the
+    original guard killing the job on NULL source; review caught the
+    10-char truncation + silent int overflow)."""
+    return loud_src_n("source", qname)
 
 
 @register(

@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import vectors as V
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.normalize import loud_src_n
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
     SQL_TOKS_EXPR,
     sql_md5_int,
@@ -599,8 +600,10 @@ def _sql_cosine(a: str, b: str) -> str:
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 embedding-cosine near-dup, blocked by ``label`` (the cluster
-    id acts as the IVF cell — at scale the blocking key comes from the
-    LSH signature in similarity.hyperplane_signature).  Cosine is a
+    id acts as the IVF cell — at scale the blocking key comes from an
+    LSH signature, similarity._signature_rows' Arrow matmul kernel or
+    its expression-form reference vectors.hyperplane_signature).
+    Cosine is a
     left-fold in doubles on both sides, so the 0.35 threshold compares
     bit-identical values."""
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -876,9 +879,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     no new×new or base×base pairs — and exact Jaccard ≥ 0.5 runs solely
     on bucket-mates."""
     docs = load_table(spark, sf_dir, "documents")
+    # loud role parse shared with q_cross_dedup/q_feature_drift: a
+    # malformed source must raise, never silently vanish from both
+    # dedup roles (review-caught third quiet parse site)
     roles = docs.select(
         F.col("doc_id").alias("rid"),
-        F.substring("source", 4, 10).cast("int").alias("src_n"),
+        loud_src_n("source", "q_dedup_incremental").alias("src_n"),
     )
     ex = md5_shingle_rows(docs, 3).localCheckpoint(eager=False)
     sh = ex.groupBy("id").agg(F.collect_set("h").alias("shingles"))

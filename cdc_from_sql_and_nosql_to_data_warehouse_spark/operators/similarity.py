@@ -126,7 +126,14 @@ def _signature_rows(emb: DataFrame) -> DataFrame:
             return pd.Series([], dtype=object)
         mat = np.stack(
             [
-                np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
+                # NULL or ragged (wrong-length/empty) vectors sign to
+                # bucket 0, like the expression form they replaced
+                # (whose NULL-padded fold yielded a NULL dot → bit 0);
+                # np.stack on a ragged batch would otherwise kill the
+                # whole query (review-caught)
+                np.zeros(dim)
+                if v is None or len(v) != dim
+                else np.asarray(v, dtype=np.float64)
                 for v in col
             ]
         )

@@ -150,3 +150,37 @@ def test_hyperplane_signature_validates_plane_count():
         vectors.hyperplane_signature(F.col("e"), [])
     with pytest.raises(ValueError):
         vectors.hyperplane_signature(F.col("e"), [[1.0]] * 64)
+
+
+def test_signature_kernel_matches_reference(spark):
+    """The Arrow matmul kernel (similarity._signature_rows) and the
+    expression-form reference (vectors.hyperplane_signature) must
+    produce identical (vec_id, table, sig) rows on the testdata, and
+    the kernel must sign NULL and ragged vectors to bucket 0 instead
+    of dying in np.stack."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.similarity import (
+        _signature_rows,
+        _table_planes,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    got = {
+        (r["vec_id"], r["table"]): r["sig"] for r in _signature_rows(emb).collect()
+    }
+    want = {}
+    for t, planes in enumerate(_table_planes()):
+        for r in emb.select(
+            "vec_id", vectors.hyperplane_signature(F.col("embedding"), planes).alias("s")
+        ).collect():
+            want[(r["vec_id"], t)] = r["s"]
+    assert got == want
+
+    dirty = spark.createDataFrame(
+        [(1, None), (2, []), (3, [1.0] * 63)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = _signature_rows(dirty).collect()
+    assert len(rows) == 3 * 12 and all(r["sig"] == 0 for r in rows)
