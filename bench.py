@@ -73,6 +73,11 @@ HEADLINE = [
     # pre-aggregated grouping-sets decomposition (functions/grouping.py)
     "q_rollup",
     "q_grouping_sets",
+    # round-4 perf rewrites found by the full-registry sf0.1 scan:
+    # shingle-set AllPairs (150s -> 2.7s) and the Arrow LSH signature
+    # matmul (6.6s -> 1.0s) — benched so regressions stay visible
+    "q_setsim_join",
+    "q_sim_topk_lsh",
 ]
 
 
