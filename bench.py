@@ -152,21 +152,46 @@ def main() -> None:
     # the r1/r2 comparable subset (first 23 headliners; r3 appended 4)
     r2_subset = HEADLINE[:23]
     subset_total = round(sum(timings_min[n] for n in r2_subset), 3)
-    print(
-        json.dumps(
+    # Secondary stats go to a sidecar file: the driver keeps only the
+    # LAST ~2000 chars of captured output and parses the final line as
+    # JSON.  In round 4 the single line (min + interleaved dicts for 39
+    # queries) outgrew that buffer and the driver recorded
+    # "parsed": null — the final stdout line must stay comfortably
+    # inside the tail window, and nothing may print after it.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_secondary.json"), "w") as f:
+        json.dump(
+            {
+                "queries_interleaved": interleaved,
+                "total_interleaved": round(sum(interleaved.values()), 3),
+                "protocol": "min-of-3 back-to-back (r1/r2: best-of-2 back-to-back)",
+            },
+            f,
+        )
+    line = json.dumps(
+        {
+            "metric": "headline_query_wall_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings_min,
+            "total_r2_comparable_subset": subset_total,
+            "sf": sf,
+        }
+    )
+    # Hard guard, mirrored in tests/test_bench_contract.py: if the
+    # headline set ever grows the line past the driver's tail buffer,
+    # drop per-query detail rather than ship an unparseable line.
+    if len(line) > 1800:
+        line = json.dumps(
             {
                 "metric": "headline_query_wall_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings_min,
+                "queries": {},
                 "total_r2_comparable_subset": subset_total,
-                "queries_interleaved": interleaved,
-                "total_interleaved": round(sum(interleaved.values()), 3),
-                "protocol": "min-of-3 back-to-back (r1/r2: best-of-2 back-to-back)",
                 "sf": sf,
             }
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":
