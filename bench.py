@@ -78,6 +78,13 @@ HEADLINE = [
     # matmul (6.6s -> 1.0s) — benched so regressions stay visible
     "q_setsim_join",
     "q_sim_topk_lsh",
+    # round-5 additions: the new data-scaled shapes (top-K vocabulary
+    # + broadcast-back coverage, struct-min OHLC, positional-delete
+    # anti-join, contingency chi-square)
+    "q_vocab_coverage",
+    "q_ohlc_bars",
+    "q_delete_vector_apply",
+    "q_chi2_independence",
 ]
 
 

@@ -732,3 +732,117 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).alias("src_ver"),
     )
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+# ----------------------------------------------------- try_cast error channel
+
+
+@register(
+    "q_try_cast_errors",
+    oracle="""
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+           AS BIGINT) AS n_parsed_k,
+      CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+           AS BIGINT) AS sum_k,
+      CAST(COUNT(*) - COUNT(TRY_CAST(event_type AS DOUBLE)) AS BIGINT)
+        AS n_unparseable_as_number
+    FROM events GROUP BY event_type
+    """,
+)
+def q_try_cast_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST error-channel accounting — the safe-parse primitive of
+    every stringly-typed ingest (reference A3 stringly-typing,
+    SURVEY.md §2.1): failed casts become NULLs that are COUNTED, not
+    exceptions that kill the batch, so the per-type parse success
+    rate is itself a queryable data-quality metric.
+
+    ``try_cast`` stays a codegen projection (no Python, no exception
+    control flow — Spark's ANSI TryCast returns null on overflow or
+    malformed input); JSON field extraction and the cast both fold
+    into the single aggregate pass."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS INT)")
+    bad = F.expr("try_cast(event_type AS DOUBLE)")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count(k).alias("n_parsed_k"),
+        F.sum(k).alias("sum_k"),
+        (F.count("*") - F.count(bad)).alias("n_unparseable_as_number"),
+    )
+
+
+# ------------------------------------------------------- table checksum
+
+
+def _checksum_oracle() -> str:
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+        sql_md5_int,
+    )
+
+    # every field is NULL-coalesced to an explicit sentinel BEFORE
+    # concatenation: SQL || propagates NULL (the whole row hash would
+    # vanish from the XOR) while Spark's concat_ws silently DROPS null
+    # operands and their separators — two different wrong answers.
+    fields = [
+        "CAST(o_orderkey AS VARCHAR)",
+        "CAST(o_custkey AS VARCHAR)",
+        "o_orderstatus",
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+        " AS BIGINT) AS VARCHAR)",
+        "strftime(o_orderdate, '%Y-%m-%d')",
+        "o_orderpriority",
+    ]
+    row = " || '|' || ".join(f"coalesce({f}, '<null>')" for f in fields)
+    return f"""
+    SELECT o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      bit_xor({sql_md5_int(row)}) AS checksum
+    FROM orders GROUP BY o_orderstatus
+    """
+
+
+@register("q_table_checksum", oracle=_checksum_oracle())
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum: XOR of a portable 60-bit row
+    hash over a canonical row serialization, grouped by status — the
+    cheap replica-parity check a CDC pipeline runs after every apply
+    (reference A20 COUNT(*) parity, SURVEY.md §2.1, upgraded from
+    row COUNT to row CONTENT: two tables agree iff counts AND
+    checksums agree, modulo XOR's paired-duplicate blind spot, which
+    the count column covers in practice).
+
+    XOR is commutative/associative, so the aggregate map-side-combines
+    like a SUM and never cares about partitioning or row order — the
+    property that makes it THE distributed-checksum idiom.  The
+    canonical form avoids every engine-divergent rendering: money via
+    exact-decimal cents (never double→string), dates via explicit
+    strftime pattern, and every field NULL-coalesced to a sentinel —
+    concat_ws drops null operands where SQL || propagates NULL, so an
+    un-coalesced field would silently unhash differently per engine
+    (caught by the NULL-dates/-measures fixture sweeps)."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+        md5_prefix_int,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    null_sentinel = F.lit("<null>")
+    row = F.concat_ws(
+        "|",
+        F.coalesce(F.col("o_orderkey").cast("string"), null_sentinel),
+        F.coalesce(F.col("o_custkey").cast("string"), null_sentinel),
+        F.coalesce(F.col("o_orderstatus"), null_sentinel),
+        F.coalesce(
+            (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("bigint")
+            .cast("string"),
+            null_sentinel,
+        ),
+        F.coalesce(F.date_format("o_orderdate", "yyyy-MM-dd"), null_sentinel),
+        F.coalesce(F.col("o_orderpriority"), null_sentinel),
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.bit_xor(md5_prefix_int(row)).alias("checksum"),
+    )

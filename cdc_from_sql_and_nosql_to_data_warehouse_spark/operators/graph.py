@@ -234,3 +234,43 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")).join(
         F.broadcast(n_edges)
     ).select("n_triangles", F.col("ne").alias("n_edges"))
+
+
+# ------------------------------------------------------- degree distribution
+
+
+@register(
+    "q_degree_distribution",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY s)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM deg GROUP BY degree
+    """,
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier→customer bipartite trade
+    graph — the first profiling pass of any graph workload (and the
+    skew detector: a heavy-tailed degree histogram is exactly what
+    tells you a later traversal needs salting).
+
+    Plan: one fact-fact equi-join, then DISTINCT + two hash
+    aggregates, each with map-side partials.  The distinct edge set is
+    keyed on (supplier, customer) so the shuffle is uniform even when
+    a single supplier is hot; the second and third aggregates run on
+    already-reduced frames (|edges|, then |suppliers| rows).  No
+    window, no collect — the same plan at 10^11 fact rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    deg = edges.groupBy("s").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_suppliers"))

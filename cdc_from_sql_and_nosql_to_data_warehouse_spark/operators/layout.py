@@ -187,3 +187,83 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+# -------------------------------------------------- positional delete apply
+
+
+_DV_FILES = 50  # synthetic file count the snapshot is bucketed into
+
+
+def _dv_oracle() -> str:
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+        sql_md5_unit,
+    )
+
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice,
+        o_orderkey % {_DV_FILES} AS file_id,
+        row_number() OVER (
+          PARTITION BY o_orderkey % {_DV_FILES} ORDER BY o_orderkey
+        ) - 1 AS pos
+      FROM orders
+    ),
+    deletes AS (
+      SELECT file_id, pos FROM base
+      WHERE {sql_md5_unit("'dv-' || CAST(o_orderkey AS VARCHAR)")} < 0.1
+    )
+    SELECT b.file_id,
+      CAST(COUNT(*) AS BIGINT) AS live_rows,
+      CAST(SUM(CAST(b.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS live_value
+    FROM base b
+    LEFT JOIN deletes d ON b.file_id = d.file_id AND b.pos = d.pos
+    WHERE d.file_id IS NULL
+    GROUP BY b.file_id
+    """
+
+
+@register("q_delete_vector_apply", oracle=_dv_oracle())
+def q_delete_vector_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional delete-vector application — the lakehouse
+    merge-on-read shape (Iceberg v2 position deletes / Delta deletion
+    vectors, public formats): a snapshot is stored as (file, pos)
+    addressed rows, deletes arrive as (file, pos) tombstones, and a
+    read reconstructs the live rows with an anti-join instead of
+    rewriting data files.
+
+    Here the "files" are synthesized by bucketing the order snapshot
+    (key mod 50) and positions by an in-file row_number — the window
+    partitions BY FILE, mirroring how positions are scoped per data
+    file in the real formats, so no task ever sorts more than one
+    file's rows.  The apply itself is the scale-relevant part: a
+    (file, pos)-keyed LEFT ANTI join, co-partitioned on exactly the
+    key the delete files are already laid out by — never a row-level
+    broadcast of the base table.  Deletes are chosen by the portable
+    md5 unit hash (~10%), so both engines derive the identical
+    tombstone set."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+        md5_unit,
+    )
+    from pyspark.sql.window import Window as _W
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % _DV_FILES).alias("file_id"),
+    ).withColumn(
+        "pos",
+        F.row_number().over(_W.partitionBy("file_id").orderBy("o_orderkey")) - 1,
+    )
+    base = base.localCheckpoint(eager=False)  # consumed as base AND deletes
+    deletes = base.filter(
+        md5_unit(F.concat(F.lit("dv-"), F.col("o_orderkey").cast("string"))) < 0.1
+    ).select("file_id", "pos")
+    live = base.join(deletes, ["file_id", "pos"], "left_anti")
+    return live.groupBy("file_id").agg(
+        F.count("*").alias("live_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias(
+            "live_value"
+        ),
+    )

@@ -743,3 +743,275 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") > F.col("p95"))
         .select("vec_id", "label", F.round("d", 8).alias("dist"), "p95")
     )
+
+
+# ------------------------------------------------------ z-score normalize
+
+
+@register(
+    "q_zscore_normalize",
+    oracle="""
+    WITH stats AS (
+      SELECT c_mktsegment AS seg,
+        CAST(COUNT(c_acctbal) AS BIGINT) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+          / COUNT(c_acctbal) AS mu,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))
+                 * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sumsq
+    FROM customer GROUP BY 1
+    ),
+    s2 AS (
+      SELECT seg, n, mu,
+        sqrt(sumsq / CAST(n AS DOUBLE) - mu * mu) AS sigma
+      FROM stats
+    )
+    SELECT c_custkey, seg,
+      (c_acctbal - mu) / sigma AS z
+    FROM customer JOIN s2 ON c_mktsegment = seg
+    WHERE sigma > 0
+    """,
+)
+def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score feature normalization (the standard scaler of
+    every tabular ML pipeline), exact across engines: mean and the
+    E[x²] term both come from DECIMAL sums — a 2-dp input squared is a
+    4-dp decimal, so Σx and Σx² are exact and associative — and only
+    the final (x−μ)/σ runs in floats, as the identical expression tree
+    on both sides.
+
+    Plan: one hash aggregate for the per-segment moments (map-side
+    partials), broadcast the ≤|segment| stats row back onto the scan —
+    two passes over the input, zero windows, no data-scaled shuffle
+    (the scan join is broadcast, so rows never move)."""
+    c = load_table(spark, sf_dir, "customer")
+    d = F.col("c_acctbal").cast("decimal(12,2)")
+    stats = (
+        c.groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("c_acctbal").alias("n"),
+            (F.sum(d).cast("double") / F.count("c_acctbal")).alias("mu"),
+            F.sum(d * d).cast("double").alias("sumsq"),
+        )
+        .select(
+            "seg",
+            "n",
+            "mu",
+            F.sqrt(
+                F.col("sumsq") / F.col("n").cast("double")
+                - F.col("mu") * F.col("mu")
+            ).alias("sigma"),
+        )
+    )
+    return (
+        c.join(F.broadcast(stats), c["c_mktsegment"] == stats["seg"])
+        .filter(F.col("sigma") > 0)
+        .select(
+            "c_custkey",
+            "seg",
+            ((F.col("c_acctbal") - F.col("mu")) / F.col("sigma")).alias("z"),
+        )
+    )
+
+
+# --------------------------------------------------------- target encoding
+
+
+_TE_SMOOTH = 20.0
+
+
+@register(
+    "q_target_encode",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE)
+               / COUNT(p_retailprice) AS gmean
+      FROM part
+    ),
+    b AS (
+      SELECT p_brand,
+        CAST(COUNT(p_retailprice) AS BIGINT) AS n,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE) AS s
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+      (s + CAST({_TE_SMOOTH!r} AS DOUBLE) * gmean)
+        / (CAST(n AS DOUBLE) + CAST({_TE_SMOOTH!r} AS DOUBLE)) AS encoded
+    FROM b CROSS JOIN g
+    """,
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical feature:
+    brand → shrunk mean retail price, enc = (Σy + m·ȳ)/(n + m) with
+    m = 20 — the leakage-safe categorical encoder of gradient-boosting
+    pipelines, shrinking rare categories toward the global prior.
+
+    Two independent hash aggregates (global prior is ONE row, cross-
+    joined broadcast onto the per-brand frame); sums are exact
+    decimals so the shrunk means are bitwise identical; nothing here
+    scales worse than a count-distinct of the category domain."""
+    p = load_table(spark, sf_dir, "part")
+    d = F.col("p_retailprice").cast("decimal(14,2)")
+    g = p.agg((F.sum(d).cast("double") / F.count("p_retailprice")).alias("gmean"))
+    b = p.groupBy("p_brand").agg(
+        F.count("p_retailprice").alias("n"),
+        F.sum(d).cast("double").alias("s"),
+    )
+    m = F.lit(_TE_SMOOTH)
+    return b.crossJoin(F.broadcast(g)).select(
+        "p_brand",
+        "n",
+        ((F.col("s") + m * F.col("gmean")) / (F.col("n").cast("double") + m)).alias(
+            "encoded"
+        ),
+    )
+
+
+# --------------------------------------------------------- feature hashing
+
+
+_FH_BUCKETS = 64
+
+
+def _fh_oracle() -> str:
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+        SQL_TOKS_EXPR,
+        sql_md5_int,
+    )
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKS_EXPR}) AS token
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+      CAST({sql_md5_int('token')} % {_FH_BUCKETS} AS INT) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS weight
+    FROM toks GROUP BY 1, 2
+    """
+
+
+@register("q_feature_hashing", oracle=_fh_oracle())
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: project an unbounded token vocabulary into a
+    fixed 64-bucket feature space (Weinberger et al. 2009, public) —
+    the no-vocabulary featurizer for streaming text classification,
+    emitted as sparse (doc, bucket, weight) triples.
+
+    The hash is the engine-portable 60-bit md5 prefix (functions/
+    portable_hash.py) mod the bucket count — deterministic across
+    engines AND across runs, unlike hashCode-based featurizers.
+    Plan: explode → one hash aggregate keyed (doc, bucket); no
+    vocabulary table, no broadcast, no window — the entire point of
+    feature hashing is that it needs no global state, which is also
+    what makes it embarrassingly scalable."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+        md5_prefix_int,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    return tok.groupBy(
+        "doc_id",
+        (md5_prefix_int(F.col("token")) % _FH_BUCKETS).cast("int").alias("bucket"),
+    ).agg(F.count("*").alias("weight"))
+
+
+# ---------------------------------------------------------- k-fold assign
+
+
+_KFOLDS = 5
+
+
+def _kfold_oracle() -> str:
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+        sql_md5_int,
+    )
+
+    return f"""
+    WITH f AS (
+      SELECT source,
+        CAST({sql_md5_int('CAST(doc_id AS VARCHAR)')} % {_KFOLDS} AS INT) AS fold,
+        n_chars
+      FROM documents
+    )
+    SELECT source, fold,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM f GROUP BY 1, 2
+    """
+
+
+@register("q_kfold_assign", oracle=_kfold_oracle())
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    md5(doc_id) mod k — reproducible across engines, runs, and
+    cluster sizes (rand()-based folds are none of those), stratified
+    here per source so fold balance is auditable per corpus slice.
+
+    Pure projection + one hash aggregate; the fold column is also the
+    shape you'd bucket-write by for fold-local training reads."""
+    d = load_table(spark, sf_dir, "documents")
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+        md5_prefix_int,
+    )
+
+    return (
+        d.select(
+            "source",
+            (md5_prefix_int(F.col("doc_id").cast("string")) % _KFOLDS)
+            .cast("int")
+            .alias("fold"),
+            "n_chars",
+        )
+        .groupBy("source", "fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------- min-max scaling
+
+
+@register(
+    "q_minmax_scale",
+    oracle="""
+    WITH stats AS (
+      SELECT c_mktsegment AS seg,
+        MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+      FROM customer GROUP BY 1
+    )
+    SELECT c_custkey, seg,
+      (c_acctbal - lo) / (hi - lo) AS scaled
+    FROM customer JOIN stats ON c_mktsegment = seg
+    WHERE hi > lo
+    """,
+)
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling to [0, 1] — the bounded-range
+    normalizer (companion to q_zscore_normalize's standard scaler).
+    MIN/MAX are order-free EXACT aggregates on any type, so unlike a
+    mean there is no float-summation hazard at all; the rescale is
+    one subtraction and one division, the identical tree both
+    engines.  Degenerate constant groups (hi = lo) are filtered, not
+    divided by zero.
+
+    Plan: one hash aggregate for the ≤|segment| stats frame,
+    broadcast back onto the scan — rows never shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    stats = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    return (
+        c.join(F.broadcast(stats), c["c_mktsegment"] == stats["seg"])
+        .filter(F.col("hi") > F.col("lo"))
+        .select(
+            "c_custkey",
+            "seg",
+            ((F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias(
+                "scaled"
+            ),
+        )
+    )

@@ -2667,3 +2667,564 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("n_min"))
         .select("doc_id", "lang")
     )
+
+
+# ------------------------------------------------------ ordered string_agg
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+    SELECT c_nationkey,
+      CAST(COUNT(*) AS BIGINT) AS n_vips,
+      string_agg(c_name, ',' ORDER BY c_name) AS vip_names
+    FROM customer WHERE c_acctbal >= 9000
+    GROUP BY c_nationkey
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG/STRING_AGG: comma-joined VIP customer names per
+    nation — the standard "denormalize a small group into one cell"
+    reporting op.
+
+    Spark has no ordered string_agg aggregate, so it is composed as
+    ``array_join(array_sort(collect_list(name)))`` — one hash
+    aggregate; the sort happens per-group on the collected array (the
+    group is already filtered to the VIP tier, so the array is small
+    by construction).  The deliberate input bound is the honest scale
+    contract of ANY string_agg: an unbounded group would build an
+    unbounded cell, in every engine."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_acctbal") >= 9000)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_vips"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "vip_names"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------- mode aggregate
+
+
+@register(
+    "q_mode_agg",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+    FROM c
+    QUALIFY row_number() OVER (
+      PARTITION BY o_orderstatus ORDER BY cnt DESC, o_orderpriority
+    ) = 1
+    """,
+)
+def q_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: the most frequent order priority
+    per order status, ties broken by priority string — built-in
+    ``mode()`` is tie-nondeterministic in BOTH engines, so the
+    portable form is count + rank with an explicit total order.
+
+    Plan: hash aggregate over the fact table (map-side partials),
+    then a window over the ALREADY-AGGREGATED frame whose size is the
+    key-domain product (|status|×|priority| ≤ 15 rows) — the window
+    never sees data-scaled input, so this survives any corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    cnts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return (
+        cnts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "cnt"
+        )
+    )
+
+
+# ---------------------------------------------------------- bit aggregates
+
+
+@register(
+    "q_bit_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+      bit_and(l_partkey) AS pk_and,
+      bit_or(l_partkey)  AS pk_or,
+      bit_xor(l_partkey) AS pk_xor,
+      CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates per return flag — the aggregate
+    family behind bitmap-index maintenance and feature-flag rollups.
+    All three are associative and commutative, so Spark computes them
+    with map-side partial aggregation in one shuffle, exactly like
+    SUM; values are integers, so cross-engine equality is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_partkey").alias("pk_and"),
+        F.bit_or("l_partkey").alias("pk_or"),
+        F.bit_xor("l_partkey").alias("pk_xor"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------- union by name
+
+
+@register(
+    "q_union_by_name",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal,
+             'customer' AS kind
+      FROM customer WHERE c_acctbal >= 9500
+      UNION ALL BY NAME
+      SELECT 'supplier' AS kind, s_name AS name, s_suppkey AS id
+      FROM supplier WHERE s_acctbal >= 9500
+    )
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving UNION: append two entity ledgers whose columns
+    arrive in different orders and where one side lacks a column —
+    ``unionByName(allowMissingColumns=True)`` aligns by NAME and
+    null-fills the gap (DuckDB: UNION ALL BY NAME).  This is the
+    batch-append shape of every long-lived ingest pipeline after a
+    schema change (reference full-load + CDC merge, SURVEY.md §2.1
+    A17): positional UNION would silently mis-bind columns."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    left = c.filter(F.col("c_acctbal") >= 9500).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("customer").alias("kind"),
+    )
+    right = s.filter(F.col("s_acctbal") >= 9500).select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_name").alias("name"),
+        F.col("s_suppkey").alias("id"),
+    )
+    return left.unionByName(right, allowMissingColumns=True)
+
+
+# ------------------------------------------------------------ GROUP BY ALL
+
+
+@register(
+    "q_group_by_all",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      {sql_dsum("o_totalprice", "14,2")} AS revenue
+    FROM orders GROUP BY ALL
+    """,
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (modern-SQL sugar, Spark 3.4+/DuckDB): every
+    non-aggregate select item becomes a grouping key.  Catalyst
+    resolves it to the identical hash aggregate as an explicit
+    GROUP BY — this query pins that the sugar exists and that the
+    resolved plan aggregates exactly like the written-out form."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY ALL
+        """
+    )
+
+
+# ------------------------------------------------- NOT IN vs NOT EXISTS
+
+
+@register(
+    "q_not_in_nulls",
+    oracle="""
+    WITH probe AS (
+      SELECT CASE WHEN o_totalprice < 5000 THEN NULL ELSE o_custkey END AS k
+      FROM orders
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM probe)) AS not_in_cnt,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey))
+        AS not_exists_cnt,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+        AS not_in_filtered_cnt
+    """,
+)
+def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN / NULL trap, pinned: a NULL in the subquery makes
+    ``NOT IN`` three-valued — no row can prove it is not-equal to
+    NULL, so the count collapses to 0 — while NOT EXISTS and the
+    null-filtered NOT IN return the intuitive anti-join count.
+
+    Spark plans the three probes differently (null-aware anti join
+    for NOT IN — a broadcast of the build side's null bit — vs a
+    plain left-anti for NOT EXISTS); this query pins that all three
+    agree with ANSI semantics, because a CDC pipeline that filters
+    "keys not in the tombstone set" hits exactly this the day a
+    tombstone key is NULL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT CASE WHEN o_totalprice < 5000 THEN NULL ELSE o_custkey END AS k
+          FROM orders
+        )
+        SELECT
+          (SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM probe)) AS not_in_cnt,
+          (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey))
+            AS not_exists_cnt,
+          (SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+            AS not_in_filtered_cnt
+        """
+    )
+
+
+# --------------------------------------------------------- calendar edges
+
+
+@register(
+    "q_calendar_edges",
+    oracle="""
+    WITH d AS (SELECT DISTINCT o_orderdate::DATE AS day FROM orders)
+    SELECT day,
+      CAST(day + INTERVAL 1 MONTH AS DATE) AS plus_month,
+      last_day(day) AS eom,
+      CAST(weekofyear(day) AS INT) AS iso_week,
+      CAST(isodow(day) - 1 AS INT) AS weekday_mon0,
+      CAST(date_diff('day', DATE '1995-01-01', day) AS INT) AS days_since_epoch0
+    FROM d
+    """,
+)
+def q_calendar_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar edge-case battery over the live date domain: month
+    arithmetic with end-of-month clamping (Jan 31 + 1 month = Feb 29
+    on leap years — both engines clamp), last_day, ISO week numbers
+    (week 53 spillover), Monday-based weekday, and day deltas.  These
+    are the expressions every partition-pruning layout and retention
+    rule is built from; a silent engine disagreement here corrupts
+    daily partitions at the year boundary, so the whole battery is
+    oracle-pinned on the distinct date domain (bounded; one narrow
+    DISTINCT over the scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(F.col("o_orderdate").cast("date").alias("day")).distinct()
+    return d.select(
+        "day",
+        F.add_months("day", 1).alias("plus_month"),
+        F.last_day("day").alias("eom"),
+        F.weekofyear("day").alias("iso_week"),
+        F.weekday("day").alias("weekday_mon0"),
+        F.datediff("day", F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch0"
+        ),
+    )
+
+
+# ----------------------------------------------------------- 2-D histogram
+
+
+@register(
+    "q_histogram_2d",
+    oracle="""
+    SELECT
+      CAST(least(floor(l_extendedprice / 10000), 9) AS INT) AS price_bin,
+      CAST(floor((l_quantity - 1) / 10) AS INT) AS qty_bin,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional fixed-width histogram (price × quantity) — the
+    heatmap / joint-distribution profile behind data-quality drift
+    checks and density sketches.  Binning is a pure projection
+    (floor + clamp, whole-stage codegen), so the whole query is one
+    hash aggregate on the bounded 10×5 bin grid; double division by
+    an integer constant is bitwise identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.least(F.floor(F.col("l_extendedprice") / 10000), F.lit(9))
+            .cast("int")
+            .alias("price_bin"),
+            F.floor((F.col("l_quantity") - 1) / 10).cast("int").alias("qty_bin"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+# ------------------------------------------------- chi-square independence
+
+_SQL_SORTED_DSUM = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list({t}))),"
+    " (a, b) -> a + b)"
+)
+
+
+@register(
+    "q_chi2_independence",
+    oracle=f"""
+    WITH cells AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+        CAST(COUNT(*) AS BIGINT) AS obs
+      FROM lineitem GROUP BY 1, 2
+    ),
+    rt AS (SELECT rf, CAST(SUM(obs) AS BIGINT) AS rtot FROM cells GROUP BY rf),
+    ct AS (SELECT ls, CAST(SUM(obs) AS BIGINT) AS ctot FROM cells GROUP BY ls),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS tot FROM cells),
+    contrib AS (
+      SELECT tot,
+        (CAST(obs AS DOUBLE)
+          - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(tot AS DOUBLE))
+        * (CAST(obs AS DOUBLE)
+          - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(tot AS DOUBLE))
+        / (CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(tot AS DOUBLE))
+          AS x
+      FROM cells JOIN rt USING (rf) JOIN ct USING (ls) CROSS JOIN n
+    )
+    -- grouped on the (constant) grand total so an EMPTY input yields
+    -- zero rows on both engines, not SQL's ungrouped 1-NULL-row
+    SELECT
+      {_SQL_SORTED_DSUM.format(t='x')} AS chi2,
+      CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+        * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
+      tot AS n_rows
+    FROM contrib GROUP BY tot
+    """,
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between return flag and line
+    status — the categorical-drift detector of a data-quality suite
+    (are two label columns still independent after an ingest change?).
+
+    The contingency table is ONE map-side-combined hash aggregate over
+    the fact table; row/column marginals and the grand total are then
+    aggregates of the ≤|rf|×|ls| cell frame, so everything after the
+    first shuffle is key-domain-bounded.  Expected counts use
+    double-cast marginal products (bigint×bigint would overflow at
+    10^11 rows); the final statistic folds the per-cell contributions
+    in sorted order (q_embedding_centroids trick) so the float sum is
+    partition-order-independent and engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls"))
+        .agg(F.count("*").alias("obs"))
+        .localCheckpoint(eager=False)  # tiny; consumed by 4 branches
+    )
+    rt = cells.groupBy("rf").agg(F.sum("obs").alias("rtot"))
+    ct = cells.groupBy("ls").agg(F.sum("obs").alias("ctot"))
+    n = cells.agg(F.sum("obs").alias("tot"))
+    nr = rt.agg((F.count("*") - 1).alias("r1"))
+    nc = ct.agg((F.count("*") - 1).alias("c1"))
+    exp = (
+        F.col("rtot").cast("double")
+        * F.col("ctot").cast("double")
+        / F.col("tot").cast("double")
+    )
+    contrib = (
+        cells.join(rt, "rf")
+        .join(ct, "ls")
+        .crossJoin(F.broadcast(n))
+        .select(
+            (
+                (F.col("obs").cast("double") - exp)
+                * (F.col("obs").cast("double") - exp)
+                / exp
+            ).alias("x"),
+            "tot",
+        )
+    )
+    folded = contrib.groupBy("tot").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("x")), F.lit(0.0), lambda a, b: a + b
+        ).alias("chi2")
+    )
+    return (
+        folded.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "chi2",
+            (F.col("r1") * F.col("c1")).alias("dof"),
+            F.col("tot").alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------- Gini coefficient
+
+
+@register(
+    "q_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT s_nationkey, l_suppkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+          AS cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT s_nationkey, cents,
+        row_number() OVER (
+          PARTITION BY s_nationkey ORDER BY cents, l_suppkey
+        ) AS i,
+        COUNT(*) OVER (PARTITION BY s_nationkey) AS n_sup
+      FROM rev
+    )
+    SELECT s_nationkey,
+      CAST(MAX(n_sup) AS BIGINT) AS n_suppliers,
+      2.0 * CAST(SUM(CAST(i AS DECIMAL(38,0)) * cents) AS DOUBLE)
+        / (CAST(MAX(n_sup) AS DOUBLE)
+           * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE))
+      - (CAST(MAX(n_sup) AS DOUBLE) + 1.0) / CAST(MAX(n_sup) AS DOUBLE)
+        AS gini
+    FROM ranked GROUP BY s_nationkey
+    """,
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of supplier revenue concentration per nation —
+    the inequality metric a corpus curator runs on source/domain token
+    shares to spot a dataset dominated by one crawl host.
+
+    Uses the rank formulation G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over
+    revenues sorted ascending with a (cents, suppkey) total order.
+    The data-scaled work is the one fact-table hash aggregate; the
+    rank window then runs on the per-(nation, supplier) AGGREGATE
+    (key-domain-bounded, partitioned by nation — never a global
+    single-task sort).  Rank-weighted sums go through DECIMAL(38,0)
+    so i·cents stays exact where bigint would overflow at warehouse
+    scale; the float expression tree is identical on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg((F.sum(dec("l_extendedprice")) * 100).cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("s_nationkey").orderBy("cents", "l_suppkey")
+    ranked = rev.select(
+        "s_nationkey",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy("s_nationkey")).alias("n_sup"),
+    )
+    n_d = F.max("n_sup").cast("double")
+    return ranked.groupBy("s_nationkey").agg(
+        F.max("n_sup").alias("n_suppliers"),
+        (
+            F.lit(2.0)
+            * F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).cast("double")
+            / (n_d * F.sum(F.col("cents").cast("decimal(38,0)")).cast("double"))
+            - (n_d + F.lit(1.0)) / n_d
+        ).alias("gini"),
+    )
+
+
+# -------------------------------------------------- correlation matrix
+
+
+_CORR_COLS = [
+    ("quantity", "l_quantity"),
+    ("extendedprice", "l_extendedprice"),
+    ("discount", "l_discount"),
+    ("tax", "l_tax"),
+]
+
+
+def _corr_matrix_oracle() -> str:
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for a, c in _CORR_COLS:
+        sums.append(f"CAST(SUM(CAST({c} AS DECIMAL(12,2))) AS DOUBLE) AS s_{a}")
+        sums.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(12,2)) * CAST({c} AS DECIMAL(12,2)))"
+            f" AS DOUBLE) AS ss_{a}"
+        )
+    pairs = []
+    for i, (a, ca) in enumerate(_CORR_COLS):
+        for b, cb in _CORR_COLS[i + 1 :]:
+            sums.append(
+                f"CAST(SUM(CAST({ca} AS DECIMAL(12,2)) * CAST({cb} AS DECIMAL(12,2)))"
+                f" AS DOUBLE) AS sp_{a}_{b}"
+            )
+            pairs.append(
+                f"SELECT '{a}' AS var1, '{b}' AS var2, "
+                f"(n * sp_{a}_{b} - s_{a} * s_{b}) / "
+                f"sqrt((n * ss_{a} - s_{a} * s_{a}) * (n * ss_{b} - s_{b} * s_{b}))"
+                f" AS corr FROM s"
+            )
+    return f"WITH s AS (SELECT {', '.join(sums)} FROM lineitem)\n" + "\nUNION ALL ".join(
+        pairs
+    )
+
+
+@register("q_corr_matrix", oracle=_corr_matrix_oracle())
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the four lineitem
+    measures — the feature-redundancy screen run before model
+    training (drop one of any highly-correlated pair).
+
+    Built from sufficient statistics, not per-pair passes: ONE hash
+    aggregate computes every Σx, Σx², Σxy exactly in DECIMAL (the
+    2-dp inputs and their products round-trip decimals exactly, so
+    the sums are associative and partition-order-free), then all six
+    correlations are pure float expressions over that single 1-row
+    frame — the same fixed tree in DuckDB, hence bitwise equal with
+    NO rounding tolerance, unlike built-in corr() which accumulates
+    floats in partition order.  Scan cost: one pass regardless of how
+    many pairs are requested."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("double").alias("n")]
+    for a, c in _CORR_COLS:
+        d = F.col(c).cast("decimal(12,2)")
+        aggs.append(F.sum(d).cast("double").alias(f"s_{a}"))
+        aggs.append(F.sum(d * d).cast("double").alias(f"ss_{a}"))
+    pair_names = []
+    for i, (a, ca) in enumerate(_CORR_COLS):
+        for b, cb in _CORR_COLS[i + 1 :]:
+            da = F.col(ca).cast("decimal(12,2)")
+            db = F.col(cb).cast("decimal(12,2)")
+            aggs.append(F.sum(da * db).cast("double").alias(f"sp_{a}_{b}"))
+            pair_names.append((a, b))
+    s = li.agg(*aggs)
+    corrs = s.select(
+        *[
+            (
+                (F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
+                / F.sqrt(
+                    (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                    * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+                )
+            ).alias(f"c_{a}_{b}")
+            for a, b in pair_names
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c_{a}_{b}" for a, b in pair_names
+    )
+    return corrs.selectExpr(
+        f"stack({len(pair_names)}, {stack_args}) AS (var1, var2, corr)"
+    )

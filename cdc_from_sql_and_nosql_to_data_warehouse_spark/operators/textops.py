@@ -1022,3 +1022,156 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------- vocab coverage
+
+
+_VOCAB_TOP = 100
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY token
+      ) ORDER BY cnt DESC, token LIMIT {_VOCAB_TOP}
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(COUNT(v.token) AS BIGINT) AS n_in_vocab
+      FROM tok t LEFT JOIN vocab v ON t.token = v.token
+      GROUP BY t.doc_id
+    )
+    SELECT
+      CAST(floor(10.0 * CAST(n_in_vocab AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE)) AS INT) AS coverage_decile,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      CAST(SUM(n_in_vocab) AS BIGINT) AS in_vocab_tokens
+    FROM per_doc GROUP BY 1
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage / OOV-rate audit: build the
+    top-100 corpus vocabulary (count-desc, token tie-break — a total
+    order, so the vocab is deterministic), then bucket every document
+    by the decile of its in-vocabulary token fraction.  This is the
+    pre-training check that tells you what fraction of a new corpus
+    slice a fixed tokenizer will shatter into bytes.
+
+    Plan: explode → token-count hash agg; the top-K cut is
+    ``orderBy().limit(K)``, which Spark plans as
+    TakeOrderedAndProject — per-partition partial top-K merged at the
+    driver, NEVER a single-task global sort, so it holds at any
+    vocabulary size.  The vocab is then broadcast-joined (≤K rows)
+    back onto the token stream, so the coverage pass is map-side
+    only, and the final histogram groups on an 11-value domain."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tok = tok.localCheckpoint(eager=False)  # consumed by vocab AND coverage
+    cnts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    vocab = (
+        cnts.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_VOCAB_TOP)
+        .select("token")
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab.withColumn("in_v", F.lit(1))), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count("in_v").alias("n_in_vocab"),
+        )
+    )
+    return per_doc.groupBy(
+        F.floor(
+            10.0 * F.col("n_in_vocab").cast("double") / F.col("n_tokens").cast("double")
+        )
+        .cast("int")
+        .alias("coverage_decile")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_in_vocab").alias("in_vocab_tokens"),
+    )
+
+
+# ------------------------------------------------------------- readability
+
+
+@register(
+    "q_readability",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, source,
+        CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nosp,
+        CAST(length({_SQL_TOKS}) AS BIGINT) AS n_words,
+        CAST(greatest(
+          length(list_filter(string_split_regex(text, '[.!?]+'),
+                             s -> trim(s) <> '')), 1) AS BIGINT) AS n_sents
+      FROM documents
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_words) AS BIGINT) AS total_words,
+      CAST(SUM(CAST(floor(
+        (CAST(4.71 AS DOUBLE) * (CAST(n_chars_nosp AS DOUBLE) / n_words)
+         + CAST(0.5 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sents)
+         - CAST(21.43 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+      AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_ari
+    FROM m WHERE n_words > 0 GROUP BY source
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index per corpus source — the
+    quality-scoring sibling of q_text_quality: ARI = 4.71·(chars/
+    words) + 0.5·(words/sentences) − 21.43 (public formula; character
+    counting instead of syllables keeps it deterministic).
+
+    Everything is a codegen projection (length/split/regexp) plus ONE
+    hash aggregate.  The per-doc ARI is a float expression (identical
+    tree both engines); the cross-doc average would be an
+    order-dependent float SUM, so each doc's score is quantized to
+    integer micro-units first via ``floor(x·1e6 + 0.5)`` — floor of a
+    double is bitwise portable where float→DECIMAL casts are NOT
+    (measured round-2 gotcha) — making the sum exact, associative,
+    and order-free; the mean divides the exact sum once at the end.
+    Sentence count clamps at 1 so punctuation-free documents don't
+    divide by zero."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(tokens("text")).cast("bigint")
+    n_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("bigint")
+    n_sents = F.greatest(
+        F.size(F.filter(F.split("text", r"[.!?]+"), lambda s: F.trim(s) != "")),
+        F.lit(1),
+    ).cast("bigint")
+    m = d.select(
+        "source",
+        n_chars.alias("n_chars_nosp"),
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+    ).filter(F.col("n_words") > 0)
+    ari = (
+        F.lit(4.71) * (F.col("n_chars_nosp").cast("double") / F.col("n_words"))
+        + F.lit(0.5) * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - F.lit(21.43)
+    )
+    ari_micro = F.floor(ari * 1000000.0 + 0.5).cast("bigint")
+    return m.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        (F.sum(ari_micro).cast("double") / 1000000.0 / F.count("*")).alias(
+            "avg_ari"
+        ),
+    )

@@ -48,6 +48,9 @@ EVENT_TS_QUERIES = [
     "q_scd2_point_in_time",
     "q_scd2_build",
     "q_upsert_latest_wins",
+    # round-5: interval union drops NULL-ts rows explicitly (both
+    # engines), so island numbering can't diverge on NULL ordering
+    "q_interval_merge",
 ]
 
 
