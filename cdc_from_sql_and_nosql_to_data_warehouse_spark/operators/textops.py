@@ -1077,7 +1077,10 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
-    tok = tok.localCheckpoint(eager=False)  # consumed by vocab AND coverage
+    # tok is consumed by BOTH the vocab count and the coverage join, but
+    # it is DATA-SCALED (exploded token stream): recomputing two pruned
+    # scans beats materializing it (measured equal at sf0.1, and the
+    # round-2 rule says input-proportional checkpoints lose at scale)
     cnts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
     vocab = (
         cnts.orderBy(F.desc("cnt"), F.asc("token"))
