@@ -170,6 +170,12 @@ def main() -> None:
             {
                 "queries_interleaved": interleaved,
                 "total_interleaved": round(sum(interleaved.values()), 3),
+                # Duplicate the headline detail here so the per-query
+                # min-of-3 numbers survive even if the stdout line ever
+                # takes the >1800-char fallback (which drops "queries").
+                "queries_min": timings_min,
+                "total_min": total,
+                "total_r2_comparable_subset": subset_total,
                 "protocol": "min-of-3 back-to-back (r1/r2: best-of-2 back-to-back)",
             },
             f,

@@ -742,9 +742,13 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
       CAST(COUNT(*) AS BIGINT) AS n_rows,
-      CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+      CAST(COUNT(TRY_CAST(CASE WHEN regexp_matches(
+             json_extract_string(props, '$.k'), '^-?[0-9]+$')
+           THEN json_extract_string(props, '$.k') END AS INTEGER))
            AS BIGINT) AS n_parsed_k,
-      CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+      CAST(SUM(TRY_CAST(CASE WHEN regexp_matches(
+             json_extract_string(props, '$.k'), '^-?[0-9]+$')
+           THEN json_extract_string(props, '$.k') END AS INTEGER))
            AS BIGINT) AS sum_k,
       CAST(COUNT(*) - COUNT(TRY_CAST(event_type AS DOUBLE)) AS BIGINT)
         AS n_unparseable_as_number
@@ -763,7 +767,16 @@ def q_try_cast_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     malformed input); JSON field extraction and the cast both fold
     into the single aggregate pass."""
     e = load_table(spark, sf_dir, "events")
-    k = F.expr("try_cast(get_json_object(props, '$.k') AS INT)")
+    # integer-regex guard BEFORE the cast: Spark try_cast TRUNCATES a
+    # decimal string ('12.5' -> 12) where DuckDB TRY_CAST ROUNDS it
+    # (-> 13) — gating both engines on ^-?[0-9]+$ removes the only
+    # cross-engine divergence class while keeping try_cast for
+    # overflow safety
+    k = F.expr(
+        "try_cast(CASE WHEN get_json_object(props, '$.k')"
+        " RLIKE '^-?[0-9]+$'"
+        " THEN get_json_object(props, '$.k') END AS INT)"
+    )
     bad = F.expr("try_cast(event_type AS DOUBLE)")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_rows"),

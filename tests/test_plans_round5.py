@@ -66,17 +66,28 @@ def test_bit_and_mode_aggregates_partial(spark):
 
 
 def test_gini_window_runs_on_aggregate_not_facts(spark):
-    # the rank window's child must be the per-(nation, supplier)
-    # aggregate, so the window never sees fact-table rows: in the plan
-    # tree the HashAggregate appears BELOW the Window (higher indent /
-    # later line), and the window is partitioned by nation
+    # the rank window's DIRECT input chain must be the per-(nation,
+    # supplier) aggregate — not fact-table rows.  Pin the child chain:
+    # below the deepest Window in the tree, a HashAggregate must appear
+    # before any parquet Scan (only Sort/Exchange/Project may sit in
+    # between), and that aggregate's keys are (s_nationkey, l_suppkey).
+    import re as _re
+
     df = REGISTRY["q_gini_concentration"].fn(spark, SF_DIR)
     text = plans.formatted_plan(df)
     assert "windowspecdefinition(s_nationkey" in text, text
     lines = text.splitlines()
-    win_idx = next(i for i, l in enumerate(lines) if "Window (" in l or "Window(" in l)
-    agg_below = any("HashAggregate" in l for l in lines[win_idx:])
-    assert agg_below, text
+    win_idx = max(i for i, l in enumerate(lines) if "Window (" in l)
+    below = lines[win_idx + 1 :]
+    for l in below:
+        if "HashAggregate" in l:
+            break  # aggregate reached first: window input is pre-aggregated
+        assert "Scan" not in l, (
+            "fact-table scan feeds the window before any aggregate:\n" + text
+        )
+    else:
+        raise AssertionError("no HashAggregate below the rank window:\n" + text)
+    assert _re.search(r"Keys \[2\]: \[s_nationkey#\d+, l_suppkey#\d+", text), text
 
 
 def test_target_encode_prior_is_broadcast(spark):
