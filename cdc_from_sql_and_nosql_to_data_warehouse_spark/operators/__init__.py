@@ -334,7 +334,12 @@ def _window_priority(spec: QuerySpec) -> int:
         # before anything new consumes a slot.
         return 0
     if not spec.oracle:
-        return 5  # rows-only; can't go green, last among unchecked
+        # rows-only queries can't go green, but the last four
+        # never-driver-attempted ones (q_sim_topk_lsh, q_sim_ivf,
+        # q_heavy_hitters, q_audience_overlap_hll) still need their
+        # first driver row — ahead of anything newly registered this
+        # round, so a round-6 addition can never push them out again
+        return 1
     if spec.name in _R03_QUEUE:
         return 1
     if spec.name in _DEFER_REDUNDANT:

@@ -92,8 +92,15 @@ _N_BITS = 8
 
 
 def _table_planes(
-    dim: int = 64, n_tables: int = _L_TABLES, n_bits: int = _N_BITS, seed: int = 42
+    dim: int = 64,
+    n_tables: int | None = None,
+    n_bits: int | None = None,
+    seed: int = 42,
 ) -> list[list[list[float]]]:
+    # knobs resolve at CALL time (not def time) so a tuning sweep can
+    # patch the module constants (tools/lsh_frontier.py)
+    n_tables = _L_TABLES if n_tables is None else n_tables
+    n_bits = _N_BITS if n_bits is None else n_bits
     rng = random.Random(seed)
     return [
         [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]

@@ -1,0 +1,259 @@
+"""Scale-slope measurement: 1x (sf0.1) vs 10x (synthesized blowup).
+
+Every plan-shape claim in SCALE.md says "this survives a scale-up"; this
+tool turns that into data.  It synthesizes a 10x copy of sf0.1 by
+unioning key-shifted replicas, runs the heaviest headline queries at
+both scales, and records
+
+  * wall-time ratio t(10x)/t(1x)  — near-linear means <= ~12x
+    (10x data + sub-linear constant amortization + log factors), and
+  * per-stage task skew max/median  — a straggler-free plan keeps the
+    slowest task within ~4x of the median task in every stage
+
+into SCALE_SLOPE.json (summarized in SCALE.md, pinned by
+tests/test_scale_slope_contract.py against the committed artifact).
+
+Blowup construction (deterministic, no RNG):
+
+  * integer keys shift by ``replica * 2**32`` so replicas never
+    collide and every intra-replica join fans out exactly like the
+    original — total join output is replicas x original, i.e. linear;
+  * dimension tables (region, nation) are NOT replicated: their size
+    is bounded by the domain, not the data, exactly as at 100 TB;
+  * document text is re-vocabularied per replica (every token gets a
+    replica suffix) so replicas are NOT near-duplicates of each other.
+    A naive 10x copy would make every doc a near-dup of 9 clones and
+    measure an artificial O(replicas^2) candidate-pair blowup in the
+    dedup family — the point is to measure the ENGINE's slope on
+    linearly-grown data, not a fixture artifact;
+  * embeddings replicate vectors unchanged under new ids: vector ops
+    (kmeans assign, PQ ADC, brute-force topk) are row-linear and
+    duplicate points exercise the tie paths.
+
+Task-skew capture: the Spark UI REST API (`/api/v1/.../taskSummary`)
+already serves per-stage task-duration quantiles; the tool snapshots
+the completed-stage list around each run and pulls max/median executor
+run time for the new stages.  Stages whose median task is <50 ms are
+ignored for the skew verdict (a 2 ms vs 40 ms scheduling wobble is not
+a straggler).
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark import operators as ops
+
+REPLICAS = 10
+STRIDE = 2**32  # above any sf0.1 key; replicas*STRIDE stays far inside int64
+BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BLOWUP_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale10x")
+
+# The 10 most expensive headline queries (VERDICT r5 plan audit) — the
+# ones whose scale story carries the most risk.
+QUERIES = [
+    "q_dedup_containment",
+    "q_setsim_join",
+    "q_sim_pq_search",
+    "q_kmeans_assign",
+    "q_reachability",
+    "q_pagerank",
+    "q_dedup_minhash_md5",
+    "q_min_cost_supplier",
+    "q_bm25_search",
+    "q_lm_score",
+]
+
+# key columns to shift per table; dims (region, nation) copy unchanged
+KEY_SHIFT = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation"]
+
+RATIO_MAX = 12.0  # near-linear bound for a 10x blowup
+SKEW_MAX = 4.0  # max/median task time within a stage
+SKEW_FLOOR_MS = 50  # ignore stages whose median task is sub-noise
+
+
+def build_session() -> SparkSession:
+    """get_spark() twin with the UI on (REST API is the skew probe)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.appName("scale_slope")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "0")
+        .config("spark.ui.retainedStages", "5000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def _shifted(df: DataFrame, table: str, i: int) -> DataFrame:
+    for k in KEY_SHIFT[table]:
+        df = df.withColumn(k, F.col(k) + F.lit(i * STRIDE).cast("long"))
+    if table == "documents" and i > 0:
+        # re-vocabulary: suffix every letter/digit run so replica i
+        # shares no tokens (hence no shingles, no minhash buckets, no
+        # prefix-filter candidates) with any other replica
+        df = df.withColumn(
+            "text", F.regexp_replace(F.col("text"), r"(\w+)", rf"$1q{i}x")
+        ).withColumn("n_chars", F.length("text").cast("long"))
+    return df
+
+
+def build_blowup(spark: SparkSession) -> None:
+    marker = os.path.join(BLOWUP_DIR, "_BLOWUP_OK")
+    if os.path.exists(marker):
+        return
+    os.makedirs(BLOWUP_DIR, exist_ok=True)
+    for t in DIMS:
+        spark.read.parquet(f"{BASE_DIR}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{BLOWUP_DIR}/{t}.parquet"
+        )
+    for t in KEY_SHIFT:
+        base = spark.read.parquet(f"{BASE_DIR}/{t}.parquet")
+        out = _shifted(base, t, 0)
+        for i in range(1, REPLICAS):
+            out = out.unionByName(_shifted(base, t, i))
+        # a handful of ~64 MB-ish files per table: enough splits for
+        # local[32] under the 8 MB bench maxPartitionBytes
+        out.repartition(8).write.mode("overwrite").parquet(f"{BLOWUP_DIR}/{t}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+# ---------------------------------------------------------------- REST
+def _api(spark: SparkSession, path: str):
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}{path}", timeout=10) as r:
+        return json.load(r)
+
+
+def _completed_stage_ids(spark: SparkSession) -> set[tuple[int, int]]:
+    return {
+        (s["stageId"], s["attemptId"])
+        for s in _api(spark, "/stages?status=complete")
+    }
+
+
+def _stage_skews(spark: SparkSession, new_ids: set[tuple[int, int]]) -> list[dict]:
+    out = []
+    for sid, att in sorted(new_ids):
+        try:
+            summ = _api(
+                spark, f"/stages/{sid}/{att}/taskSummary?quantiles=0.5,1.0"
+            )
+        except Exception:
+            continue  # stage with no completed tasks (skipped by AQE)
+        med, mx = summ["executorRunTime"]
+        if med < SKEW_FLOOR_MS:
+            continue
+        out.append(
+            {
+                "stage": sid,
+                "median_ms": round(med, 1),
+                "max_ms": round(mx, 1),
+                "skew": round(mx / max(med, 1e-9), 2),
+            }
+        )
+    return out
+
+
+def timed_run(spark: SparkSession, name: str, sf_dir: str, runs: int = 2):
+    """min-of-N wall time + task-skew stats for the LAST run."""
+    fn = ops.REGISTRY[name].fn
+    best, skews = float("inf"), []
+    for _ in range(runs):
+        before = _completed_stage_ids(spark)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        skews = _stage_skews(spark, _completed_stage_ids(spark) - before)
+        best = min(best, dt)
+        gc.collect()
+    return best, skews
+
+
+def main() -> None:
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+
+    print("building 10x blowup ...", flush=True)
+    build_blowup(spark)
+
+    # warmup: codegen/JIT at sf0.001 so timed runs measure execution
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for name in QUERIES:
+        ops.REGISTRY[name].fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        t1, skew1 = timed_run(spark, name, BASE_DIR)
+        t10, skew10 = timed_run(spark, name, BLOWUP_DIR)
+        worst1 = max((s["skew"] for s in skew1), default=1.0)
+        worst10 = max((s["skew"] for s in skew10), default=1.0)
+        ratio = round(t10 / t1, 2)
+        results[name] = {
+            "t_1x_sec": round(t1, 3),
+            "t_10x_sec": round(t10, 3),
+            "ratio": ratio,
+            "worst_stage_skew_1x": worst1,
+            "worst_stage_skew_10x": worst10,
+            "stages_measured_10x": len(skew10),
+            "stage_detail_10x": skew10,
+        }
+        print(
+            f"{name}: 1x={t1:.2f}s 10x={t10:.2f}s ratio={ratio} "
+            f"skew10x={worst10}",
+            flush=True,
+        )
+
+    doc = {
+        "base_dir": BASE_DIR,
+        "replicas": REPLICAS,
+        "criteria": {"ratio_max": RATIO_MAX, "skew_max": SKEW_MAX},
+        "queries": results,
+        "pass": all(
+            r["ratio"] <= RATIO_MAX and r["worst_stage_skew_10x"] <= SKEW_MAX
+            for r in results.values()
+        ),
+    }
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_SLOPE.json",
+    )
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({"pass": doc["pass"], "written": out}))
+
+
+if __name__ == "__main__":
+    main()
