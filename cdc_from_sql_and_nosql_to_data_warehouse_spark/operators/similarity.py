@@ -83,11 +83,14 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # p^b + b·p^(b-1)(1-p), and L independent tables turn that into
 # 1-(1-hit)^L — the two recall knobs (L, probe radius) and the cost
 # knob (b = bucket selectivity) called out in SCALE.md.
-# L=12 measured recall@5 0.76 (sf0.001) / 0.80 (sf0.01) vs 0.68/0.64 at
-# L=8 on this corpus (true neighbors at cosine ~0.32 ⇒ ~60% per-bit
-# agreement — an adversarially flat geometry); candidate fraction
-# L·(1+b)/2^b ≈ 0.42 expected, 0.37 measured.
-_L_TABLES = 12
+# Measured frontier (tools/lsh_frontier.py, recall@5 sf0.001/sf0.01):
+#   L=8 → 0.68/0.64   L=12 → 0.76/0.80   L=16 → 0.80/0.88   L=20 → 0.80/0.92
+# on this corpus (true neighbors at cosine ~0.32 ⇒ ~60% per-bit
+# agreement — an adversarially flat geometry), so recall is bought
+# almost linearly with candidate volume L·(1+b)/2^b.  L=16 is the knee
+# that clears a 0.8 floor at BOTH scale factors (pinned in
+# tests/test_sim_recall.py); the full frontier is recorded in SCALE.md.
+_L_TABLES = 16
 _N_BITS = 8
 
 

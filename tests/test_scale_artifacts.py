@@ -1,0 +1,92 @@
+"""Contract tests for the round-6 measured-scale artifacts.
+
+SCALE_SLOPE.json and stream_bench.json are committed measurement
+records (tools/scale_slope.py, tools/stream_bench.py) that SCALE.md
+summarizes.  These tests pin (a) the schema each tool promises, so a
+tool edit that drops a field breaks loudly instead of silently
+shipping an empty summary, and (b) the pass criteria the committed
+numbers were graded against — if a regenerated artifact violates its
+own bounds, the commit that updates it must also explain why.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def slope():
+    path = os.path.join(ROOT, "SCALE_SLOPE.json")
+    if not os.path.exists(path):
+        pytest.skip("SCALE_SLOPE.json not generated (run tools/scale_slope.py)")
+    with open(path) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def stream():
+    path = os.path.join(ROOT, "stream_bench.json")
+    if not os.path.exists(path):
+        pytest.skip("stream_bench.json not generated (run tools/stream_bench.py)")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_slope_schema_and_coverage(slope):
+    assert slope["replicas"] == 10
+    assert slope["criteria"] == {"ratio_max": 12.0, "skew_max": 4.0}
+    # the 10 most expensive headliners from the round-5 plan audit
+    assert len(slope["queries"]) == 10
+    for name, q in slope["queries"].items():
+        for field in (
+            "t_1x_sec",
+            "t_10x_sec",
+            "ratio",
+            "worst_stage_skew_1x",
+            "worst_stage_skew_10x",
+        ):
+            assert isinstance(q[field], (int, float)), (name, field)
+        assert q["t_1x_sec"] > 0 and q["t_10x_sec"] > 0
+
+
+def test_slope_is_near_linear_and_straggler_free(slope):
+    crit = slope["criteria"]
+    for name, q in slope["queries"].items():
+        assert q["ratio"] <= crit["ratio_max"], (
+            f"{name}: 10x wall-time ratio {q['ratio']} exceeds "
+            f"{crit['ratio_max']} — plan no longer near-linear"
+        )
+        assert q["worst_stage_skew_10x"] <= crit["skew_max"], (
+            f"{name}: stage max/median task time {q['worst_stage_skew_10x']} "
+            f"exceeds {crit['skew_max']} — a straggler appeared at 10x"
+        )
+    assert slope["pass"] is True
+
+
+def test_stream_bench_schema(stream):
+    for mode in ("append", "merge"):
+        m = stream[mode]
+        for field in (
+            "input_rows",
+            "final_table_rows",
+            "rows_per_sec",
+            "micro_batches",
+            "batch_ms_median",
+            "batch_ms_p95",
+        ):
+            assert field in m, (mode, field)
+        # the persist fix: each source row is counted (and read) ONCE
+        assert m["input_rows"] == stream["feed_rows"], (
+            f"{mode}: numInputRows {m['input_rows']} != feed "
+            f"{stream['feed_rows']} — the micro-batch is being re-scanned"
+        )
+    # merge collapses ~12 versions/key to one row per surviving key
+    assert stream["merge"]["final_table_rows"] <= stream["n_keys"]
+    # append keeps every non-REMOVE image
+    assert stream["append"]["final_table_rows"] > stream["n_keys"]
+    assert stream["merge_minus_append_batch_ms"] > 0

@@ -46,11 +46,11 @@ def test_lsh_recall_at_5(spark, sf_dir):
         REGISTRY["q_sim_topk_lsh"].fn(spark, sf_dir).filter("query_id < 5").collect()
     )
     r = _recall(exact, lsh)
-    # measured 0.76 at sf0.001 / 0.80 at sf0.01 with 12 tables x 8 bits,
-    # Hamming-1 probes (0.68/0.64 at 8 tables; the single-table 12-bit
-    # form scored 0.0 — true neighbors at cosine ~0.32 ⇒ ~60% per-bit
-    # agreement)
-    assert r >= 0.7, f"LSH recall@5 = {r} at {sf_dir}"
+    # measured 0.80 at sf0.001 / 0.88 at sf0.01 with 16 tables x 8 bits,
+    # Hamming-1 probes; the full L-sweep frontier (0.68/0.64 at L=8 up
+    # to 0.80/0.92 at L=20) is in SCALE.md and tools/lsh_frontier.py —
+    # true neighbors sit at cosine ~0.32 ⇒ ~60% per-bit agreement
+    assert r >= 0.8, f"LSH recall@5 = {r} at {sf_dir}"
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS, ids=["sf0.001", "sf0.01"])
