@@ -85,6 +85,12 @@ HEADLINE = [
     "q_ohlc_bars",
     "q_delete_vector_apply",
     "q_chi2_independence",
+    # round-6 additions: hybrid retrieval fusion (3 rank windows over
+    # token-set joins), rank-statistic AUC (parallel prefix sum), and
+    # the mapInPandas partial-Gram PCA — the new data-scaled shapes
+    "q_hybrid_rrf",
+    "q_retrieval_auc",
+    "q_pca_project",
 ]
 
 

@@ -55,6 +55,7 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (  # noqa: 
     cdc_batch,
     curation,
     dedup,
+    evalprep,
     graph,
     layout,
     mlprep,

@@ -183,4 +183,8 @@ def test_signature_kernel_matches_reference(spark):
         "vec_id long, embedding array<float>",
     )
     rows = _signature_rows(dirty).collect()
-    assert len(rows) == 3 * 12 and all(r["sig"] == 0 for r in rows)
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.similarity import (
+        _L_TABLES,
+    )
+
+    assert len(rows) == 3 * _L_TABLES and all(r["sig"] == 0 for r in rows)
