@@ -58,6 +58,14 @@ KEYED_CONTRACT = {
     "q_sim_pq",
     "q_sim_pq_search",
     "q_token_budget",
+    # round-6: q_dedup_eval audits the SAME minhash machinery (Spark
+    # rebuilds shingle sets per doc_id; the oracle's bag self-join sees
+    # each duplicated row), and q_hybrid_rrf's per-row (cosine-rank,
+    # jaccard-rank) PAIRING is undefined when the cand_id tie-break is
+    # itself duplicated — the two rank windows may pair the duplicates
+    # differently per engine.  Both contracts are key-unique input.
+    "q_dedup_eval",
+    "q_hybrid_rrf",
 }
 
 QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle and n not in KEYED_CONTRACT)
