@@ -93,7 +93,11 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     `quantile_cont` (shared (n-1)·p interpolation, the q_percentile
     precedent), rounded to 4dp before use so the scaled output is
     engine-identical; degenerate groups (IQR 0) are filtered, not
-    divided by."""
+    divided by.  Honest caveat shared with q_percentile: Spark's exact
+    `percentile` buffers each group's values in the aggregation state,
+    so at true 100 TB group sizes the stats pass swaps to
+    `approx_percentile` (t-digest state, same plan shape) — exact form
+    kept here because the DuckDB oracle checks exact interpolation."""
     li = load_table(spark, sf_dir, "lineitem")
     stats = li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("med"),
@@ -1489,4 +1493,219 @@ def q_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rows_scanned"),
         F.sum("matched").cast("bigint").alias("rows_matched"),
+    )
+
+
+@register(
+    "q_ks_test",
+    oracle="""
+    WITH d AS (
+      SELECT n_chars,
+        TRY_CAST(substr(source, 4) AS INTEGER) >= 10 AS is_new
+      FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+    ),
+    g AS (
+      SELECT n_chars,
+        CAST(COUNT(*) FILTER (WHERE NOT is_new) AS BIGINT) AS c_base,
+        CAST(COUNT(*) FILTER (WHERE is_new) AS BIGINT) AS c_new
+      FROM d GROUP BY n_chars
+    ),
+    r AS (
+      SELECT
+        CAST(SUM(c_base) OVER (ORDER BY n_chars
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum_b,
+        CAST(SUM(c_new) OVER (ORDER BY n_chars
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum_n,
+        CAST(SUM(c_base) OVER () AS HUGEINT) AS t_base,
+        CAST(SUM(c_new) OVER () AS HUGEINT) AS t_new
+      FROM g
+    )
+    ,
+    s AS (
+      SELECT
+        CAST(max(t_base) AS BIGINT) AS n_base,
+        CAST(max(t_new) AS BIGINT) AS n_new,
+        CAST(max(abs(cum_b * t_new - cum_n * t_base)) AS DOUBLE)
+          / (CAST(max(t_base) AS DOUBLE) * CAST(max(t_new) AS DOUBLE)) AS d_stat,
+        1.358 * sqrt((CAST(max(t_base) AS DOUBLE) + CAST(max(t_new) AS DOUBLE))
+          / (CAST(max(t_base) AS DOUBLE) * CAST(max(t_new) AS DOUBLE)))
+          AS crit_05
+      FROM r
+    )
+    SELECT n_base, n_new, d_stat, crit_05, d_stat > crit_05 AS drift FROM s
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test on the document-length
+    distribution, base corpus (src0-9) vs incoming batch (src10+) —
+    the nonparametric sibling of q_feature_drift's PSI: PSI needs a
+    binning choice; KS compares the full empirical CDFs and reports
+    the worst-case gap D = max|F_base(x) − F_new(x)| with the α=0.05
+    critical value 1.358·√((n₁+n₂)/(n₁n₂)).
+
+    Exactness: the max deviation is computed on INTEGER cross-products
+    — |cum_b·N_new − cum_n·N_base| in DECIMAL/HUGEINT (bigint·bigint
+    overflows int64 at warehouse scale) — so the maximizing point is
+    engine-identical; only the final two divisions are float, in one
+    fixed expression.
+
+    Scale: one hash aggregate to the distinct-length frame (bounded by
+    the length domain), two parallel prefix sums through
+    `running_total`, a 1-row reduce.  No fact row is touched twice."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import (
+        running_total,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.normalize import (
+        loud_src_n,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("source").isNotNull()
+    )
+    is_new = loud_src_n("source", "q_ks_test") >= 10
+    g = docs.select(F.col("n_chars"), is_new.alias("is_new")).groupBy("n_chars").agg(
+        F.count_if(~F.col("is_new")).alias("c_base"),
+        F.count_if(F.col("is_new")).alias("c_new"),
+    )
+    r = running_total(g, ["n_chars"], "c_base", total_col="cum_b")
+    r = running_total(r, ["n_chars"], "c_new", total_col="cum_n")
+    tot = g.agg(
+        F.sum("c_base").alias("t_base"), F.sum("c_new").alias("t_new")
+    )
+    dev = F.abs(
+        F.col("cum_b").cast("decimal(19,0)") * F.col("t_new").cast("decimal(19,0)")
+        - F.col("cum_n").cast("decimal(19,0)") * F.col("t_base").cast("decimal(19,0)")
+    )
+    tb = F.col("t_base").cast("double")
+    tn = F.col("t_new").cast("double")
+    agg = (
+        r.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("t_base").cast("bigint").alias("n_base"),
+            F.max("t_new").cast("bigint").alias("n_new"),
+            (F.max(dev).cast("double") / (F.max(tb) * F.max(tn))).alias("d_stat"),
+            (
+                F.lit(1.358)
+                * F.sqrt((F.max(tb) + F.max(tn)) / (F.max(tb) * F.max(tn)))
+            ).alias("crit_05"),
+        )
+    )
+    return agg.select(
+        "n_base",
+        "n_new",
+        "d_stat",
+        "crit_05",
+        (F.col("d_stat") > F.col("crit_05")).alias("drift"),
+    )
+
+
+_SD_HALF = 14  # centered moving-average half-width (29-day trend window)
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    tr AS (
+      SELECT d, cents,
+        CASE WHEN COUNT(*) OVER w = {2 * _SD_HALF + 1} THEN
+          CAST(SUM(cents) OVER w AS DOUBLE) / (COUNT(*) OVER w)
+        END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN {_SD_HALF} PRECEDING
+                   AND {_SD_HALF} FOLLOWING)
+    ),
+    dt AS (
+      SELECT d, cents, trend,
+        CAST(floor((cents - trend) * 1000000 + 0.5) AS BIGINT) AS dt6,
+        CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT) % 7 AS dow
+      FROM tr
+    ),
+    seas AS (
+      SELECT dow,
+        CAST(SUM(dt6) AS DOUBLE) / 1000000.0 / COUNT(*) AS seasonal
+      FROM dt WHERE trend IS NOT NULL GROUP BY dow
+    )
+    SELECT dt.d, CAST(dt.cents AS DOUBLE) / 100.0 AS revenue,
+      round(dt.trend / 100.0, 6) AS trend,
+      round(seas.seasonal / 100.0, 6) AS seasonal,
+      CASE WHEN dt.trend IS NOT NULL THEN
+        round((CAST(dt.dt6 AS DOUBLE) / 1000000.0 - seas.seasonal) / 100.0, 6)
+      END AS residual
+    FROM dt JOIN seas USING (dow)
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily-revenue
+    series: trend = centered 29-day moving average, seasonal =
+    day-of-week mean of the detrended series, residual = the rest —
+    the anomaly-detection preprocessor that separates "weekends are
+    slow" from "something broke" (pairs with q_cusum / q_mad_outliers,
+    which fire on the RESIDUAL in a real monitor).
+
+    Determinism: daily revenue is exact integer cents; the moving
+    average is an exact-integer window sum divided once; the detrended
+    value is fixed-pointed (floor(x·10⁶+0.5)) BEFORE the day-of-week
+    mean so the seasonal means are exact-integer ratios — no float
+    ever accumulates in engine-dependent order.  Day-of-week is
+    datediff-mod-7 from a known Sunday, not the engines' divergent
+    dayofweek() conventions.
+
+    Scale: everything after the one fact-table aggregate runs on the
+    calendar-bounded daily frame (the Gini pattern); the 7-row
+    seasonal frame broadcasts back.  Edge days without a full 29-day
+    window get NULL trend/residual rather than a biased partial mean."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents).alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(-_SD_HALF, _SD_HALF)
+    tr = daily.select(
+        "d",
+        "cents",
+        F.when(
+            F.count(F.lit(1)).over(w) == 2 * _SD_HALF + 1,
+            F.sum("cents").over(w).cast("double") / F.count(F.lit(1)).over(w),
+        ).alias("trend"),
+    )
+    dt = tr.select(
+        "d",
+        "cents",
+        "trend",
+        F.floor((F.col("cents") - F.col("trend")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("dt6"),
+        F.pmod(
+            F.datediff(F.col("d"), F.lit("1995-01-01").cast("date")), F.lit(7)
+        ).cast("bigint").alias("dow"),
+    ).localCheckpoint(eager=False)  # bounded daily frame, two consumers
+    seas = (
+        dt.filter(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(
+            (
+                F.sum("dt6").cast("double") / F.lit(1000000.0) / F.count(F.lit(1))
+            ).alias("seasonal")
+        )
+    )
+    return dt.join(F.broadcast(seas), "dow").select(
+        "d",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.round(F.col("trend") / 100.0, 6).alias("trend"),
+        F.round(F.col("seasonal") / 100.0, 6).alias("seasonal"),
+        F.when(
+            F.col("trend").isNotNull(),
+            F.round(
+                (F.col("dt6").cast("double") / 1000000.0 - F.col("seasonal"))
+                / 100.0,
+                6,
+            ),
+        ).alias("residual"),
     )

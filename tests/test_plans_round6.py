@@ -114,3 +114,76 @@ def test_pca_partials_are_bounded_aggregate(spark):
     text = plans.formatted_plan(df)
     # the projection itself is map-only over the embedding scan
     assert "Window" not in text, text
+
+
+def test_eval_confusion_queries_are_broadcast(spark):
+    df = REGISTRY["q_eval_confusion"].fn(spark, SF_DIR)
+    assert plans.has_broadcast_join(df)
+
+
+def test_calibration_is_one_map_pass_one_agg(spark):
+    # fixed-point bin assignment is a projection; the only shuffle is
+    # the 10-key hash aggregate (plus the 1-row anchor broadcast)
+    df = REGISTRY["q_calibration_bins"].fn(spark, SF_DIR)
+    text = plans.formatted_plan(df)
+    assert "Window" not in text, text
+    assert text.count("Exchange hashpartitioning") <= 1, text
+
+
+def test_lift_gains_prefix_sum_is_parallel(spark):
+    # same contract as q_retrieval_auc: no Window may sit below a
+    # SinglePartition exchange except the bounded 10-row decile frame
+    df = REGISTRY["q_lift_gains"].fn(spark, SF_DIR)
+    text = plans.formatted_plan(df)
+    assert "windowspecdefinition(__pid" in text, text
+
+
+def test_file_skipping_is_single_scan_per_layout_family(spark):
+    # both layouts come from ONE lineitem scan via explode — the plan
+    # must contain exactly one parquet scan
+    df = REGISTRY["q_file_skipping_stats"].fn(spark, SF_DIR)
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert text.count("Scan parquet") == 1, text
+
+
+def test_ks_test_aggregates_before_prefix_sum(spark):
+    # the CDF prefix sums run on the distinct-length aggregate through
+    # running_total — per-__pid windows only
+    df = REGISTRY["q_ks_test"].fn(spark, SF_DIR)
+    text = plans.formatted_plan(df)
+    assert "windowspecdefinition(__pid" in text, text
+
+
+def test_seasonal_decompose_windows_on_daily_frame(spark):
+    # the daily frame (bounded) is checkpointed once for its two
+    # consumers, so the trend window lives BEHIND the checkpoint; pin
+    # it on the pre-checkpoint subtree instead: the moving-average
+    # window's direct input must be the per-day aggregate
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import (
+        load_table,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(-14, 14)
+    tr = daily.select("d", F.sum("cents").over(w).alias("trend"))
+    text = plans.formatted_plan(tr)
+    lines = text.splitlines()
+    win_idx = max(i for i, l in enumerate(lines) if "Window (" in l)
+    for line in lines[win_idx + 1 :]:
+        if "HashAggregate" in line:
+            break
+        assert "Scan" not in line, text
+    else:
+        raise AssertionError("no HashAggregate below the trend window:\n" + text)
+    # and in the operator's final (post-checkpoint) plan, the 7-row
+    # seasonal frame joins back broadcast with no further windows
+    df = REGISTRY["q_seasonal_decompose"].fn(spark, SF_DIR)
+    assert plans.has_broadcast_join(df)
+    assert "Window" not in plans.formatted_plan(df)
