@@ -40,8 +40,8 @@ def stream():
 def test_slope_schema_and_coverage(slope):
     assert slope["replicas"] == 10
     assert slope["criteria"] == {"ratio_max": 12.0, "skew_max": 4.0}
-    # the 10 most expensive headliners from the round-5 plan audit
-    assert len(slope["queries"]) == 10
+    # the 10 most expensive round-5 headliners + 4 round-6 shapes
+    assert len(slope["queries"]) == 14
     for name, q in slope["queries"].items():
         for field in (
             "t_1x_sec",
@@ -90,3 +90,9 @@ def test_stream_bench_schema(stream):
     # append keeps every non-REMOVE image
     assert stream["append"]["final_table_rows"] > stream["n_keys"]
     assert stream["merge_minus_append_batch_ms"] > 0
+    # windowed-agg path (B31 + watermark): all input consumed once,
+    # closed windows emitted, bounded state
+    w = stream["window"]
+    assert w["input_rows"] == stream["feed_rows"], w
+    assert w["windows_emitted"] > 0
+    assert 0 < w["max_state_rows"] < stream["feed_rows"], w

@@ -59,7 +59,10 @@ BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BLOWUP_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale10x")
 
 # The 10 most expensive headline queries (VERDICT r5 plan audit) — the
-# ones whose scale story carries the most risk.
+# ones whose scale story carries the most risk — plus the round-6
+# data-scaled shapes (broadcast-query retrieval eval, dual rank
+# windows, sample-bounded dedup audit: the last should hold ~constant,
+# which the ratio shows directly).
 QUERIES = [
     "q_dedup_containment",
     "q_setsim_join",
@@ -71,6 +74,10 @@ QUERIES = [
     "q_min_cost_supplier",
     "q_bm25_search",
     "q_lm_score",
+    "q_hybrid_rrf",
+    "q_eval_confusion",
+    "q_retrieval_auc",
+    "q_dedup_eval",
 ]
 
 # key columns to shift per table; dims (region, nation) copy unchanged

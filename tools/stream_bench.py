@@ -115,6 +115,76 @@ def run_mode(spark, drop_dir: str, work: str, mode: str) -> dict:
     }
 
 
+def write_event_feed(drop_dir: str) -> int:
+    """Event-shaped feed (ts, event_type, value) for the windowed-agg
+    path: 60k events spread over ~42 hours (one per 2.5s of event
+    time) so a 5-minute tumble yields ~500 windows and the 10-minute
+    watermark actually closes windows mid-run."""
+    os.makedirs(drop_dir, exist_ok=True)
+    types = ["view", "click", "buy", "error"]
+    n = 0
+    for f_idx in range(N_FILES):
+        path = os.path.join(drop_dir, f"{f_idx:06d}__events.json")
+        with open(path, "w") as f:
+            for r in range(ROWS_PER_FILE):
+                n += 1
+                secs = (n * 5) // 2  # 2.5s of event time per event
+                ev = {
+                    "ts": f"2024-01-01T{(secs // 3600) % 24:02d}:"
+                    f"{(secs // 60) % 60:02d}:{secs % 60:02d}",
+                    "event_type": types[n % 4],
+                    "value": round((n % 997) / 7.0, 4),
+                }
+                f.write(json.dumps(ev) + "\n")
+    return n
+
+
+def run_window_mode(spark, drop_dir: str, work: str) -> dict:
+    """B31 tumbling window + watermark as a stream: the per-micro-batch
+    cost here is the STATEFUL aggregation update (state store rows ≈
+    open windows × event types), the path with zero perf evidence
+    before round 6."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming import windows
+
+    ckpt = os.path.join(work, "ckpt_window")
+    out = os.path.join(work, "out_window")
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+        .json(drop_dir)
+    )
+    agg = windows.tumbling_counts(
+        stream, ts="ts", width="5 minutes", watermark="10 minutes"
+    )
+    t0 = time.perf_counter()
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    wall = time.perf_counter() - t0
+    rows, durs = batch_stats(q)
+    state_rows = 0
+    for p in q.recentProgress:
+        for so in p.get("stateOperators", []):
+            state_rows = max(state_rows, so.get("numRowsTotal", 0))
+    emitted = spark.read.parquet(out).count()
+    return {
+        "input_rows": rows,
+        "windows_emitted": emitted,
+        "max_state_rows": state_rows,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(rows / wall, 1),
+        "micro_batches": len(durs),
+        "batch_ms_median": round(statistics.median(durs), 1),
+        "batch_ms_p95": round(sorted(durs)[max(0, int(len(durs) * 0.95) - 1)], 1),
+    }
+
+
 def main() -> None:
     work = "/tmp/spark_graft_stream_bench"
     shutil.rmtree(work, ignore_errors=True)
@@ -145,12 +215,16 @@ def main() -> None:
 
     append = run_mode(spark, drop, work, "append")
     merge = run_mode(spark, drop, work, "merge")
+    ev_drop = os.path.join(work, "ev_drop")
+    write_event_feed(ev_drop)
+    window = run_window_mode(spark, ev_drop, work)
     doc = {
         "feed_rows": total,
         "n_keys": N_KEYS,
         "files_per_trigger": FILES_PER_TRIGGER,
         "append": append,
         "merge": merge,
+        "window": window,
         "merge_minus_append_batch_ms": round(
             merge["batch_ms_median"] - append["batch_ms_median"], 1
         ),
