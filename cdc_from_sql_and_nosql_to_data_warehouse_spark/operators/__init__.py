@@ -326,6 +326,13 @@ _R04_QUEUE = frozenset(
 )
 
 
+# rows-only queries registered in rounds 1-5 that have never been
+# through a driver window even as a no_oracle row (VERDICT r5 item 2)
+_ROWS_ONLY_DRAIN = frozenset(
+    {"q_sim_topk_lsh", "q_sim_ivf", "q_heavy_hitters", "q_audience_overlap_hll"}
+)
+
+
 def _window_priority(spec: QuerySpec) -> int:
     if spec.name in _DRIVER_CHECKED:
         return 6  # green — yields its slot for good
@@ -335,12 +342,14 @@ def _window_priority(spec: QuerySpec) -> int:
         # before anything new consumes a slot.
         return 0
     if not spec.oracle:
-        # rows-only queries can't go green, but the last four
-        # never-driver-attempted ones (q_sim_topk_lsh, q_sim_ivf,
-        # q_heavy_hitters, q_audience_overlap_hll) still need their
-        # first driver row — ahead of anything newly registered this
-        # round, so a round-6 addition can never push them out again
-        return 1
+        # the four rows-only queries that have NEVER had a driver row
+        # drain first (ahead of anything newly registered); any OTHER
+        # rows-only query (including future additions) sorts LAST among
+        # the unchecked — it can never go green, so it must never
+        # displace a verifiable oracle-bearing query from the window
+        # (review-caught: a blanket `return 1` put brand-new rows-only
+        # registrations ahead of the very four this rule exists for)
+        return 1 if spec.name in _ROWS_ONLY_DRAIN else 5
     if spec.name in _R03_QUEUE:
         return 1
     if spec.name in _DEFER_REDUNDANT:

@@ -29,6 +29,7 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import (
     assign_dense_ids,
 )
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+    SQL_TOKS_EXPR,
     md5_unit,
     sql_md5_unit,
 )
@@ -408,8 +409,10 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       CAST(SUM(pos) AS BIGINT) AS n_pos,
       CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
-      CAST(SUM(pos * (2 * cum_lt + cnt + 1)) - SUM(pos) * (SUM(pos) + 1) AS DOUBLE)
-        / CAST(2 * SUM(pos) * (SUM(cnt) - SUM(pos)) AS DOUBLE) AS auc
+      CAST(SUM(CAST(pos AS HUGEINT) * (2 * cum_lt + cnt + 1))
+           - CAST(SUM(pos) AS HUGEINT) * (SUM(pos) + 1) AS DOUBLE)
+        / (2.0 * CAST(SUM(pos) AS DOUBLE)
+           * CAST(SUM(cnt) - SUM(pos) AS DOUBLE)) AS auc
     FROM r
     """,
 )
@@ -452,15 +455,26 @@ def q_retrieval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = running_total(g, ["score"], "cnt", total_col="cum_incl")
     r = r.withColumn("cum_lt", F.col("cum_incl") - F.col("cnt"))
+    # the rank products run in DECIMAL/HUGEINT: with ~3e9+ candidates
+    # pos·(2·cum_lt+cnt+1) exceeds int64, where Spark (non-ANSI) would
+    # wrap silently and DuckDB would raise — the q_ks_test precedent
+    s2 = F.sum(
+        F.col("pos").cast("decimal(19,0)")
+        * (2 * F.col("cum_lt") + F.col("cnt") + 1).cast("decimal(19,0)")
+    )
+    p_sq = F.sum("pos").cast("decimal(19,0)") * (F.sum("pos") + 1).cast(
+        "decimal(19,0)"
+    )
     return r.agg(
         F.sum("pos").cast("bigint").alias("n_pos"),
         (F.sum("cnt") - F.sum("pos")).cast("bigint").alias("n_neg"),
         (
-            (
-                F.sum(F.col("pos") * (2 * F.col("cum_lt") + F.col("cnt") + 1))
-                - F.sum("pos") * (F.sum("pos") + 1)
-            ).cast("double")
-            / (2 * F.sum("pos") * (F.sum("cnt") - F.sum("pos"))).cast("double")
+            (s2 - p_sq).cast("double")
+            / (
+                F.lit(2.0)
+                * F.sum("pos").cast("double")
+                * (F.sum("cnt") - F.sum("pos")).cast("double")
+            )
         ).alias("auc"),
     )
 
@@ -472,9 +486,7 @@ _RRF_K = 60  # standard reciprocal-rank-fusion constant (Cormack et al. 2009)
     "q_hybrid_rrf",
     oracle=f"""
     WITH dt AS (
-      SELECT doc_id, list_distinct(
-        list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
-                    t -> t <> '')) AS toks
+      SELECT doc_id, list_distinct({SQL_TOKS_EXPR}) AS toks
       FROM documents WHERE text IS NOT NULL
     ),
     cand AS (
@@ -1323,7 +1335,8 @@ _LIFT_DECILES = 10
       SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(n_pos) AS BIGINT) AS pp FROM d
     )
     SELECT decile, n, n_pos,
-      CAST(n_pos * nn AS DOUBLE) / CAST(n * pp AS DOUBLE) AS lift,
+      (CAST(n_pos AS DOUBLE) * CAST(nn AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(pp AS DOUBLE)) AS lift,
       CAST(CAST(SUM(n_pos) OVER (ORDER BY decile
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
         / pp AS cum_gain
@@ -1388,9 +1401,13 @@ def q_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             F.col("n").cast("bigint").alias("n"),
             F.col("n_pos").cast("bigint").alias("n_pos"),
+            # products as double×double, not int64×int64: n_pos·nn
+            # overflows bigint at warehouse row counts (review-caught,
+            # the q_retrieval_auc/q_ks_test precedent); counts < 2^53
+            # make the doubles exact
             (
-                (F.col("n_pos") * F.col("nn")).cast("double")
-                / (F.col("n") * F.col("pp")).cast("double")
+                (F.col("n_pos").cast("double") * F.col("nn").cast("double"))
+                / (F.col("n").cast("double") * F.col("pp").cast("double"))
             ).alias("lift"),
             (F.col("cum_pos").cast("double") / F.col("pp")).alias("cum_gain"),
         )
@@ -1622,7 +1639,10 @@ _SD_HALF = 14  # centered moving-average half-width (29-day trend window)
     dt AS (
       SELECT d, cents, trend,
         CAST(floor((cents - trend) * 1000000 + 0.5) AS BIGINT) AS dt6,
-        CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT) % 7 AS dow
+        -- (x % 7 + 7) % 7: DuckDB % is a truncated remainder (negative
+        -- for pre-epoch dates) while Spark's pmod is always 0..6
+        (CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT) % 7 + 7) % 7
+          AS dow
       FROM tr
     ),
     seas AS (

@@ -114,10 +114,11 @@ def _table_planes(
 def _signature_rows(emb: DataFrame) -> DataFrame:
     """(vec_id, table, sig) hyperplane signatures for every vector.
 
-    All _L_TABLES×_N_BITS=96 projection bits come from ONE Arrow-batched
-    numpy matmul per record batch ((n, dim) @ (dim, 96), then an 8-bit
+    All _L_TABLES×_N_BITS projection bits (128 at the shipped L=16, b=8
+    — the constants above are authoritative) come from ONE Arrow-batched
+    numpy matmul per record batch ((n, dim) @ (dim, L·b), then an 8-bit
     pack per table) — the expression form
-    (functions.vectors.hyperplane_signature per bit) runs 96 interpreted
+    (functions.vectors.hyperplane_signature per bit) runs L·b interpreted
     zip_with+aggregate folds per row outside whole-stage codegen and
     measured 6.6 s of the LSH query's 6.6 s at sf0.1; the matmul kernel
     is memory-bandwidth-bound and map-only (no shuffle, planes are
@@ -158,8 +159,9 @@ def _signature_rows(emb: DataFrame) -> DataFrame:
 
 @register("q_sim_topk_lsh")  # ANN: bucket recall != exact — rows-only
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3 ANN: multi-table multi-probe hyperplane LSH — _L_TABLES=12
-    tables x _N_BITS=8 bits, query probes its own bucket plus the 8
+    """C3 ANN: multi-table multi-probe hyperplane LSH — _L_TABLES
+    tables (16 as shipped; the measured L-frontier is above the
+    constants) x _N_BITS=8 bits, query probes its own bucket plus the 8
     Hamming-1 neighbors in every table, exact cosine only on
     candidates, per-query top-5.  Measured recall@5 vs the exact
     q_sim_topk is pinned by tests/test_sim_recall.py (single-table

@@ -51,8 +51,6 @@ def main() -> None:
             with mock.patch.object(S, "_L_TABLES", L):
                 df = S.q_sim_topk_lsh(spark, sf_dir)
                 got = topk_sets(df.filter("query_id < 5").collect())
-                # candidate fraction: distinct pairs / (queries x corpus)
-                sigs = S._signature_rows(load_table(spark, sf_dir, "embeddings"))
                 r = recall(exact, got)
             out[f"{os.path.basename(sf_dir)}_L{L}"] = {
                 "recall_at_5": round(r, 3),

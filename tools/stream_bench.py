@@ -26,6 +26,7 @@ tests/test_scale_artifacts.py) + a summary block in SCALE.md.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import statistics
@@ -111,7 +112,7 @@ def run_mode(spark, drop_dir: str, work: str, mode: str) -> dict:
         "rows_per_sec": round(rows / wall, 1),
         "micro_batches": len(durs),
         "batch_ms_median": round(statistics.median(durs), 1),
-        "batch_ms_p95": round(sorted(durs)[max(0, int(len(durs) * 0.95) - 1)], 1),
+        "batch_ms_p95": round(sorted(durs)[math.ceil(len(durs) * 0.95) - 1], 1),
     }
 
 
@@ -129,9 +130,14 @@ def write_event_feed(drop_dir: str) -> int:
             for r in range(ROWS_PER_FILE):
                 n += 1
                 secs = (n * 5) // 2  # 2.5s of event time per event
+                # the DATE advances with the hours — an hour-only %24
+                # wrap sent event time ~24h backwards mid-feed and the
+                # watermark silently discarded 42% of the events
+                # (review-caught via windows_emitted in the artifact)
+                day, rem = divmod(secs, 86400)
                 ev = {
-                    "ts": f"2024-01-01T{(secs // 3600) % 24:02d}:"
-                    f"{(secs // 60) % 60:02d}:{secs % 60:02d}",
+                    "ts": f"2024-01-{day + 1:02d}T{rem // 3600:02d}:"
+                    f"{(rem // 60) % 60:02d}:{rem % 60:02d}",
                     "event_type": types[n % 4],
                     "value": round((n % 997) / 7.0, 4),
                 }
@@ -181,7 +187,7 @@ def run_window_mode(spark, drop_dir: str, work: str) -> dict:
         "rows_per_sec": round(rows / wall, 1),
         "micro_batches": len(durs),
         "batch_ms_median": round(statistics.median(durs), 1),
-        "batch_ms_p95": round(sorted(durs)[max(0, int(len(durs) * 0.95) - 1)], 1),
+        "batch_ms_p95": round(sorted(durs)[math.ceil(len(durs) * 0.95) - 1], 1),
     }
 
 
