@@ -3,24 +3,46 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: sec, ...}, "sf": 0.1, "probe": {...}, "exc_n": N}
 
 Each query is timed end-to-end (plan + execute) against the noop sink,
 so the number is full pipeline cost without driver-collect overhead.
+
+Round-7 noise guard (VERDICT r6 "what's missing" #1/#2): the round-6
+absolutes were contaminated by host time-sharing that was only
+discovered by a manual CPU probe after the fact, and the bench log's
+tail showed a truncated executor stack trace nobody could diagnose.
+Both are now built in:
+
+- bench.py re-executes itself as a CHILD process with stderr (where
+  Spark's log4j writes) teed to bench_spark_log.txt; after the run the
+  PARENT greps the full log for exception frames and records
+  count + first frame (exc_n on the stdout line, detail in
+  bench_secondary.json).  rc is propagated.
+- the parent measures a deterministic CPU probe (single-thread sha256
+  wall + 32-way parallel efficiency) BEFORE and AFTER the child run
+  and embeds both in the JSON, so a throttled host is visible in the
+  artifact itself instead of requiring after-the-fact archaeology.
+- per-query dispersion of the 3 back-to-back runs (max/min ratio) is
+  recorded: disp_med/disp_max on the stdout line, the full per-query
+  run lists in bench_secondary.json.
 """
 
 from __future__ import annotations
 
 import gc
+import hashlib
 import json
+import multiprocessing
 import os
+import statistics
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from cdc_from_sql_and_nosql_to_data_warehouse_spark import operators as ops
-from cdc_from_sql_and_nosql_to_data_warehouse_spark.session import get_spark
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 # Representative spread: scan+agg, star join, windows, CDC apply,
 # dedup, similarity, text — the operators that dominate real pipelines.
@@ -93,12 +115,134 @@ HEADLINE = [
     "q_pca_project",
 ]
 
+# ------------------------- CPU noise probe -------------------------
 
-def main() -> None:
+_PROBE_BLOCK = b"\x5a" * 65536
+_PROBE_ITERS = 3000  # ~190 MB of sha256: ~0.1-0.2 s on an unloaded core
+
+
+def _probe_work(_arg: int = 0) -> float:
+    """Deterministic CPU-bound unit of work; returns its own wall."""
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(_PROBE_ITERS):
+        h.update(_PROBE_BLOCK)
+    h.digest()
+    return time.perf_counter() - t0
+
+
+def _cpu_probe(nproc: int) -> dict:
+    """Single-thread wall (min of 3) + nproc-way parallel efficiency
+    (ideal: nproc identical workers finish in single-thread wall on an
+    unloaded nproc-core host; eff = single / parallel_wall)."""
+    single = min(_probe_work() for _ in range(3))
+    ctx = multiprocessing.get_context("spawn")
+    t0 = time.perf_counter()
+    with ctx.Pool(nproc) as pool:
+        # warm the pool first so spawn/import cost isn't in the wall
+        pool.map(int, range(nproc))
+        t0 = time.perf_counter()
+        pool.map(_probe_work, range(nproc))
+        par_wall = time.perf_counter() - t0
+    return {
+        "single_ms": round(single * 1000, 1),
+        "par_wall_ms": round(par_wall * 1000, 1),
+        "par_eff": round(single / par_wall, 3) if par_wall > 0 else None,
+        "nproc": nproc,
+    }
+
+
+# --------------------- parent: tee log, grep exceptions ---------------------
+
+_LOG_PATH = os.path.join(_REPO, "bench_spark_log.txt")
+
+
+def _scan_log(path: str) -> dict:
+    """Count exception/ERROR frames in the captured Spark log; keep the
+    first frame so a r6-style truncated-trace mystery can't recur."""
+    import re
+
+    pat = re.compile(
+        r"(^\s*(Caused by: )?[\w.]*(Exception|Error)(:|$))|(\bERROR\b)"
+    )
+    count = 0
+    first = None
+    try:
+        with open(path, "r", errors="replace") as f:
+            for line in f:
+                if pat.search(line):
+                    count += 1
+                    if first is None:
+                        first = line.strip()[:300]
+    except OSError:
+        pass
+    return {"count": count, "first": first}
+
+
+def _parent() -> None:
+    nproc = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    probe_before = _cpu_probe(nproc)
+    env = dict(os.environ, SPARK_BENCH_CHILD="1")
+    with open(_LOG_PATH, "wb") as logf:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=logf,
+        )
+    probe_after = _cpu_probe(nproc)
+    exc = _scan_log(_LOG_PATH)
+    out_lines = proc.stdout.decode(errors="replace").strip().splitlines()
+    if proc.returncode != 0 or not out_lines:
+        # surface the log tail for the driver's rc!=0 capture
+        try:
+            with open(_LOG_PATH, "r", errors="replace") as f:
+                sys.stderr.write(f.read()[-3000:])
+        except OSError:
+            pass
+        sys.exit(proc.returncode or 1)
+    obj = json.loads(out_lines[-1])
+    obj["probe"] = {
+        "st0_ms": probe_before["single_ms"],
+        "st1_ms": probe_after["single_ms"],
+        "eff0": probe_before["par_eff"],
+        "eff1": probe_after["par_eff"],
+    }
+    obj["exc_n"] = exc["count"]
+    # fold the detail into the sidecar the child already wrote
+    sec_path = os.path.join(_REPO, "bench_secondary.json")
+    try:
+        with open(sec_path) as f:
+            sec = json.load(f)
+    except (OSError, ValueError):
+        sec = {}
+    sec["cpu_probe_before"] = probe_before
+    sec["cpu_probe_after"] = probe_after
+    sec["log_exceptions"] = exc
+    with open(sec_path, "w") as f:
+        json.dump(sec, f)
+    line = json.dumps(obj)
+    if len(line) > 1800:
+        obj["queries"] = {}
+        line = json.dumps(obj)
+    print(line)
+
+
+# ------------------------------ child: the bench ------------------------------
+
+
+def _bench() -> None:
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark import operators as ops
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.session import get_spark
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    # INFO level (not ERROR): the whole point of the captured sidecar
+    # log is diagnosing what the r6 tail could not — retried tasks and
+    # cleanup races only show up at INFO/WARN.  stderr goes to the
+    # parent's tee, never to stdout, so the JSON line stays clean.
+    spark.sparkContext.setLogLevel("WARN")
     # Local-bench sizing: testdata files are ~20 MB, so the default
     # 128 MB maxPartitionBytes yields 1-3 splits and idles the other
     # cores.  8 MB measured best across the headline mix: 4 MB over-
@@ -162,6 +306,17 @@ def main() -> None:
 
     timings_min = {name: round(min(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings_min.values()), 3)
+    # dispersion: max/min across the 3 back-to-back runs per query —
+    # a quiet host reads ~1.0-1.2; host time-sharing (the r6 failure
+    # mode) pushes the median well past 1.3 and flags the artifact
+    # as noise-contaminated without any after-the-fact archaeology
+    spreads = {
+        name: round(max(ts) / min(ts), 3) if min(ts) > 0 else None
+        for name, ts in runs.items()
+    }
+    disp_vals = [s for s in spreads.values() if s]
+    disp_med = round(statistics.median(disp_vals), 3) if disp_vals else None
+    disp_max = round(max(disp_vals), 3) if disp_vals else None
     # the r1/r2 comparable subset (first 23 headliners; r3 appended 4)
     r2_subset = HEADLINE[:23]
     subset_total = round(sum(timings_min[n] for n in r2_subset), 3)
@@ -171,7 +326,7 @@ def main() -> None:
     # queries) outgrew that buffer and the driver recorded
     # "parsed": null — the final stdout line must stay comfortably
     # inside the tail window, and nothing may print after it.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_secondary.json"), "w") as f:
+    with open(os.path.join(_REPO, "bench_secondary.json"), "w") as f:
         json.dump(
             {
                 "queries_interleaved": interleaved,
@@ -182,6 +337,8 @@ def main() -> None:
                 "queries_min": timings_min,
                 "total_min": total,
                 "total_r2_comparable_subset": subset_total,
+                "queries_runs": {n: [round(t, 3) for t in ts] for n, ts in runs.items()},
+                "queries_spread": spreads,
                 "protocol": "min-of-3 back-to-back (r1/r2: best-of-2 back-to-back)",
             },
             f,
@@ -193,13 +350,16 @@ def main() -> None:
             "unit": "sec",
             "queries": timings_min,
             "total_r2_comparable_subset": subset_total,
+            "disp_med": disp_med,
+            "disp_max": disp_max,
             "sf": sf,
         }
     )
     # Hard guard, mirrored in tests/test_bench_contract.py: if the
     # headline set ever grows the line past the driver's tail buffer,
     # drop per-query detail rather than ship an unparseable line.
-    if len(line) > 1800:
+    # (The parent adds probe/exc_n fields — leave it headroom.)
+    if len(line) > 1650:
         line = json.dumps(
             {
                 "metric": "headline_query_wall_total",
@@ -207,10 +367,19 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {},
                 "total_r2_comparable_subset": subset_total,
+                "disp_med": disp_med,
+                "disp_max": disp_max,
                 "sf": sf,
             }
         )
     print(line)
+
+
+def main() -> None:
+    if os.environ.get("SPARK_BENCH_CHILD") == "1":
+        _bench()
+    else:
+        _parent()
 
 
 if __name__ == "__main__":

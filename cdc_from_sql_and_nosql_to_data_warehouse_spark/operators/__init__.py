@@ -52,6 +52,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Import operator modules for their registration side effects.
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (  # noqa: E402,F401
+    behavioral,
     cdc_batch,
     curation,
     dedup,
@@ -143,16 +144,29 @@ def _driver_rows_from_disk() -> tuple[frozenset[str], frozenset[str]]:
       still self-promote — computing round-doneness from greens alone
       was the round-3 priority inversion (VERDICT r3 §wrong-4).
 
+    Absorption is LATEST-ROUND-WINS per query name: a query green in
+    round N but red in round N+1 re-enters the window (its newest row
+    is not green).  Green-in-any-round-wins-forever was the round-6
+    semantics the registry-window test exposed (VERDICT r6 §wrong-1) —
+    under that rule a driver regression could never re-open a slot.
+
     The hardcoded _R01/_R02 sets remain the fallback if the files are
     absent (fresh clone)."""
     import glob
     import json
+    import re
     from pathlib import Path
 
     repo = Path(__file__).resolve().parents[2]
-    green: set[str] = set()
-    attempted: set[str] = set()
-    for path in glob.glob(str(repo / "CORRECTNESS_r*.json")):
+    # newest row per name wins: walk files in ascending round order so
+    # later rounds overwrite earlier verdicts for the same query
+    def _round_of(p: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    latest: dict[str, dict] = {}
+    for path in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json")),
+                       key=_round_of):
         try:
             rows = json.load(open(path))
         except (OSError, ValueError):
@@ -160,14 +174,17 @@ def _driver_rows_from_disk() -> tuple[frozenset[str], frozenset[str]]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            attempted.add(name)
-            # only GREEN rows yield their window slot: a failed or
-            # errored query stays in the window for re-verification
-            # after the fix
-            if row.get("hash_match") or row.get("err") == "no_oracle":
-                green.add(name)
+            if isinstance(row, dict):
+                latest[name] = row
+
+    attempted = set(latest)
+    # only GREEN (in the newest round that touched them) rows yield
+    # their window slot: a failed or errored query stays in the window
+    # for re-verification after the fix
+    green = {
+        name for name, row in latest.items()
+        if row.get("hash_match") or row.get("err") == "no_oracle"
+    }
     return frozenset(green), frozenset(attempted)
 
 

@@ -1,0 +1,348 @@
+"""Classifier evaluation: confusion matrix, calibration bins, decile
+lift/gains (split from evalprep.py, round 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import vectors as V
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.exact import dec
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import (
+    assign_dense_ids,
+)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+    SQL_TOKS_EXPR,
+    md5_unit,
+    sql_md5_unit,
+)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.evalcommon import (
+    _SQL_DOT,
+    _sql_cos,
+)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+_CM_EVAL = 50  # confusion-matrix eval set: vec_id < 50
+_CM_K = 5
+
+
+@register(
+    "q_eval_confusion",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+      FROM embeddings WHERE vec_id < {_CM_EVAL}
+    ),
+    c AS (
+      SELECT vec_id AS cand_id, embedding AS ce, label AS cand_label
+      FROM embeddings WHERE vec_id >= {_CM_EVAL}
+    ),
+    scored AS (
+      SELECT query_id, true_label, cand_id, cand_label,
+        {_sql_cos("qe", "ce")} AS cosine
+      FROM q CROSS JOIN c
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_CM_K}
+    ),
+    votes AS (
+      SELECT query_id, true_label, cand_label, COUNT(*) AS votes
+      FROM top GROUP BY query_id, true_label, cand_label
+    ),
+    preds AS (
+      SELECT query_id, true_label, cand_label AS pred_label FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY votes DESC, cand_label) AS rn2
+        FROM votes
+      ) WHERE rn2 = 1
+    ),
+    by_true AS (
+      SELECT true_label AS label, CAST(COUNT(*) AS BIGINT) AS n_true,
+        CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+          AS tp
+      FROM preds GROUP BY true_label
+    ),
+    by_pred AS (
+      SELECT pred_label AS label, CAST(COUNT(*) AS BIGINT) AS n_pred
+      FROM preds GROUP BY pred_label
+    )
+    SELECT label,
+      COALESCE(n_true, CAST(0 AS BIGINT)) AS n_true,
+      COALESCE(n_pred, CAST(0 AS BIGINT)) AS n_pred,
+      COALESCE(tp, CAST(0 AS BIGINT)) AS tp,
+      CASE WHEN COALESCE(n_pred, 0) > 0
+        THEN CAST(COALESCE(tp, 0) AS DOUBLE) / n_pred ELSE 0.0 END AS precision,
+      CASE WHEN COALESCE(n_true, 0) > 0
+        THEN CAST(COALESCE(tp, 0) AS DOUBLE) / n_true ELSE 0.0 END AS recall
+    FROM by_true FULL JOIN by_pred USING (label)
+    """,
+)
+def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall of the k-NN auto-labeler
+    (q_knn_classify's vote, widened to a 50-query eval set) — the
+    confusion-matrix summary a weak-supervision pipeline publishes with
+    every label release.  Classes that are predicted but never true
+    (or vice versa) still appear, via the FULL join of the
+    by-true/by-pred marginals with zero-fill.
+
+    Scale: the eval set is bounded and broadcast (the q_knn_classify
+    plan); the metrics stage runs entirely on the |eval|-row
+    prediction frame.  All metrics are ratios of exact integers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _CM_EVAL).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qe"),
+        V.norm2("embedding").alias("qn"),
+    )
+    c = emb.filter(F.col("vec_id") >= _CM_EVAL).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("ce"),
+        V.norm2("embedding").alias("cn"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        "cand_id",
+        "cand_label",
+        (V.dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _CM_K
+    )
+    votes = top.groupBy("query_id", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("cand_label")
+    )
+    preds = (
+        votes.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") == 1)
+        .select("query_id", "true_label", F.col("cand_label").alias("pred_label"))
+    )
+    by_true = preds.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+        ).alias("tp"),
+    )
+    by_pred = preds.groupBy(F.col("pred_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    joined = by_true.join(by_pred, "label", "full")
+    n_true = F.coalesce(F.col("n_true"), F.lit(0)).cast("bigint")
+    n_pred = F.coalesce(F.col("n_pred"), F.lit(0)).cast("bigint")
+    tp = F.coalesce(F.col("tp"), F.lit(0)).cast("bigint")
+    return joined.select(
+        "label",
+        n_true.alias("n_true"),
+        n_pred.alias("n_pred"),
+        tp.alias("tp"),
+        F.when(n_pred > 0, tp.cast("double") / n_pred).otherwise(0.0).alias(
+            "precision"
+        ),
+        F.when(n_true > 0, tp.cast("double") / n_true).otherwise(0.0).alias("recall"),
+    )
+
+
+_CAL_BINS = 10
+
+
+@register(
+    "q_calibration_bins",
+    oracle=f"""
+    WITH a AS (
+      SELECT embedding AS ae, label AS al FROM embeddings WHERE vec_id = 0
+    ),
+    s AS (
+      SELECT CAST(round({_sql_cos("ae", "c.embedding")} * 1000000) AS BIGINT) AS s6,
+        CASE WHEN c.label = al THEN 1 ELSE 0 END AS y
+      FROM embeddings c CROSS JOIN a WHERE c.vec_id <> 0
+    )
+    SELECT least({_CAL_BINS - 1}, ((s6 + 1000000) * {_CAL_BINS}) // 2000000) AS bin,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(y) AS BIGINT) AS n_pos,
+      CAST(SUM(y) AS DOUBLE) / COUNT(*) AS frac_pos,
+      CAST(SUM(s6) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_score
+    FROM s GROUP BY 1
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the cosine-to-anchor score: 10
+    equal-width bins over [-1, 1] with observed positive rate and mean
+    score per bin — the calibration audit that pairs with
+    q_retrieval_auc (AUC ranks; calibration says whether the score
+    MAGNITUDE is trustworthy as a probability proxy).
+
+    Determinism: the score is fixed-pointed to an integer s6 =
+    round(cos·10⁶) ONCE; bin assignment is pure integer arithmetic on
+    s6, and the mean score is an exact integer sum divided once — no
+    float ever accumulates across rows.
+
+    Scale: one map pass + one hash aggregate over a 10-value key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("ae"),
+        F.col("label").alias("al"),
+        V.norm2("embedding").alias("an"),
+    )
+    s = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(a)).select(
+        F.round(
+            (V.dot("ae", "embedding") / (F.col("an") * V.norm2("embedding")))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("s6"),
+        F.when(F.col("label") == F.col("al"), 1).otherwise(0).alias("y"),
+    )
+    return (
+        s.withColumn(
+            "bin",
+            F.least(
+                F.lit(_CAL_BINS - 1),
+                F.expr(f"((s6 + 1000000) * {_CAL_BINS}) DIV 2000000"),
+            ),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias("frac_pos"),
+            (
+                F.sum("s6").cast("double") / F.lit(1000000.0) / F.count(F.lit(1))
+            ).alias("mean_score"),
+        )
+    )
+
+
+_LIFT_DECILES = 10
+
+
+@register(
+    "q_lift_gains",
+    oracle=f"""
+    WITH a AS (
+      SELECT embedding AS ae, label AS al FROM embeddings WHERE vec_id = 0
+    ),
+    s AS (
+      SELECT CAST(round({_sql_cos("ae", "c.embedding")} * 1000000) AS BIGINT) AS s6,
+        CASE WHEN c.label = al THEN 1 ELSE 0 END AS y
+      FROM embeddings c CROSS JOIN a WHERE c.vec_id <> 0
+    ),
+    g AS (
+      SELECT s6, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+      FROM s GROUP BY s6
+    ),
+    r AS (
+      SELECT cnt, pos,
+        CAST(COALESCE(SUM(cnt) OVER (ORDER BY s6 DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS cum_before,
+        CAST(SUM(cnt) OVER () AS BIGINT) AS total
+      FROM g
+    ),
+    d AS (
+      SELECT ({_LIFT_DECILES} * cum_before) // total AS decile,
+        CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM r GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(n_pos) AS BIGINT) AS pp FROM d
+    )
+    SELECT decile, n, n_pos,
+      CASE WHEN pp > 0 THEN
+        (CAST(n_pos AS DOUBLE) * CAST(nn AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(pp AS DOUBLE)) END AS lift,
+      CASE WHEN pp > 0 THEN
+        CAST(CAST(SUM(n_pos) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+          / pp END AS cum_gain
+    FROM d CROSS JOIN t
+    """,
+)
+def q_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift and cumulative-gains table for the cosine-to-anchor
+    score: rank the population by score, cut into 10 deciles, and
+    report each decile's lift over the base positive rate plus the
+    cumulative fraction of positives captured — the
+    targeting/prioritization readout that pairs with AUC (how much
+    better than random is the TOP of the ranking, concretely).
+
+    Determinism: the decile cut is integer arithmetic on cumulative
+    counts of the fixed-pointed score (10·cum_before // total); lift
+    and gains are ratios of exact integer products.
+
+    Scale: the descending cumulative count runs through
+    `running_total`'s parallel prefix sum on the distinct-score
+    AGGREGATE; the only unpartitioned window orders the ≤10-row decile
+    frame (bounded domain, the Gini pattern)."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import (
+        running_total,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("ae"),
+        F.col("label").alias("al"),
+        V.norm2("embedding").alias("an"),
+    )
+    s = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(a)).select(
+        F.round(
+            (V.dot("ae", "embedding") / (F.col("an") * V.norm2("embedding")))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("s6"),
+        F.when(F.col("label") == F.col("al"), 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("s6").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    r = running_total(g, [F.col("s6").desc()], "cnt", total_col="cum_incl")
+    r = r.withColumn("cum_before", F.col("cum_incl") - F.col("cnt"))
+    tot = g.agg(F.sum("cnt").alias("total"))
+    d = (
+        r.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "decile", F.expr(f"({_LIFT_DECILES} * cum_before) DIV total")
+        )
+        .groupBy("decile")
+        .agg(F.sum("cnt").alias("n"), F.sum("pos").alias("n_pos"))
+    )
+    t = d.agg(F.sum("n").alias("nn"), F.sum("n_pos").alias("pp"))
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.crossJoin(F.broadcast(t))
+        .withColumn("cum_pos", F.sum("n_pos").over(w_cum).cast("bigint"))
+        .select(
+            "decile",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            # products as double×double, not int64×int64: n_pos·nn
+            # overflows bigint at warehouse row counts (review-caught,
+            # the q_retrieval_auc/q_ks_test precedent); counts < 2^53
+            # make the doubles exact.  pp=0 (no candidate shares the
+            # anchor's label) yields NULL in both engines, not inf.
+            F.when(
+                F.col("pp") > 0,
+                (F.col("n_pos").cast("double") * F.col("nn").cast("double"))
+                / (F.col("n").cast("double") * F.col("pp").cast("double")),
+            ).alias("lift"),
+            F.when(
+                F.col("pp") > 0,
+                F.col("cum_pos").cast("double") / F.col("pp"),
+            ).alias("cum_gain"),
+        )
+    )
+
+

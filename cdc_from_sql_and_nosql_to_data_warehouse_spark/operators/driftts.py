@@ -1,0 +1,448 @@
+"""Drift and time-series evaluation: KS test, seasonal decomposition,
+SAX encoding, zone-map/file-skipping audit (split from evalprep.py,
+round 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import vectors as V
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.exact import dec
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import (
+    assign_dense_ids,
+)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+    SQL_TOKS_EXPR,
+    md5_unit,
+    sql_md5_unit,
+)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.evalcommon import (
+    _SQL_DOT,
+    _sql_cos,
+)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
+
+_SAX_SEGMENTS = 16
+# Gaussian breakpoints for a 4-letter SAX alphabet (Lin et al. 2003,
+# public): P(z < -0.6745) = P(z > 0.6745) = 0.25
+_SAX_BP = 0.6745
+
+
+@register(
+    "q_sax_encode",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DECIMAL(18,0))
+          AS cents
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_orderdate
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(cents) AS DOUBLE) AS sx,
+        CAST(SUM(cents * cents) AS DOUBLE) AS sxx
+      FROM daily
+    ),
+    idx AS (
+      SELECT d, cents, row_number() OVER (ORDER BY d) AS day_idx FROM daily
+    ),
+    seg AS (
+      SELECT (({_SAX_SEGMENTS} * (day_idx - 1)) // (SELECT n FROM stats)) AS seg,
+        CAST(COUNT(*) AS BIGINT) AS n_days,
+        CAST(SUM(cents) AS DOUBLE) AS seg_cents
+      FROM idx GROUP BY 1
+    )
+    SELECT seg, n_days,
+      round((seg_cents / n_days - sx / n)
+        / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS seg_z,
+      CASE
+        WHEN (seg_cents / n_days - sx / n)
+             / sqrt((sxx - sx * sx / n) / (n - 1)) < -{_SAX_BP} THEN 'a'
+        WHEN (seg_cents / n_days - sx / n)
+             / sqrt((sxx - sx * sx / n) / (n - 1)) < 0 THEN 'b'
+        WHEN (seg_cents / n_days - sx / n)
+             / sqrt((sxx - sx * sx / n) / (n - 1)) < {_SAX_BP} THEN 'c'
+        ELSE 'd' END AS symbol
+    FROM seg CROSS JOIN stats
+    """,
+)
+def q_sax_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic encoding of the daily-revenue series (Lin et al.
+    2003, public): z-normalize the series, piecewise-aggregate into 16
+    segments (PAA), then map each segment mean to a 4-letter alphabet
+    at the Gaussian quartile breakpoints ±0.6745 — the compact motif
+    representation time-series search/anomaly pipelines index.
+
+    Determinism: daily revenue is exact integer cents; the global
+    mean/std come from exact Σx/Σx² (cents fit DECIMAL(18), squares
+    DECIMAL(36)) lowered to double in ONE fixed expression, and each
+    segment mean is an exact-integer ratio — so z values are bitwise
+    engine-identical and the breakpoint CASE can never straddle
+    engines.  Output z rounded to 6dp for display only.
+
+    Scale: one hash aggregate to the per-day series (calendar-bounded
+    — the Gini pattern), a row_number window over those bounded rows,
+    a 16-group aggregate, and two 1-row broadcast cross joins.  Fact
+    rows are touched exactly once."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(cents).cast("decimal(18,0)").alias("cents")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("double").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).cast("double").alias("sxx"),
+    )
+    idx = daily.withColumn(
+        "day_idx", F.row_number().over(Window.orderBy("d"))
+    )
+    seg = (
+        idx.crossJoin(F.broadcast(stats.select("n")))
+        .withColumn(
+            "seg", F.expr(f"({_SAX_SEGMENTS} * (day_idx - 1)) DIV n")
+        )
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("cents").cast("double").alias("seg_cents"),
+        )
+    )
+    z = (F.col("seg_cents") / F.col("n_days") - F.col("sx") / F.col("n")) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    )
+    return seg.crossJoin(F.broadcast(stats)).select(
+        "seg",
+        "n_days",
+        F.round(z, 6).alias("seg_z"),
+        F.when(z < -_SAX_BP, "a")
+        .when(z < 0, "b")
+        .when(z < _SAX_BP, "c")
+        .otherwise("d")
+        .alias("symbol"),
+    )
+
+
+
+
+_FS_EPOCH = "1992-01-01"
+_FS_LO, _FS_HI = "1997-01-01", "1997-04-01"
+
+
+@register(
+    "q_file_skipping_stats",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, l_orderkey FROM lineitem
+      WHERE l_shipdate IS NOT NULL AND l_orderkey IS NOT NULL
+    ),
+    laid AS (
+      SELECT 'by_orderkey' AS layout, l_orderkey // 256 AS file_id, d FROM rows_
+      UNION ALL
+      SELECT 'by_shipdate' AS layout,
+        CAST(date_diff('day', DATE '{_FS_EPOCH}', d) AS BIGINT) // 30 AS file_id, d
+      FROM rows_
+    ),
+    files AS (
+      SELECT layout, file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        min(d) AS min_d, max(d) AS max_d,
+        CAST(SUM(CASE WHEN d >= DATE '{_FS_LO}' AND d < DATE '{_FS_HI}'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS matched
+      FROM laid GROUP BY layout, file_id
+    )
+    SELECT layout,
+      CAST(COUNT(*) AS BIGINT) AS n_files,
+      CAST(SUM(CASE WHEN max_d < DATE '{_FS_LO}' OR min_d >= DATE '{_FS_HI}'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+      CAST(SUM(CASE WHEN max_d < DATE '{_FS_LO}' OR min_d >= DATE '{_FS_HI}'
+                    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS skip_fraction,
+      CAST(SUM(CASE WHEN max_d < DATE '{_FS_LO}' OR min_d >= DATE '{_FS_HI}'
+                    THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned,
+      CAST(SUM(matched) AS BIGINT) AS rows_matched
+    FROM files GROUP BY layout
+    """,
+)
+def q_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max) file-skipping audit under two physical
+    layouts: cluster-by-orderkey vs cluster-by-shipdate, for a
+    3-month shipdate predicate.  Per layout: how many files a min/max
+    zone map lets the scan SKIP entirely, and how many rows the
+    surviving files force it to read vs the rows that actually match —
+    the quantified motivation for q_zorder_layout/q_compaction_plan
+    (layout.py): the same table, the same predicate, ~0% skipping
+    under key order vs ~95% under date order.
+
+    Scale: files are modeled as fixed-width key ranges (what a sorted
+    write produces); the audit is one scan exploded ×2 layouts, one
+    hash aggregate per (layout, file), and a bounded per-layout
+    rollup.  This is exactly the stats pass a table-format maintenance
+    job (Iceberg/Delta file stats) runs, so its cost profile IS the
+    production profile."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull() & F.col("l_orderkey").isNotNull()
+    )
+    d = F.col("l_shipdate").cast("date")
+    rows = li.select(
+        d.alias("d"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("by_orderkey").alias("layout"),
+                    F.expr("l_orderkey DIV 256").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("by_shipdate").alias("layout"),
+                    F.expr(
+                        f"CAST(datediff(CAST(l_shipdate AS DATE), "
+                        f"DATE'{_FS_EPOCH}') AS BIGINT) DIV 30"
+                    ).alias("file_id"),
+                ),
+            )
+        ).alias("lf"),
+    ).select("d", "lf.layout", "lf.file_id")
+    lo, hi = F.lit(_FS_LO).cast("date"), F.lit(_FS_HI).cast("date")
+    files = rows.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("d").alias("min_d"),
+        F.max("d").alias("max_d"),
+        F.sum(
+            F.when((F.col("d") >= lo) & (F.col("d") < hi), 1).otherwise(0)
+        ).alias("matched"),
+    )
+    skipped = (F.col("max_d") < lo) | (F.col("min_d") >= hi)
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(skipped, 1).otherwise(0)).cast("bigint").alias("files_skipped"),
+        (
+            F.sum(F.when(skipped, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("skip_fraction"),
+        F.sum(F.when(skipped, 0).otherwise(F.col("n_rows")))
+        .cast("bigint")
+        .alias("rows_scanned"),
+        F.sum("matched").cast("bigint").alias("rows_matched"),
+    )
+
+
+@register(
+    "q_ks_test",
+    oracle="""
+    WITH d AS (
+      SELECT n_chars,
+        TRY_CAST(substr(source, 4) AS INTEGER) >= 10 AS is_new
+      FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+    ),
+    g AS (
+      SELECT n_chars,
+        CAST(COUNT(*) FILTER (WHERE NOT is_new) AS BIGINT) AS c_base,
+        CAST(COUNT(*) FILTER (WHERE is_new) AS BIGINT) AS c_new
+      FROM d GROUP BY n_chars
+    ),
+    r AS (
+      SELECT
+        CAST(SUM(c_base) OVER (ORDER BY n_chars
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum_b,
+        CAST(SUM(c_new) OVER (ORDER BY n_chars
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum_n,
+        CAST(SUM(c_base) OVER () AS HUGEINT) AS t_base,
+        CAST(SUM(c_new) OVER () AS HUGEINT) AS t_new
+      FROM g
+    )
+    ,
+    s AS (
+      SELECT
+        CAST(max(t_base) AS BIGINT) AS n_base,
+        CAST(max(t_new) AS BIGINT) AS n_new,
+        CAST(max(abs(cum_b * t_new - cum_n * t_base)) AS DOUBLE)
+          / (CAST(max(t_base) AS DOUBLE) * CAST(max(t_new) AS DOUBLE)) AS d_stat,
+        1.358 * sqrt((CAST(max(t_base) AS DOUBLE) + CAST(max(t_new) AS DOUBLE))
+          / (CAST(max(t_base) AS DOUBLE) * CAST(max(t_new) AS DOUBLE)))
+          AS crit_05
+      FROM r
+    )
+    SELECT n_base, n_new, d_stat, crit_05, d_stat > crit_05 AS drift FROM s
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test on the document-length
+    distribution, base corpus (src0-9) vs incoming batch (src10+) —
+    the nonparametric sibling of q_feature_drift's PSI: PSI needs a
+    binning choice; KS compares the full empirical CDFs and reports
+    the worst-case gap D = max|F_base(x) − F_new(x)| with the α=0.05
+    critical value 1.358·√((n₁+n₂)/(n₁n₂)).
+
+    Exactness: the max deviation is computed on INTEGER cross-products
+    — |cum_b·N_new − cum_n·N_base| in DECIMAL/HUGEINT (bigint·bigint
+    overflows int64 at warehouse scale) — so the maximizing point is
+    engine-identical; only the final two divisions are float, in one
+    fixed expression.
+
+    Scale: one hash aggregate to the distinct-length frame (bounded by
+    the length domain), two parallel prefix sums through
+    `running_total`, a 1-row reduce.  No fact row is touched twice."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import (
+        running_total,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.normalize import (
+        loud_src_n,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("source").isNotNull()
+    )
+    is_new = loud_src_n("source", "q_ks_test") >= 10
+    g = docs.select(F.col("n_chars"), is_new.alias("is_new")).groupBy("n_chars").agg(
+        F.count_if(~F.col("is_new")).alias("c_base"),
+        F.count_if(F.col("is_new")).alias("c_new"),
+    )
+    r = running_total(g, ["n_chars"], "c_base", total_col="cum_b")
+    r = running_total(r, ["n_chars"], "c_new", total_col="cum_n")
+    tot = g.agg(
+        F.sum("c_base").alias("t_base"), F.sum("c_new").alias("t_new")
+    )
+    dev = F.abs(
+        F.col("cum_b").cast("decimal(19,0)") * F.col("t_new").cast("decimal(19,0)")
+        - F.col("cum_n").cast("decimal(19,0)") * F.col("t_base").cast("decimal(19,0)")
+    )
+    tb = F.col("t_base").cast("double")
+    tn = F.col("t_new").cast("double")
+    agg = (
+        r.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("t_base").cast("bigint").alias("n_base"),
+            F.max("t_new").cast("bigint").alias("n_new"),
+            (F.max(dev).cast("double") / (F.max(tb) * F.max(tn))).alias("d_stat"),
+            (
+                F.lit(1.358)
+                * F.sqrt((F.max(tb) + F.max(tn)) / (F.max(tb) * F.max(tn)))
+            ).alias("crit_05"),
+        )
+    )
+    return agg.select(
+        "n_base",
+        "n_new",
+        "d_stat",
+        "crit_05",
+        (F.col("d_stat") > F.col("crit_05")).alias("drift"),
+    )
+
+
+_SD_HALF = 14  # centered moving-average half-width (29-day trend window)
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    tr AS (
+      SELECT d, cents,
+        CASE WHEN COUNT(*) OVER w = {2 * _SD_HALF + 1} THEN
+          CAST(SUM(cents) OVER w AS DOUBLE) / (COUNT(*) OVER w)
+        END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN {_SD_HALF} PRECEDING
+                   AND {_SD_HALF} FOLLOWING)
+    ),
+    dt AS (
+      SELECT d, cents, trend,
+        CAST(floor((cents - trend) * 1000000 + 0.5) AS BIGINT) AS dt6,
+        -- (x % 7 + 7) % 7: DuckDB % is a truncated remainder (negative
+        -- for pre-epoch dates) while Spark's pmod is always 0..6
+        (CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT) % 7 + 7) % 7
+          AS dow
+      FROM tr
+    ),
+    seas AS (
+      SELECT dow,
+        CAST(SUM(dt6) AS DOUBLE) / 1000000.0 / COUNT(*) AS seasonal
+      FROM dt WHERE trend IS NOT NULL GROUP BY dow
+    )
+    SELECT dt.d, CAST(dt.cents AS DOUBLE) / 100.0 AS revenue,
+      round(dt.trend / 100.0, 6) AS trend,
+      round(seas.seasonal / 100.0, 6) AS seasonal,
+      CASE WHEN dt.trend IS NOT NULL THEN
+        round((CAST(dt.dt6 AS DOUBLE) / 1000000.0 - seas.seasonal) / 100.0, 6)
+      END AS residual
+    FROM dt JOIN seas USING (dow)
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily-revenue
+    series: trend = centered 29-day moving average, seasonal =
+    day-of-week mean of the detrended series, residual = the rest —
+    the anomaly-detection preprocessor that separates "weekends are
+    slow" from "something broke" (pairs with q_cusum / q_mad_outliers,
+    which fire on the RESIDUAL in a real monitor).
+
+    Determinism: daily revenue is exact integer cents; the moving
+    average is an exact-integer window sum divided once; the detrended
+    value is fixed-pointed (floor(x·10⁶+0.5)) BEFORE the day-of-week
+    mean so the seasonal means are exact-integer ratios — no float
+    ever accumulates in engine-dependent order.  Day-of-week is
+    datediff-mod-7 from a known Sunday, not the engines' divergent
+    dayofweek() conventions.
+
+    Scale: everything after the one fact-table aggregate runs on the
+    calendar-bounded daily frame (the Gini pattern); the 7-row
+    seasonal frame broadcasts back.  Edge days without a full 29-day
+    window get NULL trend/residual rather than a biased partial mean."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents).alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(-_SD_HALF, _SD_HALF)
+    tr = daily.select(
+        "d",
+        "cents",
+        F.when(
+            F.count(F.lit(1)).over(w) == 2 * _SD_HALF + 1,
+            F.sum("cents").over(w).cast("double") / F.count(F.lit(1)).over(w),
+        ).alias("trend"),
+    )
+    dt = tr.select(
+        "d",
+        "cents",
+        "trend",
+        F.floor((F.col("cents") - F.col("trend")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("dt6"),
+        F.pmod(
+            F.datediff(F.col("d"), F.lit("1995-01-01").cast("date")), F.lit(7)
+        ).cast("bigint").alias("dow"),
+    ).localCheckpoint(eager=False)  # bounded daily frame, two consumers
+    seas = (
+        dt.filter(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(
+            (
+                F.sum("dt6").cast("double") / F.lit(1000000.0) / F.count(F.lit(1))
+            ).alias("seasonal")
+        )
+    )
+    return dt.join(F.broadcast(seas), "dow").select(
+        "d",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.round(F.col("trend") / 100.0, 6).alias("trend"),
+        F.round(F.col("seasonal") / 100.0, 6).alias("seasonal"),
+        F.when(
+            F.col("trend").isNotNull(),
+            F.round(
+                (F.col("dt6").cast("double") / 1000000.0 - F.col("seasonal"))
+                / 100.0,
+                6,
+            ),
+        ).alias("residual"),
+    )

@@ -252,13 +252,22 @@ def q_sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # IVF knobs: k cells, nprobe probed cells per query.  k=12/nprobe=4
-# measured recall@5 0.72 (sf0.001) / 0.64 (sf0.01) vs 0.36 with the old
-# untrained label-mean centroids; probe fraction nprobe/k ≈ 1/3 — this
+# round-7 retune (VERDICT r6 "close the IVF recall gap"): the
+# (k, nprobe) sweep measured at both SFs —
+#   k=12/nprobe=4 (old): 0.72 / 0.64   frac 1/3
+#   k=12/nprobe=6:       1.00 / 0.76   frac 1/2
+#   k=24/nprobe=6:       0.88 / 0.92   frac 1/4
+#   k=24/nprobe=8:       0.96 / 0.92   frac 1/3  ← default
+#   k=32/nprobe=8:       0.68 / 0.76   frac 1/4 (cells too fine for
+#                                      this flat corpus)
+# Finer cells + more probes beat coarse cells at the SAME probed
+# fraction: k=24/nprobe=8 reaches 0.96/0.92 where k=12/nprobe=4 got
+# 0.72/0.64.  Floor raised to 0.8 (tests/test_sim_recall.py).  This
 # corpus's neighbors sit at cosine ~0.32, so ANY coarse quantizer must
-# probe a large corpus fraction for high recall (recall and probed
-# fraction trade linearly; a clustered real corpus sharpens both).
-_IVF_K = 12
-_IVF_NPROBE = 4
+# probe a sizable corpus fraction; a clustered real corpus sharpens
+# recall at fixed fraction.
+_IVF_K = 24
+_IVF_NPROBE = 8
 _IVF_TRAIN_CAP = 100_000  # train on a bounded sample, never the corpus
 
 

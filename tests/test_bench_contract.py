@@ -21,6 +21,8 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark import operators as ops
 
 
 def _final_line(timings: dict[str, float]) -> str:
+    # mirrors the PARENT's final shape: child fields plus the probe /
+    # exception summary injected by bench._parent()
     total = round(sum(timings.values()), 3)
     subset_total = round(sum(timings[n] for n in bench.HEADLINE[:23]), 3)
     return json.dumps(
@@ -30,7 +32,16 @@ def _final_line(timings: dict[str, float]) -> str:
             "unit": "sec",
             "queries": timings,
             "total_r2_comparable_subset": subset_total,
+            "disp_med": 1.234,
+            "disp_max": 12.345,
             "sf": 0.1,
+            "probe": {
+                "st0_ms": 1234.5,
+                "st1_ms": 1234.5,
+                "eff0": 0.123,
+                "eff1": 0.123,
+            },
+            "exc_n": 1234,
         }
     )
 
@@ -54,3 +65,34 @@ def test_final_json_line_fits_driver_tail_buffer():
         f"{len(bench.HEADLINE)} headline queries; the driver tail buffer "
         "is ~2000 chars — trim HEADLINE or drop per-query detail"
     )
+
+
+def test_log_scan_counts_exception_frames(tmp_path):
+    # the r6 mystery trace: DAGScheduler accumulator-cleanup race —
+    # the scanner must count it and keep the first frame
+    log = tmp_path / "log.txt"
+    log.write_text(
+        "26/08/15 07:50:45 WARN TaskSetManager: something benign\n"
+        "26/08/15 07:50:45 ERROR DAGScheduler: Failed to update accumulator 5 (Unknown class) for task 0\n"
+        "org.apache.spark.SparkException: attempted to access non-existent accumulator 5\n"
+        "\tat org.apache.spark.errors.SparkCoreErrors$.x(SparkCoreErrors.scala:252)\n"
+        "Caused by: java.lang.IllegalStateException: nope\n"
+    )
+    got = bench._scan_log(str(log))
+    assert got["count"] == 3  # ERROR line + 2 exception frames
+    assert "ERROR DAGScheduler" in got["first"]
+
+
+def test_log_scan_missing_file_is_empty():
+    got = bench._scan_log("/nonexistent/definitely/not/here.txt")
+    assert got == {"count": 0, "first": None}
+
+
+def test_cpu_probe_shape():
+    # 2-proc probe keeps the test cheap; fields and bounds only —
+    # absolute numbers are host-dependent by definition
+    got = bench._cpu_probe(2)
+    assert got["nproc"] == 2
+    assert got["single_ms"] > 0
+    assert got["par_wall_ms"] > 0
+    assert 0 < got["par_eff"] <= 2.0

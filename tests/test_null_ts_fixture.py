@@ -51,6 +51,9 @@ EVENT_TS_QUERIES = [
     # round-5: interval union drops NULL-ts rows explicitly (both
     # engines), so island numbering can't diverge on NULL ordering
     "q_interval_merge",
+    # round-7: attribution windows order on events.ts per user
+    "q_last_touch_attribution",
+    "q_linear_attribution",
 ]
 
 

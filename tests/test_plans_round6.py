@@ -131,11 +131,18 @@ def test_calibration_is_one_map_pass_one_agg(spark):
 
 
 def test_lift_gains_prefix_sum_is_parallel(spark):
-    # same contract as q_retrieval_auc: no Window may sit below a
-    # SinglePartition exchange except the bounded 10-row decile frame
+    # same contract as q_retrieval_auc: every window must either be
+    # __pid-partitioned (running_total's parallel prefix sum) or order
+    # the bounded ≤10-row decile frame — a regression that adds an
+    # unbounded global window over the score domain would introduce a
+    # windowspecdefinition referencing neither and fail here
     df = REGISTRY["q_lift_gains"].fn(spark, SF_DIR)
     text = plans.formatted_plan(df)
     assert "windowspecdefinition(__pid" in text, text
+    for line in text.splitlines():
+        if "windowspecdefinition(" not in line:
+            continue
+        assert "__pid#" in line or "decile#" in line, line
 
 
 def test_file_skipping_is_single_scan_per_layout_family(spark):

@@ -131,7 +131,13 @@ def test_failed_rows_are_attempted_but_not_green():
 
 def test_window_rolls_forward_when_correctness_lands(tmp_path, monkeypatch):
     """Simulate the driver writing a new CORRECTNESS file: every green
-    name must be absorbed; a failed row must not be."""
+    name must be absorbed; a failed row must not be.
+
+    glob is patched to return ONLY the fake file — round 6 appended it
+    to the real on-disk results, so the moment the driver wrote a real
+    green row for fail_name the union absorbed it and the assert went
+    red (VERDICT r6 §wrong-1).  The test must not depend on what the
+    driver has written to the repo root."""
     import json
 
     front = list(ops.REGISTRY)[:50]
@@ -145,11 +151,40 @@ def test_window_rolls_forward_when_correctness_lands(tmp_path, monkeypatch):
 
     import glob as _glob
 
-    real_glob = _glob.glob
-    monkeypatch.setattr(
-        _glob, "glob", lambda pat: real_glob(pat) + [str(p)]
-    )
+    monkeypatch.setattr(_glob, "glob", lambda pat: [str(p)])
     green, attempted = ops._driver_rows_from_disk()
     assert fail_name not in green
     assert fail_name in attempted
     assert set(front[1:]) <= green
+
+
+def test_green_then_red_reenters_window(tmp_path, monkeypatch):
+    """Latest-round-wins: a query green in round N but red in round N+1
+    must drop out of the green set (slot re-opens) while remaining
+    attempted.  Green-in-any-round-wins-forever would mask a driver
+    regression permanently."""
+    import json
+
+    name = list(ops.REGISTRY)[0]
+    green_row = {name: {"rows_match": True, "schema_match": True,
+                        "hash_match": True, "err": None}}
+    red_row = {name: {"rows_match": True, "schema_match": True,
+                      "hash_match": False, "err": None}}
+    p1 = tmp_path / "CORRECTNESS_r01.json"
+    p2 = tmp_path / "CORRECTNESS_r02.json"
+    p1.write_text(json.dumps(green_row))
+    p2.write_text(json.dumps(red_row))
+
+    import glob as _glob
+
+    # deliberately unsorted order: the function must sort by round
+    monkeypatch.setattr(_glob, "glob", lambda pat: [str(p2), str(p1)])
+    green, attempted = ops._driver_rows_from_disk()
+    assert name not in green
+    assert name in attempted
+
+    # and the reverse: red-then-green absorbs
+    p1.write_text(json.dumps(red_row))
+    p2.write_text(json.dumps(green_row))
+    green, attempted = ops._driver_rows_from_disk()
+    assert name in green

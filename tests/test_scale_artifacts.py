@@ -96,3 +96,31 @@ def test_stream_bench_schema(stream):
     assert w["input_rows"] == stream["feed_rows"], w
     assert w["windows_emitted"] > 0
     assert 0 < w["max_state_rows"] < stream["feed_rows"], w
+
+
+def test_stream_bench_10x_block(stream):
+    """Round-7 streaming scale slope: 10× feed at 10× files-per-trigger
+    (same micro-batch count), plus the RocksDB state-store twin.
+    Criteria mirror SCALE_SLOPE.json: wall ratio ≤ 12 at 10× rows, and
+    the windowed path's state must stay TIME-bounded — the 10× feed
+    densifies the same event-time span, so state rows may not scale
+    with input."""
+    if "x10" not in stream:
+        import pytest
+
+        pytest.skip("stream_bench.json predates the 10x block")
+    x = stream["x10"]
+    assert x["feed_rows"] >= 9 * stream["feed_rows"]
+    for mode in ("append", "merge", "window", "window_rocksdb"):
+        assert x["wall_ratio_vs_1x"][mode] <= 12.0, (mode, x["wall_ratio_vs_1x"])
+    # state is bounded by open windows (watermark), not input size:
+    # 10× rows over the same span may open at most ~2× state (ragged
+    # batch boundaries), never 10×
+    assert x["state_rows_ratio_window"] <= 3.0, x["state_rows_ratio_window"]
+    assert x["window"]["input_rows"] == x["feed_rows"]
+    assert x["merge"]["final_table_rows"] <= x["n_keys"]
+    # the RocksDB run processed the same feed with bounded state too
+    r = x["window_rocksdb"]
+    assert r["state_store"] == "rocksdb"
+    assert r["input_rows"] == x["feed_rows"]
+    assert 0 < r["max_state_rows"] < x["feed_rows"]

@@ -60,11 +60,11 @@ def test_ivf_recall_at_5(spark, sf_dir):
         REGISTRY["q_sim_ivf"].fn(spark, sf_dir).filter("query_id < 5").collect()
     )
     r = _recall(exact, ivf)
-    # k-means|| centroids (k=12, nprobe=4) measured 0.72 at sf0.001 /
-    # 0.64 at sf0.01 — vs ~0.36 with the untrained label-mean centroids
-    # they replaced.  The corpus is geometrically flat (neighbors at
-    # cosine ~0.32), so recall tracks probed fraction (~nprobe/k).
-    assert r >= 0.5, f"IVF recall@5 = {r} at {sf_dir}"
+    # round-7 retune: k=24/nprobe=8 measured 0.96 at sf0.001 / 0.92 at
+    # sf0.01 (sweep in operators/similarity.py) — finer cells + more
+    # probes beat the old k=12/nprobe=4 (0.72/0.64) at the SAME probed
+    # fraction (1/3).  Floor 0.8 matches LSH's.
+    assert r >= 0.8, f"IVF recall@5 = {r} at {sf_dir}"
 
 
 def test_lsh_candidate_fraction_bounded(spark):
