@@ -209,6 +209,16 @@ def _parent() -> None:
         "eff1": probe_after["par_eff"],
     }
     obj["exc_n"] = exc["count"]
+    # ADVISORY normalization (VERDICT r6 missing-1): scale raw wall by
+    # the measured parallel efficiency, i.e. "what this total would
+    # read on an unshared host" ASSUMING the workload is fully
+    # parallel.  Serial phases make this an over-correction, so it is
+    # a companion number, never a replacement for raw wall — compare
+    # value_norm across rounds only when both probes are in the JSON.
+    effs = [e for e in (probe_before["par_eff"], probe_after["par_eff"]) if e]
+    if effs and obj.get("value"):
+        mean_eff = sum(effs) / len(effs)
+        obj["value_norm"] = round(obj["value"] * mean_eff, 3)
     # fold the detail into the sidecar the child already wrote
     sec_path = os.path.join(_REPO, "bench_secondary.json")
     try:

@@ -42,6 +42,7 @@ def _final_line(timings: dict[str, float]) -> str:
                 "eff1": 0.123,
             },
             "exc_n": 1234,
+            "value_norm": 12345.678,
         }
     )
 
