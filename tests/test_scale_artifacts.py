@@ -41,7 +41,14 @@ def test_slope_schema_and_coverage(slope):
     assert slope["replicas"] == 10
     assert slope["criteria"] == {"ratio_max": 12.0, "skew_max": 4.0}
     # the 10 most expensive round-5 headliners + 4 round-6 shapes
-    assert len(slope["queries"]) == 14
+    # + 3 round-7 additions (attribution pair, robust-scale knob)
+    assert len(slope["queries"]) == 17
+    for extra in (
+        "q_last_touch_attribution",
+        "q_linear_attribution",
+        "q_robust_scale",
+    ):
+        assert extra in slope["queries"]
     for name, q in slope["queries"].items():
         for field in (
             "t_1x_sec",
