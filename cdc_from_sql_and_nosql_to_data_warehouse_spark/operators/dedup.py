@@ -814,7 +814,16 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed key; the quadratic Levenshtein runs only inside blocks.
     An unblocked fuzzy join is a cross join and is refused by design.
     Levenshtein is built-in (JVM) in both engines with the classic
-    definition, so the oracle checks it exactly."""
+    definition, so the oracle checks it exactly.
+
+    Scale caveat (round-7 sweep): on TPC-H-shaped names the 2-char
+    suffix key has BOUNDED cardinality (100 digit pairs), so block
+    pair volume grows O(n²/100) — 1.1 M pairs at sf0.1 is the whole
+    5 s cost.  Real-name corpora diversify the key (cardinality grows
+    with data, pairs stay near-linear); at warehouse scale on
+    low-entropy keys, widen the block (suffix-3/4 or phonetic+suffix)
+    and re-measure recall — the plan shape (equi-join on the key)
+    is unchanged by the key choice."""
     c = (
         load_table(spark, sf_dir, "customer")
         .select(

@@ -276,22 +276,40 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
     vectors (spherical k-means: on unit vectors Euclidean k-means
     minimizes 2-2·cos, so Euclidean training ≈ cosine objective).
     Training reads a bounded sample (≤ _IVF_TRAIN_CAP rows) — at 100 TB
-    the fit never scans the corpus; only assignment does, broadcast."""
+    the fit never scans the corpus; only assignment does, broadcast.
+
+    Round-7 finding (measured, kept for the record): a driver-side
+    numpy Lloyd twin (kmeans++ init, 12 iterations, 8 restarts picking
+    the best spherical objective) converges to a BETTER clustering
+    objective but WORSE recall — 0.68/0.72 vs k-means||'s 0.96/0.92 at
+    identical k=24/nprobe=8 — because well-converged tight Voronoi
+    cells slice query neighborhoods apart, while the partially-
+    converged k-means|| fit (maxIter=8) leaves overlapping cells that
+    keep true neighbors within the probe set.  Recall is NOT the
+    training objective; the MLlib fit stays.  Its ~3.5 s cost is pure
+    job-orchestration latency (one Spark job per init step + Lloyd
+    iteration), CONSTANT in corpus size because the sample is capped —
+    a fit-once/search-many deployment amortizes it away entirely.
+    coalesce(1) keeps each of those jobs single-task."""
+    return _ivf_centroids_mllib(emb)
+
+
+def _ivf_centroids_mllib(emb: DataFrame) -> DataFrame:
+    """The pyspark.ml k-means|| fit (see _ivf_centroids docstring for
+    why this beats a fully-converged driver-side Lloyd on recall)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     spark = emb.sparkSession
-    # norm materialized once per row, NOT inside the transform lambda
-    # (a lambda-embedded norm re-runs the fold per element — SCALE.md)
     unit = emb.select("embedding", V.norm2("embedding").alias("nrm")).select(
         F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("unit")
     )
     n = unit.count()
-    if n == 0:  # empty corpus: no cells, downstream joins yield 0 rows
+    if n == 0:
         return spark.createDataFrame([], "cell int, centroid array<double>")
     if n > _IVF_TRAIN_CAP:
         unit = unit.sample(False, _IVF_TRAIN_CAP / n, seed=7)
-    train = unit.select(array_to_vector(F.col("unit")).alias("features"))
+    train = unit.select(array_to_vector(F.col("unit")).alias("features")).coalesce(1)
     # bounded fit work: each k-means|| init step and each Lloyd
     # iteration is a Spark job, and on a coarse 12-cell quantizer the
     # defaults (2 init steps ARE enough; 20 iterations) buy nothing —
