@@ -131,3 +131,22 @@ def test_stream_bench_10x_block(stream):
     assert r["state_store"] == "rocksdb"
     assert r["input_rows"] == x["feed_rows"]
     assert 0 < r["max_state_rows"] < x["feed_rows"]
+
+
+def test_stream_bench_session_mode(stream):
+    """Round-7 session-window stream evidence: gap-based variable-width
+    state, the merge-into-open-session shape.  The feed's burst
+    schedule is defined in EVENT time, so the 10× densified feed must
+    not open more concurrent sessions — state stays ~flat."""
+    if "session" not in stream:
+        import pytest
+
+        pytest.skip("stream_bench.json predates the session mode")
+    s = stream["session"]
+    assert s["input_rows"] == stream["feed_rows"]
+    assert s["sessions_emitted"] > 0
+    assert 0 < s["max_state_rows"] < stream["feed_rows"]
+    x = stream["x10"]
+    assert x["session"]["input_rows"] == x["feed_rows"]
+    assert x["wall_ratio_vs_1x"]["session"] <= 12.0
+    assert x["state_rows_ratio_session"] <= 3.0, x["state_rows_ratio_session"]
