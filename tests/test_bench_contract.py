@@ -97,3 +97,32 @@ def test_cpu_probe_shape():
     assert got["single_ms"] > 0
     assert got["par_wall_ms"] > 0
     assert 0 < got["par_eff"] <= 2.0
+
+
+def test_stream_bench_await_or_die_raises_on_timeout():
+    # a timed-out stream must raise (and be stopped) instead of letting
+    # partial batch stats flow into the committed artifact (round-7
+    # review fix) — pinned against a fake query object
+    import pytest as _pytest
+
+    from tools.stream_bench import _await_or_die
+
+    class FakeQuery:
+        def __init__(self, finishes):
+            self.finishes = finishes
+            self.stopped = False
+
+        def awaitTermination(self, timeout):
+            return self.finishes
+
+        def stop(self):
+            self.stopped = True
+
+    ok = FakeQuery(finishes=True)
+    _await_or_die(ok, 1, "append")  # no raise
+    assert not ok.stopped
+
+    hung = FakeQuery(finishes=False)
+    with _pytest.raises(RuntimeError, match="did not finish"):
+        _await_or_die(hung, 1, "merge")
+    assert hung.stopped
