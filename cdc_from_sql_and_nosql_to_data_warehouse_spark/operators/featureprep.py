@@ -57,12 +57,15 @@ def q_one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select("c_custkey", *cols, null_ind)
 
 
-# exact `percentile` buffers all group values in aggregation state;
-# above this row count q_robust_scale swaps to approx_percentile
-# (t-digest) — roughly the point where a single group's buffer would
-# pass ~1 GB of executor heap
-_ROBUST_EXACT_MAX_ROWS = 50_000_000
-_ROBUST_APPROX_ACCURACY = 10_000
+# the exact/approx percentile knob is shared family-wide (also
+# q_winsorize / q_mad_outliers, relational.py) — see
+# functions/quantiles.py; these aliases keep the original import paths
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.quantiles import (
+    APPROX_ACCURACY as _ROBUST_APPROX_ACCURACY,
+    EXACT_MAX_ROWS as _ROBUST_EXACT_MAX_ROWS,
+    pct as _pct,
+    use_exact as _use_exact,
+)
 
 
 @register(
@@ -107,22 +110,13 @@ def q_robust_scale(
     Force either path with exact=True/False or
     SPARK_GRAFT_ROBUST_EXACT=1/0; the row probe is a footer-stats
     parquet count (no data pages read)."""
-    import os as _os
-
     li = load_table(spark, sf_dir, "lineitem")
-    if exact is None:
-        env = _os.environ.get("SPARK_GRAFT_ROBUST_EXACT")
-        if env in ("0", "1"):
-            exact = env == "1"
-        else:
-            exact = li.count() <= _ROBUST_EXACT_MAX_ROWS
-    fn = "percentile" if exact else "approx_percentile"
-    acc = "" if exact else f", {_ROBUST_APPROX_ACCURACY}"
+    exact = _use_exact(li, exact)
     stats = li.groupBy("l_returnflag").agg(
-        F.round(F.expr(f"{fn}(l_extendedprice, 0.5D{acc})"), 4).alias("med"),
+        F.round(F.expr(_pct("l_extendedprice", 0.5, exact)), 4).alias("med"),
         (
-            F.round(F.expr(f"{fn}(l_extendedprice, 0.75D{acc})"), 4)
-            - F.round(F.expr(f"{fn}(l_extendedprice, 0.25D{acc})"), 4)
+            F.round(F.expr(_pct("l_extendedprice", 0.75, exact)), 4)
+            - F.round(F.expr(_pct("l_extendedprice", 0.25, exact)), 4)
         ).alias("iqr"),
     )
     return (

@@ -1843,7 +1843,9 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem JOIN th ON l_returnflag = flag
     """,
 )
-def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_winsorize(
+    spark: SparkSession, sf_dir: str, exact: bool | None = None
+) -> DataFrame:
     """B9″/numeric-curation winsorization: clamp each line item's price
     to its return-flag group's [p5, p95] — the outlier-capping pass a
     feature/training pipeline applies before normalization so heavy
@@ -1855,11 +1857,19 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a percent_rank window over the fact table, which would sort
     100 TB per group.  Thresholds are rounded to 4dp at the aggregate
     (the same interpolation-ulp guard as q_percentile); the clamp
-    itself is then exact on both engines."""
+    itself is then exact on both engines.  Exact/approx percentile
+    knob shared with q_robust_scale (functions/quantiles.py): oracle
+    windows stay exact, 100 TB groups swap to t-digest state."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.quantiles import (
+        pct,
+        use_exact,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
+    exact = use_exact(li, exact)
     th = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 4).alias("lo"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("hi"),
+        F.round(F.expr(pct("l_extendedprice", 0.05, exact)), 4).alias("lo"),
+        F.round(F.expr(pct("l_extendedprice", 0.95, exact)), 4).alias("hi"),
     )
     return li.join(F.broadcast(th), F.col("l_returnflag") == F.col("flag")).select(
         "l_orderkey",
@@ -1888,7 +1898,9 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE abs(value - med) > 3 * mad
     """,
 )
-def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_mad_outliers(
+    spark: SparkSession, sf_dir: str, exact: bool | None = None
+) -> DataFrame:
     """B9″/data-quality robust outlier detection: flag events whose
     value deviates from the per-type median by more than 3× the median
     absolute deviation — the robust twin of a z-score gate (median/MAD
@@ -1901,16 +1913,24 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled per group — at 100 TB both extra passes are column-pruned
     scans, the same trade q_winsorize makes.  Medians round to 4dp at
     the aggregate (the q_percentile interpolation-ulp guard); the
-    deviation compare is then exact on both engines."""
+    deviation compare is then exact on both engines.  Exact/approx
+    percentile knob shared with q_robust_scale
+    (functions/quantiles.py)."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.quantiles import (
+        pct,
+        use_exact,
+    )
+
     ev = load_table(spark, sf_dir, "events")
+    exact = use_exact(ev, exact)
     med = ev.groupBy(F.col("event_type").alias("et")).agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med")
+        F.round(F.expr(pct("value", 0.5, exact)), 4).alias("med")
     )
     mad = (
         ev.join(F.broadcast(med), F.col("event_type") == F.col("et"))
         .groupBy("et", "med")
         .agg(
-            F.round(F.expr("percentile(abs(value - med), 0.5)"), 4).alias("mad")
+            F.round(F.expr(pct("abs(value - med)", 0.5, exact)), 4).alias("mad")
         )
     )
     return (

@@ -117,3 +117,20 @@ def test_linear_attribution_conserves_revenue(spark):
         .first()[0]
     )
     assert abs(credited - attributable) < 1.0, (credited, attributable)
+
+
+def test_winsorize_and_mad_share_the_percentile_knob(spark):
+    # the family knob (functions/quantiles.py): approx path swaps the
+    # aggregate implementation, keeps the broadcast-stats plan shape,
+    # and the default at test SF stays exact (oracle parity unchanged)
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.relational import (
+        q_mad_outliers,
+        q_winsorize,
+    )
+
+    for fn in (q_winsorize, q_mad_outliers):
+        approx = plans.formatted_plan(fn(spark, SF_DIR, exact=False))
+        assert "approx_percentile" in approx, (fn.__name__, approx)
+        assert plans.has_broadcast_join(fn(spark, SF_DIR, exact=False))
+        default = plans.formatted_plan(fn(spark, SF_DIR))
+        assert "approx_percentile" not in default, (fn.__name__, default)
