@@ -26,6 +26,17 @@ Both are now built in:
 - per-query dispersion of the 3 back-to-back runs (max/min ratio) is
   recorded: disp_med/disp_max on the stdout line, the full per-query
   run lists in bench_secondary.json.
+
+Round-8 additions (VERDICT r7 next-1/next-2): the probe now GATES the
+run instead of only annotating it — the parent retries the full bench
+up to $SPARK_BENCH_ATTEMPTS (default 3) times, keeps the attempt whose
+bracketing probes show the quietest host, and stops early once an
+attempt's min(eff0, eff1) clears $SPARK_BENCH_EFF_GATE (default 0.85).
+The artifact records probe.best_of / probe.max_eff / probe.clean, so a
+session that never saw a quiet window is self-documenting.  The log
+grep now CLASSIFIES frames ({n, classes, benign, first} on the stdout
+line): the known-benign ContextCleaner accumulator race is named in
+the artifact itself, and any unknown class flips benign=false.
 """
 
 from __future__ import annotations
@@ -156,34 +167,79 @@ def _cpu_probe(nproc: int) -> dict:
 
 _LOG_PATH = os.path.join(_REPO, "bench_spark_log.txt")
 
+# Known exception classes (VERDICT r7 missing-2: the artifact must
+# carry the classification, not just a bare count).  First match wins;
+# anything unmatched falls through to the raw exception-class token so
+# a NEW failure mode is never silently lumped with a known-benign one.
+_EXC_KNOWN: list[tuple[str, str, bool]] = [
+    # (substring, class slug, benign?)
+    (
+        "non-existent accumulator",
+        "contextcleaner_accum_race",
+        True,  # SPARK-…: ContextCleaner unregisters a localCheckpoint
+        # accumulator while a speculative/straggler task update is in
+        # flight; the task itself already succeeded.  Diagnosed r7
+        # (SCALE.md): zero effect on results or timing.
+    ),
+    ("Failed to update accumulator", "contextcleaner_accum_race", True),
+]
+
 
 def _scan_log(path: str) -> dict:
-    """Count exception/ERROR frames in the captured Spark log; keep the
-    first frame so a r6-style truncated-trace mystery can't recur."""
+    """Count + CLASSIFY exception/ERROR frames in the captured Spark
+    log; keep the first frame so a r6-style truncated-trace mystery
+    can't recur.  Returns {count, first, classes: {slug: n},
+    benign: bool} — benign only when every counted frame matched a
+    known-benign class."""
     import re
 
     pat = re.compile(
         r"(^\s*(Caused by: )?[\w.]*(Exception|Error)(:|$))|(\bERROR\b)"
     )
+    cls_tok = re.compile(r"([\w.]*\.)?(\w*(?:Exception|Error))")
     count = 0
     first = None
+    classes: dict[str, int] = {}
+    unknown = 0
     try:
         with open(path, "r", errors="replace") as f:
             for line in f:
-                if pat.search(line):
-                    count += 1
-                    if first is None:
-                        first = line.strip()[:300]
+                if not pat.search(line):
+                    continue
+                count += 1
+                if first is None:
+                    first = line.strip()[:300]
+                slug = None
+                for sub, name, benign in _EXC_KNOWN:
+                    if sub in line:
+                        slug = name
+                        break
+                else:
+                    benign = False
+                    m = cls_tok.search(line)
+                    slug = m.group(2) if m else "unclassified"
+                    unknown += 1
+                classes[slug] = classes.get(slug, 0) + 1
     except OSError:
         pass
-    return {"count": count, "first": first}
+    return {
+        "count": count,
+        "first": first,
+        "classes": classes,
+        # true iff nothing unexpected: every counted frame (possibly
+        # zero of them) matched a known-benign class
+        "benign": unknown == 0,
+    }
 
 
-def _parent() -> None:
-    nproc = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+def _run_attempt(attempt: int, nproc: int) -> dict | None:
+    """One full child bench run bracketed by CPU probes.  Returns the
+    attempt record, or exits the process on a child failure (a failing
+    bench is a bug, never host noise — retrying would mask it)."""
+    log_path = f"{_LOG_PATH}.attempt{attempt}"
     probe_before = _cpu_probe(nproc)
     env = dict(os.environ, SPARK_BENCH_CHILD="1")
-    with open(_LOG_PATH, "wb") as logf:
+    with open(log_path, "wb") as logf:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -191,24 +247,95 @@ def _parent() -> None:
             stderr=logf,
         )
     probe_after = _cpu_probe(nproc)
-    exc = _scan_log(_LOG_PATH)
     out_lines = proc.stdout.decode(errors="replace").strip().splitlines()
     if proc.returncode != 0 or not out_lines:
         # surface the log tail for the driver's rc!=0 capture
         try:
-            with open(_LOG_PATH, "r", errors="replace") as f:
+            with open(log_path, "r", errors="replace") as f:
                 sys.stderr.write(f.read()[-3000:])
         except OSError:
             pass
         sys.exit(proc.returncode or 1)
-    obj = json.loads(out_lines[-1])
+    effs = [e for e in (probe_before["par_eff"], probe_after["par_eff"]) if e]
+    sec_path = os.path.join(_REPO, "bench_secondary.json")
+    try:
+        with open(sec_path) as f:
+            sidecar = json.load(f)
+    except (OSError, ValueError):
+        sidecar = {}
+    return {
+        "obj": json.loads(out_lines[-1]),
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        # an attempt is only as quiet as its dirtiest bracket probe
+        "eff": min(effs) if effs else 0.0,
+        "exc": _scan_log(log_path),
+        "log_path": log_path,
+        "sidecar": sidecar,
+    }
+
+
+def _parent() -> None:
+    nproc = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Probe-gated retries (VERDICT r7 next-1): a time-shared host reads
+    # ~0.5 parallel efficiency and contaminates every absolute.  Run up
+    # to SPARK_BENCH_ATTEMPTS full bench passes, keep the one whose
+    # bracketing probes show the quietest host, stop early the moment
+    # an attempt clears the gate.  The artifact records best_of/max_eff
+    # /clean so a never-quiet session is self-documenting.
+    gate = float(os.environ.get("SPARK_BENCH_EFF_GATE", "0.85"))
+    max_attempts = max(1, int(os.environ.get("SPARK_BENCH_ATTEMPTS", "3")))
+    attempts: list[dict] = []
+    for i in range(max_attempts):
+        if i > 0:
+            # brief settle between attempts: co-tenant bursts are often
+            # shorter than a bench pass; probing is ~100× cheaper than
+            # re-running, so wait for a quieter window before paying
+            deadline = time.monotonic() + 60
+            while time.monotonic() < deadline:
+                if (_cpu_probe(nproc)["par_eff"] or 0) >= gate:
+                    break
+                time.sleep(10)
+        rec = _run_attempt(i, nproc)
+        attempts.append(rec)
+        if rec["eff"] >= gate:
+            break
+    best = max(attempts, key=lambda r: r["eff"])
+    # the committed log is always the KEPT attempt's log
+    try:
+        os.replace(best["log_path"], _LOG_PATH)
+    except OSError:
+        pass
+    for rec in attempts:
+        if rec is not best:
+            try:
+                os.remove(rec["log_path"])
+            except OSError:
+                pass
+    obj = best["obj"]
+    probe_before, probe_after = best["probe_before"], best["probe_after"]
     obj["probe"] = {
         "st0_ms": probe_before["single_ms"],
         "st1_ms": probe_after["single_ms"],
         "eff0": probe_before["par_eff"],
         "eff1": probe_after["par_eff"],
+        "best_of": len(attempts),
+        "max_eff": round(best["eff"], 3),
+        "clean": best["eff"] >= gate,
     }
+    exc = best["exc"]
     obj["exc_n"] = exc["count"]
+    # self-explaining exception summary ON the artifact line: class
+    # histogram + benign verdict + first frame (truncated) — readable
+    # without SCALE.md archaeology
+    obj["exc"] = {
+        "n": exc["count"],
+        "classes": exc["classes"],
+        "benign": exc["benign"],
+        # 80 chars is enough to name the logger + message head; the
+        # full 300-char frame is in bench_secondary.json
+        "first": (exc["first"] or "")[:80] or None,
+    }
     # ADVISORY normalization (VERDICT r6 missing-1): scale raw wall by
     # the measured parallel efficiency, i.e. "what this total would
     # read on an unshared host" ASSUMING the workload is fully
@@ -219,21 +346,29 @@ def _parent() -> None:
     if effs and obj.get("value"):
         mean_eff = sum(effs) / len(effs)
         obj["value_norm"] = round(obj["value"] * mean_eff, 3)
-    # fold the detail into the sidecar the child already wrote
-    sec_path = os.path.join(_REPO, "bench_secondary.json")
-    try:
-        with open(sec_path) as f:
-            sec = json.load(f)
-    except (OSError, ValueError):
-        sec = {}
+    # fold the detail into the sidecar the KEPT child run wrote
+    sec = best["sidecar"]
     sec["cpu_probe_before"] = probe_before
     sec["cpu_probe_after"] = probe_after
     sec["log_exceptions"] = exc
-    with open(sec_path, "w") as f:
+    sec["attempts"] = [
+        {
+            "eff": round(r["eff"], 3),
+            "value": r["obj"].get("value"),
+            "exc_n": r["exc"]["count"],
+            "kept": r is best,
+        }
+        for r in attempts
+    ]
+    sec["eff_gate"] = gate
+    with open(os.path.join(_REPO, "bench_secondary.json"), "w") as f:
         json.dump(sec, f)
     line = json.dumps(obj)
     if len(line) > 1800:
         obj["queries"] = {}
+        line = json.dumps(obj)
+    if len(line) > 1800:
+        obj["exc"]["first"] = None
         line = json.dumps(obj)
     print(line)
 

@@ -40,8 +40,17 @@ def _final_line(timings: dict[str, float]) -> str:
                 "st1_ms": 1234.5,
                 "eff0": 0.123,
                 "eff1": 0.123,
+                "best_of": 3,
+                "max_eff": 0.123,
+                "clean": False,
             },
             "exc_n": 1234,
+            "exc": {
+                "n": 1234,
+                "classes": {"contextcleaner_accum_race": 1234},
+                "benign": True,
+                "first": "E" * 80,
+            },
             "value_norm": 12345.678,
         }
     )
@@ -82,11 +91,34 @@ def test_log_scan_counts_exception_frames(tmp_path):
     got = bench._scan_log(str(log))
     assert got["count"] == 3  # ERROR line + 2 exception frames
     assert "ERROR DAGScheduler" in got["first"]
+    # classification (round-8): the accumulator race is named benign,
+    # but the unknown IllegalStateException flips the overall verdict
+    assert got["classes"]["contextcleaner_accum_race"] == 2
+    assert got["classes"]["IllegalStateException"] == 1
+    assert got["benign"] is False
+
+
+def test_log_scan_all_benign_frames_verdict(tmp_path):
+    # a log containing ONLY the known ContextCleaner race reads benign
+    log = tmp_path / "log.txt"
+    log.write_text(
+        "26/08/15 07:50:45 ERROR DAGScheduler: Failed to update accumulator 5 (Unknown class) for task 0\n"
+        "org.apache.spark.SparkException: attempted to access non-existent accumulator 5\n"
+    )
+    got = bench._scan_log(str(log))
+    assert got["count"] == 2
+    assert got["classes"] == {"contextcleaner_accum_race": 2}
+    assert got["benign"] is True
 
 
 def test_log_scan_missing_file_is_empty():
     got = bench._scan_log("/nonexistent/definitely/not/here.txt")
-    assert got == {"count": 0, "first": None}
+    assert got == {
+        "count": 0,
+        "first": None,
+        "classes": {},
+        "benign": True,
+    }
 
 
 def test_cpu_probe_shape():
