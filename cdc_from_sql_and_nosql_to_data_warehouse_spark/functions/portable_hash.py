@@ -44,8 +44,23 @@ def sql_md5_unit(expr: str) -> str:
 
 
 # DuckDB whitespace tokenization (mirror of functions.text.tokens):
-# lowercased, split on runs of whitespace, empties removed
-SQL_TOKS_EXPR = "list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
+# lowercased, split on runs of whitespace, empties removed.  The
+# whitespace class is spelled explicitly because Java's \s includes
+# \x0B and RE2's does not (SURVEY numeric policy) — this fragment MUST
+# stay bit-identical everywhere it appears, which is why it has one
+# definition (round-8: the per-file literal twins now interpolate it).
+
+
+def sql_toks_expr(col: str = "text") -> str:
+    """DuckDB mirror of ``functions.text.tokens(col)`` over any column
+    expression (e.g. ``"text"``, ``"d.text"``)."""
+    return (
+        f"list_filter(string_split_regex(lower({col}), "
+        "'[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
+    )
+
+
+SQL_TOKS_EXPR = sql_toks_expr()
 
 # the same, as a ready-to-WITH CTE over the documents table
 SQL_TOKS_CTE = f"""

@@ -28,6 +28,7 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash impo
     md5_unit,
     sql_md5_int,
     sql_md5_unit,
+    sql_toks_expr,
 )
 
 
@@ -344,8 +345,7 @@ _MIX_CAP = 15  # expected docs kept per source
       SELECT d.source, n_in,
         least(1.0, CAST({_MIX_CAP} AS DOUBLE) / n_in) AS keep_prob,
         {sql_md5_unit("CAST(d.doc_id AS VARCHAR)")} AS u,
-        length(list_filter(string_split_regex(lower(d.text), '[ \\t\\n\\x0B\\f\\r]+'),
-                           t -> t <> '')) AS n_tok
+        length({sql_toks_expr("d.text")}) AS n_tok
       FROM documents d JOIN counts USING (source)
     )
     SELECT source, n_in, keep_prob,
@@ -659,11 +659,10 @@ def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_length_quantile_filter",
-    oracle="""
+    oracle=f"""
     WITH d AS (
       SELECT doc_id, lang,
-        CAST(length(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
-                                t -> t <> '')) AS BIGINT) AS n_tok
+        CAST(length({sql_toks_expr()}) AS BIGINT) AS n_tok
       FROM documents
     ),
     thr AS (SELECT lang, quantile_cont(n_tok, 0.25) AS thr FROM d GROUP BY lang)

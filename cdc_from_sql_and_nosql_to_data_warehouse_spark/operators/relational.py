@@ -28,6 +28,9 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.exact import (
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.grouping import (
     presummed_count_dsum_sets,
 )
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+    SQL_TOKS_EXPR as _SQL_TOKS,
+)
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
 
@@ -1278,10 +1281,10 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_explode_outer",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id,
-        list_filter(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''),
+        list_filter({_SQL_TOKS},
                     x -> length(x) > 8) AS long_toks
       FROM documents
     )

@@ -63,10 +63,10 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_text_quality",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id, text,
-        list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS toks,
+        {_SQL_TOKS} AS toks,
         CAST(length(text) AS BIGINT) AS n_char,
         CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS BIGINT) AS n_punct
     FROM documents
@@ -240,10 +240,10 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_text_tfidf",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-        unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS token
+        unnest({_SQL_TOKS}) AS token
       FROM documents
     ),
     tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),

@@ -19,15 +19,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+    SQL_TOKS_EXPR as _SQL_TOKS,
+)
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
 
 
 @register(
     "q_udf_scalar",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-      CAST(length(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS BIGINT)
+      CAST(length({_SQL_TOKS}) AS BIGINT)
         AS n_tokens
     FROM documents
     """,
