@@ -168,3 +168,187 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+_CLICK_HORIZON_US = 6 * 3600 * 1_000_000  # 6-hour attribution window
+
+
+@register(
+    "q_impression_click_join",
+    oracle=f"""
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+      epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND epoch_us(c.ts) >= epoch_us(v.ts)
+     AND epoch_us(c.ts) <= epoch_us(v.ts) + {_CLICK_HORIZON_US}
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+)
+def q_impression_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval join — the oracle-checked BATCH TWIN of the
+    streaming ``windows.join_streams`` shape (impression↔click
+    attribution): every (view, click) pair of the same user where the
+    click lands within 6 hours after the view.
+
+    Scale decomposition (same discipline as q_range_join, but with a
+    real equi key): joining on user_id alone is correct but lets one
+    heavy user's entire history cross-product per view; quantizing
+    time into horizon-width buckets and joining on the COMPOUND key
+    (user_id, bucket) bounds each probe to two bucket-local candidate
+    sets regardless of how long the user's history grows.  Views
+    explode to the ≤2 buckets their window overlaps (bucket width =
+    horizon, so never more); clicks land in exactly 1 bucket, so no
+    pair can match twice and no distinct is needed.  The residual
+    range predicate compares integer MICROSECONDS on both engines
+    (unix_micros / epoch_us) — no timestamp interval arithmetic to
+    diverge."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.unix_micros("ts").alias("vu"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor(F.col("vu") / _CLICK_HORIZON_US),
+                        F.floor(
+                            (F.col("vu") + F.lit(_CLICK_HORIZON_US))
+                            / _CLICK_HORIZON_US
+                        ),
+                    )
+                )
+            ),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("cu"),
+        F.floor(F.unix_micros("ts") / _CLICK_HORIZON_US).alias("bucket"),
+    )
+    return (
+        views.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (views["bucket"] == clicks["bucket"]),
+        )
+        .filter(
+            (F.col("cu") >= F.col("vu"))
+            & (F.col("cu") <= F.col("vu") + F.lit(_CLICK_HORIZON_US))
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            (F.col("cu") - F.col("vu")).alias("lag_us"),
+        )
+    )
+
+
+@register(
+    "q_time_decay_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id AS p_id, ts AS p_ts,
+        CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS p_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, event_type AS channel, ts, event_id FROM events
+      WHERE event_type <> 'purchase'
+    ),
+    weighted AS (
+      SELECT p.p_id, p.p_value, t.channel,
+        round(power(0.5, (epoch_us(p.p_ts) - epoch_us(t.ts))
+                         / 86400000000.0 / 7.0), 6) AS w
+      FROM purchases p JOIN touches t
+        ON t.user_id = p.user_id
+       AND (t.ts < p.p_ts OR (t.ts = p.p_ts AND t.event_id < p.p_id))
+    ),
+    normed AS (
+      SELECT channel,
+        round(p_value * w / CAST(SUM(CAST(w AS DECIMAL(18,6)))
+              OVER (PARTITION BY p_id) AS DOUBLE), 6) AS credit
+      FROM weighted
+    )
+    SELECT channel,
+      CAST(COUNT(*) AS BIGINT) AS n_credits,
+      CAST(SUM(CAST(CAST(credit AS DECIMAL(18,6)) AS DECIMAL(28,6)))
+           AS DOUBLE) AS revenue
+    FROM normed
+    GROUP BY channel
+    """,
+)
+def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (the third canonical model
+    next to last-touch and linear): each preceding touch earns a share
+    of the purchase value proportional to 0.5^(age_days / 7) — a
+    7-day half-life — normalized per purchase.
+
+    Determinism (house float policy): the decay weight is rounded to
+    6dp immediately after the one transcendental (pow), so both
+    engines normalize with identical summands; the per-purchase weight
+    sum rides DECIMAL(18,6) (exact, associative); the final credit is
+    rounded to 6dp once and channel revenue is summed as
+    DECIMAL(28,6) — partition order cannot move any output bit.
+
+    Scale: identical join geometry to q_linear_attribution (purchases
+    ⋈ preceding touches, co-partitioned on user_id — per-user cost
+    bounded by that user's path length, never corpus size); the
+    normalizer is a window over p_id (unique key — purchases-many
+    1-group partitions, embarrassingly parallel), then one hash agg
+    on the channel domain."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("decimal(12,2)").cast("double").alias("p_value"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("channel"), "ts", "event_id"
+    )
+    weighted = (
+        purchases.join(touches, "user_id")
+        .filter(
+            (F.col("ts") < F.col("p_ts"))
+            | ((F.col("ts") == F.col("p_ts")) & (F.col("event_id") < F.col("p_id")))
+        )
+        .select(
+            "p_id",
+            "p_value",
+            "channel",
+            F.round(
+                F.pow(
+                    F.lit(0.5),
+                    (F.unix_micros("p_ts") - F.unix_micros("ts"))
+                    / F.lit(86400000000.0)
+                    / F.lit(7.0),
+                ),
+                6,
+            ).alias("w"),
+        )
+    )
+    normed = weighted.select(
+        "channel",
+        F.round(
+            F.col("p_value")
+            * F.col("w")
+            / F.sum(F.col("w").cast("decimal(18,6)"))
+            .over(Window.partitionBy("p_id"))
+            .cast("double"),
+            6,
+        ).alias("credit"),
+    )
+    return normed.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+        F.sum(F.col("credit").cast("decimal(18,6)").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )

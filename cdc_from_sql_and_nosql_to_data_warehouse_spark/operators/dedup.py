@@ -1283,3 +1283,82 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_frac"),
         )
     )
+
+
+_SNM_WINDOW = 3  # sorted-neighborhood comparison window
+
+
+@register(
+    "q_sorted_neighborhood",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT c_custkey, c_name,
+        row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS rid
+      FROM customer
+    )
+    SELECT a.c_custkey AS a, b.c_custkey AS b,
+      CAST(b.rid - a.rid AS BIGINT) AS rank_gap,
+      CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+    FROM ranked a JOIN ranked b
+      ON b.rid - a.rid BETWEEN 1 AND {_SNM_WINDOW}
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-adjacent entity resolution, third blocking family: the
+    SORTED-NEIGHBORHOOD method (Hernández & Stolfo) — sort records by a
+    key, compare each record only to its next w=3 neighbors in sort
+    order, keep pairs within edit distance 2.  The pass production ER
+    stacks ON TOP of key blocking (q_fuzzy_match): sort order catches
+    near-matches whose block keys differ.
+
+    Scale shape: the textbook formulation is a single-task
+    ``row_number() OVER (ORDER BY name)`` — the global-sort bottleneck.
+    Here the dense rank comes from functions/ids.assign_dense_ids
+    (range partition → local sort → driver prefix sum over partition
+    COUNTS — every stage parallel), and the neighbor pairing is an
+    equi-join on rank buckets of width w (the left side explodes to
+    the ≤2 buckets its window [rid+1, rid+w] can reach; the right side
+    lands in exactly 1, so no pair matches twice) with the gap bound
+    as a residual — candidate volume is exactly n·w, linear by
+    construction at any corpus size."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import (
+        assign_dense_ids,
+    )
+
+    ranked = assign_dense_ids(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        ["c_name", "c_custkey"],
+        id_col="rid",
+    )
+    a = ranked.select(
+        F.col("c_custkey").alias("a"),
+        F.col("c_name").alias("an"),
+        F.col("rid").alias("a_rid"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.col("rid") / _SNM_WINDOW),
+                    F.floor((F.col("rid") + _SNM_WINDOW) / _SNM_WINDOW),
+                )
+            )
+        ).alias("bucket"),
+    )
+    b = ranked.select(
+        F.col("c_custkey").alias("b"),
+        F.col("c_name").alias("bn"),
+        F.col("rid").alias("b_rid"),
+        F.floor(F.col("rid") / _SNM_WINDOW).alias("bucket"),
+    )
+    gap = F.col("b_rid") - F.col("a_rid")
+    dist = F.levenshtein(F.col("an"), F.col("bn"), 2)
+    return (
+        a.join(b, "bucket")
+        .filter((gap >= 1) & (gap <= _SNM_WINDOW) & (dist >= 0))
+        .select(
+            "a",
+            "b",
+            gap.cast("bigint").alias("rank_gap"),
+            dist.alias("edit_dist"),
+        )
+    )

@@ -111,7 +111,7 @@ def q_robust_scale(
     SPARK_GRAFT_ROBUST_EXACT=1/0; the row probe is a footer-stats
     parquet count (no data pages read)."""
     li = load_table(spark, sf_dir, "lineitem")
-    exact = _use_exact(li, exact)
+    exact = _use_exact(li, exact, source_path=f"{sf_dir}/lineitem.parquet")
     stats = li.groupBy("l_returnflag").agg(
         F.round(F.expr(_pct("l_extendedprice", 0.5, exact)), 4).alias("med"),
         (

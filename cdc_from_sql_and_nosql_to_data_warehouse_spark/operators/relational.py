@@ -1869,7 +1869,7 @@ def q_winsorize(
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    exact = use_exact(li, exact)
+    exact = use_exact(li, exact, source_path=f"{sf_dir}/lineitem.parquet")
     th = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
         F.round(F.expr(pct("l_extendedprice", 0.05, exact)), 4).alias("lo"),
         F.round(F.expr(pct("l_extendedprice", 0.95, exact)), 4).alias("hi"),
@@ -1925,7 +1925,7 @@ def q_mad_outliers(
     )
 
     ev = load_table(spark, sf_dir, "events")
-    exact = use_exact(ev, exact)
+    exact = use_exact(ev, exact, source_path=f"{sf_dir}/events.parquet")
     med = ev.groupBy(F.col("event_type").alias("et")).agg(
         F.round(F.expr(pct("value", 0.5, exact)), 4).alias("med")
     )

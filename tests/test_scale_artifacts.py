@@ -42,13 +42,16 @@ def test_slope_schema_and_coverage(slope):
     assert slope["criteria"] == {"ratio_max": 12.0, "skew_max": 4.0}
     # the 10 most expensive round-5 headliners + 4 round-6 shapes
     # + 3 round-7 additions (attribution pair, robust-scale knob)
-    assert len(slope["queries"]) == 17
+    # + 1 round-8 addition (keyed interval join)
+    assert len(slope["queries"]) in (17, 18)
     for extra in (
         "q_last_touch_attribution",
         "q_linear_attribution",
         "q_robust_scale",
     ):
         assert extra in slope["queries"]
+    if len(slope["queries"]) == 18:
+        assert "q_impression_click_join" in slope["queries"]
     for name, q in slope["queries"].items():
         for field in (
             "t_1x_sec",
@@ -73,6 +76,26 @@ def test_slope_is_near_linear_and_straggler_free(slope):
             f"exceeds {crit['skew_max']} — a straggler appeared at 10x"
         )
     assert slope["pass"] is True
+
+
+def test_slope_x100_two_decade_block(slope):
+    """Round-8 second decade (VERDICT r7 next-7): the same
+    ratio/skew criteria applied from sf0.01 up to the 10×-of-sf0.1
+    blowup — 100× the data.  Near-linear across two decades = ratio
+    ≤ 120 (100× data × the per-decade 20% allowance); the measured
+    ratios land far below because fixed per-query overhead amortizes."""
+    if "x100" not in slope:
+        pytest.skip("SCALE_SLOPE.json predates the x100 block")
+    x = slope["x100"]
+    assert x["criteria"] == {"ratio_max": 120.0, "skew_max": 4.0}
+    assert len(x["queries"]) == 10
+    for name, q in x["queries"].items():
+        assert q["t_1x_sec"] > 0 and q["t_100x_sec"] > 0, name
+        assert q["ratio"] <= x["criteria"]["ratio_max"], (name, q["ratio"])
+        assert q["worst_stage_skew_100x"] <= x["criteria"]["skew_max"], name
+        # the 100× wall is the same measurement the 10× block records
+        assert q["t_100x_sec"] == slope["queries"][name]["t_10x_sec"], name
+    assert x["pass"] is True
 
 
 def test_stream_bench_schema(stream):
@@ -131,6 +154,51 @@ def test_stream_bench_10x_block(stream):
     assert r["state_store"] == "rocksdb"
     assert r["input_rows"] == x["feed_rows"]
     assert 0 < r["max_state_rows"] < x["feed_rows"]
+
+
+def test_stream_bench_join_mode(stream):
+    """Round-8 stream-stream interval join evidence (windows.join_streams
+    — the last stateful shape with no bench numbers).  Both sides
+    buffer; the watermark+interval bound is what lets state evict.
+    max state ≈ one micro-batch of join-side rows (eviction happens at
+    batch boundaries), NEVER cumulative input: the 10× same-batch-count
+    run grows state with the batch, the 10× STEADY run (same batch
+    span, 10× the batches) must hold state ~flat — that flatness is
+    the eviction evidence."""
+    if "join" not in stream:
+        pytest.skip("stream_bench.json predates the join mode")
+    j = stream["join"]
+    assert j["pairs_emitted"] > 0
+    # state is a small fraction of the join-side input, not cumulative
+    assert 0 < j["max_state_rows"] <= 0.25 * j["input_rows"], j
+    x = stream["x10"]
+    assert x["wall_ratio_vs_1x"]["join"] <= 12.0
+    # constant-density extended feed → pairs grow ~linearly (10×),
+    # never quadratically
+    assert x["join"]["pairs_emitted"] <= 12 * j["pairs_emitted"]
+    # steady-batch twin: 10× longer stream at the same batch span may
+    # not grow max state beyond ~2× (ragged boundaries), never 10×
+    assert x["state_rows_ratio_join_steady"] <= 3.0, (
+        x["state_rows_ratio_join_steady"]
+    )
+
+
+def test_stream_bench_bigstate_provider_split(stream):
+    """Round-8 provider comparison at REAL state size (VERDICT r7
+    next-6: 209 rows cannot separate providers).  The bigstate mode
+    must actually reach ≥100k state rows, and both providers must
+    process the identical feed to identical outputs."""
+    if "x10" not in stream or "bigstate_hdfs" not in stream.get("x10", {}):
+        pytest.skip("stream_bench.json predates the bigstate block")
+    x = stream["x10"]
+    h, r = x["bigstate_hdfs"], x["bigstate_rocksdb"]
+    assert h["max_state_rows"] >= 100_000, h["max_state_rows"]
+    assert r["max_state_rows"] >= 100_000, r["max_state_rows"]
+    assert h["state_store"].startswith("hdfs")
+    assert r["state_store"] == "rocksdb"
+    # same feed, same agg → same emitted windows regardless of provider
+    assert h["windows_emitted"] == r["windows_emitted"]
+    assert x["bigstate_batch_ms_ratio_rocksdb_vs_hdfs"] > 0
 
 
 def test_stream_bench_session_mode(stream):

@@ -85,6 +85,11 @@ QUERIES = [
     "q_last_touch_attribution",
     "q_linear_attribution",
     "q_robust_scale",
+    # round-8 addition: the keyed interval join (compound
+    # (user, horizon-bucket) key — candidate volume per probe is
+    # bucket-local, so the slope must stay linear even though the
+    # replicated events multiply both sides)
+    "q_impression_click_join",
 ]
 
 # key columns to shift per table; dims (region, nation) copy unchanged
@@ -103,6 +108,29 @@ DIMS = ["region", "nation"]
 RATIO_MAX = 12.0  # near-linear bound for a 10x blowup
 SKEW_MAX = 4.0  # max/median task time within a stage
 SKEW_FLOOR_MS = 50  # ignore stages whose median task is sub-noise
+
+# ---- 100× decade (VERDICT r7 next-7): the same criteria applied from
+# sf0.01 up to the blowup (sf0.01 → sf0.1×10 = two decades of data).
+# Near-linear across two decades = 100× data × the same 20% log/const
+# allowance the 10× bound grants per decade.  Fixed per-query overhead
+# (session, planning, Python round-trips) amortizes ACROSS the ratio —
+# a ratio well under 100 is the sublinearity evidence, a ratio over
+# RATIO_MAX_100X is a superlinear plan.  Measured on the 10 heaviest
+# headliners (the r5/r7 plan-audit set).
+X100_BASE_DIR = os.environ.get("SPARK_GRAFT_X100_BASE", "/root/testdata/sf0.01")
+RATIO_MAX_100X = 120.0
+X100_QUERIES = [
+    "q_dedup_containment",
+    "q_setsim_join",
+    "q_sim_pq_search",
+    "q_kmeans_assign",
+    "q_reachability",
+    "q_pagerank",
+    "q_dedup_minhash_md5",
+    "q_min_cost_supplier",
+    "q_bm25_search",
+    "q_lm_score",
+]
 
 
 def build_session() -> SparkSession:
@@ -266,6 +294,26 @@ def main() -> None:
             flush=True,
         )
 
+    # ---- 100× block: time the heaviest headliners at sf0.01 and reuse
+    # the blowup walls measured above (blowup = 100× of sf0.01), so the
+    # two-decade ratio costs only the cheap small-SF runs.
+    x100: dict[str, dict] = {}
+    for name in X100_QUERIES:
+        t001, _ = timed_run(spark, name, X100_BASE_DIR)
+        t100 = results[name]["t_10x_sec"]
+        x100[name] = {
+            "t_1x_sec": round(t001, 3),
+            "t_100x_sec": t100,
+            "ratio": round(t100 / t001, 2),
+            # the blowup-side skew is the same measurement as the 10× run
+            "worst_stage_skew_100x": results[name]["worst_stage_skew_10x"],
+        }
+        print(
+            f"x100 {name}: sf0.01={t001:.2f}s 100x={t100:.2f}s "
+            f"ratio={x100[name]['ratio']}",
+            flush=True,
+        )
+
     doc = {
         "base_dir": BASE_DIR,
         "replicas": REPLICAS,
@@ -275,6 +323,16 @@ def main() -> None:
             r["ratio"] <= RATIO_MAX and r["worst_stage_skew_10x"] <= SKEW_MAX
             for r in results.values()
         ),
+        "x100": {
+            "base_dir": X100_BASE_DIR,
+            "criteria": {"ratio_max": RATIO_MAX_100X, "skew_max": SKEW_MAX},
+            "queries": x100,
+            "pass": all(
+                r["ratio"] <= RATIO_MAX_100X
+                and r["worst_stage_skew_100x"] <= SKEW_MAX
+                for r in x100.values()
+            ),
+        },
     }
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -35,6 +35,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.session import get_spark
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming import cdc
 
@@ -134,15 +136,24 @@ def run_mode(
     }
 
 
-def write_event_feed(drop_dir: str, scale: int = 1) -> int:
+def write_event_feed(drop_dir: str, scale: int = 1, densify: bool = True) -> int:
     """Event-shaped feed (ts, event_type, value) for the windowed-agg
     path: 60k events spread over ~42 hours (one per 2.5s of event
     time) so a 5-minute tumble yields ~500 windows and the 10-minute
     watermark actually closes windows mid-run.
 
-    scale=S densifies: S× the events over the SAME 42-hour event-time
-    span — open-window count (and therefore state rows) must NOT grow
-    with S; that invariance is the streaming scale-slope evidence."""
+    scale=S with densify=True (the windowed/session modes): S× the
+    events over the SAME 42-hour event-time span — open-window count
+    (and therefore state rows) must NOT grow with S; that invariance
+    is the streaming scale-slope evidence.
+
+    densify=False (the stream-stream JOIN mode): S× the events over an
+    S×-LONGER event-time span — constant arrival density, so the
+    interval-join match rate per event stays constant (a densified
+    feed would grow matches quadratically and the bench would measure
+    output explosion, not join cost) and join state, bounded by the
+    watermark+interval horizon × density, must stay ~FLAT at 10× —
+    the join twin of the windowed invariance."""
     os.makedirs(drop_dir, exist_ok=True)
     types = ["view", "click", "buy", "error"]
     n = 0
@@ -151,7 +162,9 @@ def write_event_feed(drop_dir: str, scale: int = 1) -> int:
         with open(path, "w") as f:
             for r in range(ROWS_PER_FILE):
                 n += 1
-                secs = (n * 5) // (2 * scale)  # 2.5s/scale per event
+                # densify: 2.5s/scale per event (same span, S× density);
+                # extend: 2.5s per event (same density, S× span)
+                secs = (n * 5) // (2 * scale) if densify else (n * 5) // 2
                 # the DATE advances with the hours — an hour-only %24
                 # wrap sent event time ~24h backwards mid-feed and the
                 # watermark silently discarded 42% of the events
@@ -311,6 +324,153 @@ def run_session_mode(
     }
 
 
+def run_bigstate_mode(
+    spark,
+    drop_dir: str,
+    work: str,
+    tag: str,
+    files_per_trigger: int,
+    rocksdb: bool,
+) -> dict:
+    """Provider comparison at REAL state size (VERDICT r7 next-6: 209
+    state rows cannot separate providers).  Tumbling 5-minute windows
+    keyed by a ~1000-value derived key with a 12-HOUR watermark: on the
+    10× densified feed every open window holds ~997 keys, so the store
+    carries ~150-200k rows — the size where hdfs-backed (on-heap map +
+    full-snapshot checkpoints) and RocksDB (off-heap, incremental
+    changelog) actually diverge.  This mode deliberately measures
+    provider cost, not the time-bounded-state invariant (the other
+    modes pin that)."""
+    ckpt = os.path.join(work, f"ckpt_{tag}")
+    out = os.path.join(work, f"out_{tag}")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    if rocksdb:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .json(drop_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "12 hours")
+        .groupBy(
+            F.window("ts", "5 minutes").alias("w"),
+            (F.col("value") * 7).cast("int").alias("k"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "k", "n")
+    )
+    t0 = time.perf_counter()
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_die(q, 1800, tag)
+    finally:
+        if rocksdb:
+            if prev_provider is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev_provider
+                )
+    wall = time.perf_counter() - t0
+    rows, durs = batch_stats(q)
+    state_rows = 0
+    for p in q.recentProgress:
+        for so in p.get("stateOperators", []):
+            state_rows = max(state_rows, so.get("numRowsTotal", 0))
+    emitted = spark.read.parquet(out).count()
+    return {
+        "input_rows": rows,
+        "windows_emitted": emitted,
+        "max_state_rows": state_rows,
+        "state_store": "rocksdb" if rocksdb else "hdfs-backed (default)",
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(rows / wall, 1),
+        "micro_batches": len(durs),
+        "batch_ms_median": round(statistics.median(durs), 1),
+        "batch_ms_p95": round(sorted(durs)[math.ceil(len(durs) * 0.95) - 1], 1),
+    }
+
+
+def run_join_mode(
+    spark,
+    drop_dir: str,
+    work: str,
+    tag: str = "join",
+    files_per_trigger: int = FILES_PER_TRIGGER,
+) -> dict:
+    """B37′ stream-stream interval join as a stream (windows.join_streams
+    — the one stateful shape with no bench numbers before round 8):
+    views joined to clicks of the same user landing within 5 minutes
+    after the view.  Both sides buffer in the state store; the interval
+    bound + watermark is what lets state EVICT — max joint state rows
+    is the headline metric, and on the constant-density extended feed
+    it must stay ~flat at 10× (time-horizon-bounded, never
+    stream-length-bounded)."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming import windows
+
+    ckpt = os.path.join(work, f"ckpt_{tag}")
+    out = os.path.join(work, f"out_{tag}")
+    schema = "ts timestamp, event_type string, value double, user_id long"
+
+    def side(event_type: str, value_alias: str):
+        # two independent readStream sources over the same drop dir —
+        # exactly how an impression topic and a click topic would be
+        # two Kafka sources; the one checkpoint tracks both
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .json(drop_dir)
+            .filter(F.col("event_type") == event_type)
+            .select("user_id", "ts", F.col("value").alias(value_alias))
+        )
+
+    joined = windows.join_streams(
+        side("view", "view_value"),
+        side("click", "click_value"),
+        key="user_id",
+        left_ts="ts",
+        watermark="10 minutes",
+        within="5 minutes",
+    )
+    t0 = time.perf_counter()
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_die(q, 1200, tag)
+    wall = time.perf_counter() - t0
+    rows, durs = batch_stats(q)
+    state_rows = 0
+    for p in q.recentProgress:
+        for so in p.get("stateOperators", []):
+            state_rows = max(state_rows, so.get("numRowsTotal", 0))
+    emitted = spark.read.parquet(out).count()
+    return {
+        "input_rows": rows,
+        "pairs_emitted": emitted,
+        "max_state_rows": state_rows,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(rows / wall, 1),
+        "micro_batches": len(durs),
+        "batch_ms_median": round(statistics.median(durs), 1),
+        "batch_ms_p95": round(sorted(durs)[math.ceil(len(durs) * 0.95) - 1], 1),
+    }
+
+
 def main() -> None:
     work = "/tmp/spark_graft_stream_bench"
     shutil.rmtree(work, ignore_errors=True)
@@ -346,6 +506,7 @@ def main() -> None:
     window = run_window_mode(spark, ev_drop, work)
     window_rocks = run_window_mode(spark, ev_drop, work, tag="window_rocks", rocksdb=True)
     session = run_session_mode(spark, ev_drop, work)
+    join = run_join_mode(spark, ev_drop, work)
 
     # ---- 10× block (VERDICT r6 "what's missing" #4): the streaming
     # twin of SCALE_SLOPE.json.  Same micro-batch COUNT (10) at 10× the
@@ -371,6 +532,35 @@ def main() -> None:
         spark, ev10, work10, tag="session10",
         files_per_trigger=FILES_PER_TRIGGER * scale,
     )
+    # the join's 10× feed EXTENDS the event-time span at constant
+    # density (densify=False): a densified feed would grow interval
+    # matches quadratically and measure output explosion, not join cost
+    ev10_join = os.path.join(work10, "ev_drop_join")
+    write_event_feed(ev10_join, scale=scale, densify=False)
+    join10 = run_join_mode(
+        spark, ev10_join, work10, tag="join10",
+        files_per_trigger=FILES_PER_TRIGGER * scale,
+    )
+    # steady-batch twin: SAME files-per-trigger as 1× (100 micro-batches
+    # instead of 10), so each batch spans the same event time.  With 10
+    # scaled batches, max join state ≈ one batch of rows (the watermark
+    # can only evict at batch boundaries), which grows with the batch —
+    # the STEADY run is the eviction evidence: 10× longer stream, same
+    # arrival density, same batch span → max state must stay ~FLAT.
+    join10_steady = run_join_mode(
+        spark, ev10_join, work10, tag="join10_steady",
+        files_per_trigger=FILES_PER_TRIGGER,
+    )
+    # provider comparison at real state size (~150-200k rows) on the
+    # densified 10× feed — hdfs-backed first, then RocksDB
+    big_hdfs = run_bigstate_mode(
+        spark, ev10, work10, tag="big_hdfs",
+        files_per_trigger=FILES_PER_TRIGGER * scale, rocksdb=False,
+    )
+    big_rocks = run_bigstate_mode(
+        spark, ev10, work10, tag="big_rocks",
+        files_per_trigger=FILES_PER_TRIGGER * scale, rocksdb=True,
+    )
 
     def slope(one: dict, ten: dict) -> float:
         # wall ratio at 10× input per micro-batch; ≤~10 is linear,
@@ -386,6 +576,7 @@ def main() -> None:
         "window": window,
         "window_rocksdb": window_rocks,
         "session": session,
+        "join": join,
         "merge_minus_append_batch_ms": round(
             merge["batch_ms_median"] - append["batch_ms_median"], 1
         ),
@@ -398,18 +589,32 @@ def main() -> None:
             "window": window10,
             "window_rocksdb": window10_rocks,
             "session": session10,
+            "join": join10,
             "wall_ratio_vs_1x": {
                 "append": slope(append, append10),
                 "merge": slope(merge, merge10),
                 "window": slope(window, window10),
                 "window_rocksdb": slope(window_rocks, window10_rocks),
                 "session": slope(session, session10),
+                "join": slope(join, join10),
             },
             "state_rows_ratio_window": round(
                 window10["max_state_rows"] / max(window["max_state_rows"], 1), 2
             ),
             "state_rows_ratio_session": round(
                 session10["max_state_rows"] / max(session["max_state_rows"], 1), 2
+            ),
+            "state_rows_ratio_join": round(
+                join10["max_state_rows"] / max(join["max_state_rows"], 1), 2
+            ),
+            "join_steady": join10_steady,
+            "state_rows_ratio_join_steady": round(
+                join10_steady["max_state_rows"] / max(join["max_state_rows"], 1), 2
+            ),
+            "bigstate_hdfs": big_hdfs,
+            "bigstate_rocksdb": big_rocks,
+            "bigstate_batch_ms_ratio_rocksdb_vs_hdfs": round(
+                big_rocks["batch_ms_median"] / max(big_hdfs["batch_ms_median"], 1e-9), 3
             ),
         },
     }
