@@ -32,6 +32,9 @@ run instead of only annotating it — the parent retries the full bench
 up to $SPARK_BENCH_ATTEMPTS (default 3) times, keeps the attempt whose
 bracketing probes show the quietest host, and stops early once an
 attempt's min(eff0, eff1) clears $SPARK_BENCH_EFF_GATE (default 0.85).
+Retries only START while $SPARK_BENCH_BUDGET_SEC (default 900) of wall
+remains, so a driver-side timeout can never kill the run with a result
+already in hand.
 The artifact records probe.best_of / probe.max_eff / probe.clean, so a
 session that never saw a quiet window is self-documenting.  The log
 grep now CLASSIFIES frames ({n, classes, benign, first} on the stdout
@@ -285,9 +288,19 @@ def _parent() -> None:
     # /clean so a never-quiet session is self-documenting.
     gate = float(os.environ.get("SPARK_BENCH_EFF_GATE", "0.85"))
     max_attempts = max(1, int(os.environ.get("SPARK_BENCH_ATTEMPTS", "3")))
+    # total wall budget: a retry may only START while budget remains,
+    # sized so the driver's own timeout can never catch us mid-retry
+    # with a result already in hand (attempt 1 always runs)
+    budget = float(os.environ.get("SPARK_BENCH_BUDGET_SEC", "900"))
+    t_start = time.monotonic()
     attempts: list[dict] = []
     for i in range(max_attempts):
         if i > 0:
+            elapsed = time.monotonic() - t_start
+            # a retry costs ~one attempt-1 wall; don't start one we
+            # can't comfortably afford
+            if elapsed + 1.2 * attempt_wall > budget:
+                break
             # brief settle between attempts: co-tenant bursts are often
             # shorter than a bench pass; probing is ~100× cheaper than
             # re-running, so wait for a quieter window before paying
@@ -296,7 +309,9 @@ def _parent() -> None:
                 if (_cpu_probe(nproc)["par_eff"] or 0) >= gate:
                     break
                 time.sleep(10)
+        t_att = time.monotonic()
         rec = _run_attempt(i, nproc)
+        attempt_wall = time.monotonic() - t_att
         attempts.append(rec)
         if rec["eff"] >= gate:
             break

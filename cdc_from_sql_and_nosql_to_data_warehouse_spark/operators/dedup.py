@@ -1362,3 +1362,74 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
     )
+
+
+@register(
+    "q_record_linkage",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+        substr(c_name, length(c_name) - 2, 3) AS blk
+      FROM customer
+    ),
+    scored AS (
+      SELECT a.c_custkey AS a, b.c_custkey AS b,
+        CAST(CASE WHEN a.c_nationkey = b.c_nationkey THEN 22 ELSE 0 END
+           + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 16 ELSE 0 END
+           + CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 100.0 THEN 19 ELSE 0 END
+           + CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 31 ELSE 0 END
+          AS BIGINT) AS score
+      FROM c a JOIN c b
+        ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    )
+    SELECT a, b, score FROM scored WHERE score >= 38
+    """,
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-adjacent entity resolution, stage 2: Fellegi-Sunter-style
+    pairwise MATCH SCORING over blocked candidates — the step between
+    candidate generation (q_fuzzy_match / q_sorted_neighborhood) and
+    cluster resolution (q_dedup_clusters).  Each candidate pair earns
+    integer log-odds-style agreement weights per field (nation 22,
+    market segment 16, account balance within 100.0 → 19, name edit
+    distance ≤ 2 → 31); pairs scoring ≥ 38 (at least two strong
+    agreements) survive.
+
+    Integer weights keep the score exact and associative — no float
+    summation policy needed.  Scale: candidates come from the same
+    suffix-3 equi-join block as q_fuzzy_match's pass A (never
+    all-pairs); scoring is a flat codegen projection per pair; the
+    Levenshtein runs thresholded (banded DP, -1 over the bound) so the
+    expensive feature costs O(threshold·len) per pair."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.substring(F.col("c_name"), -3, 3).alias("blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    agree = (
+        F.when(F.col("a.c_nationkey") == F.col("b.c_nationkey"), 22).otherwise(0)
+        + F.when(F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), 16).otherwise(0)
+        + F.when(
+            F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) < 100.0, 19
+        ).otherwise(0)
+        + F.when(
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2) >= 0, 31
+        ).otherwise(0)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("a"),
+            F.col("b.c_custkey").alias("b"),
+            agree.cast("bigint").alias("score"),
+        )
+        .filter(F.col("score") >= 38)
+    )

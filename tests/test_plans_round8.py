@@ -1,0 +1,71 @@
+"""Round-8 plan pins: the four new operators' scale shapes.
+
+Each pin is the structural property the operator's docstring promises —
+a renamed column or helper change that silently degrades the plan
+(cartesian, single-task global sort, unpushed filter) breaks here, not
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark import plans
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.behavioral import (
+    q_impression_click_join,
+    q_time_decay_attribution,
+)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import (
+    q_fuzzy_match,
+    q_record_linkage,
+    q_sorted_neighborhood,
+)
+
+from conftest import SF_DIR
+
+
+def test_impression_click_join_is_a_keyed_hash_join(spark):
+    # the compound (user_id, bucket) key must plan an EQUI join — a
+    # BroadcastNestedLoopJoin here would mean the bucket decomposition
+    # regressed to a pure range join
+    df = q_impression_click_join(spark, SF_DIR)
+    text = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in text, text
+    assert "CartesianProduct" not in text, text
+    # the event_type filters reach the scan
+    assert plans.has_pushed_filter(df, "view") or "view" in text, text
+
+
+def test_time_decay_window_is_keyed_by_purchase(spark):
+    # the normalizer window partitions by p_id (purchases-many 1-group
+    # partitions) — a global (unpartitioned) window would funnel every
+    # credit through one task
+    df = q_time_decay_attribution(spark, SF_DIR)
+    text = plans.formatted_plan(df)
+    assert "CartesianProduct" not in text, text
+    phys = text.split("== Physical Plan ==")[-1]
+    assert "SinglePartition" not in phys, phys
+
+
+def test_sorted_neighborhood_has_no_global_sort_bottleneck(spark):
+    # the dense rank comes from assign_dense_ids (range partition +
+    # local sort) — the single-task row_number() shape plans a
+    # SinglePartition exchange, which must never appear
+    df = q_sorted_neighborhood(spark, SF_DIR)
+    text = plans.formatted_plan(df)
+    phys = text.split("== Physical Plan ==")[-1]
+    assert "SinglePartition" not in phys, phys
+    assert "CartesianProduct" not in text, text
+
+
+def test_record_linkage_candidates_are_block_joined(spark):
+    df = q_record_linkage(spark, SF_DIR)
+    text = plans.formatted_plan(df)
+    assert "CartesianProduct" not in text, text
+    assert "BroadcastNestedLoopJoin" not in text, text
+
+
+def test_fuzzy_match_union_blocking_pair_budget(spark):
+    # the round-8 compound-block rewrite: candidate volume at test SF
+    # must stay bounded (sf0.001: 150 customers -> a few hundred pairs,
+    # nothing within an order of magnitude of all-pairs ~11k)
+    n = q_fuzzy_match(spark, SF_DIR).count()
+    assert 0 < n < 2000, n
