@@ -278,6 +278,19 @@ def _run_attempt(attempt: int, nproc: int) -> dict | None:
     }
 
 
+def _select_attempt(attempts: list[dict], gate: float) -> dict:
+    """A gate-clearing attempt wins outright (quiet host = comparable
+    absolute).  When NO attempt is clean, keep the FASTEST total —
+    co-tenant noise can only inflate wall time, never deflate it, so
+    min(value) is the least-contaminated sample (measured: the boundary
+    probes rank attempts differently from their walls because they
+    sample only the brackets, not the run)."""
+    clean = [r for r in attempts if r["eff"] >= gate]
+    if clean:
+        return clean[0]
+    return min(attempts, key=lambda r: r["obj"].get("value") or float("inf"))
+
+
 def _parent() -> None:
     nproc = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # Probe-gated retries (VERDICT r7 next-1): a time-shared host reads
@@ -315,7 +328,7 @@ def _parent() -> None:
         attempts.append(rec)
         if rec["eff"] >= gate:
             break
-    best = max(attempts, key=lambda r: r["eff"])
+    best = _select_attempt(attempts, gate)
     # the committed log is always the KEPT attempt's log
     try:
         os.replace(best["log_path"], _LOG_PATH)
@@ -335,7 +348,9 @@ def _parent() -> None:
         "eff0": probe_before["par_eff"],
         "eff1": probe_after["par_eff"],
         "best_of": len(attempts),
-        "max_eff": round(best["eff"], 3),
+        # max_eff is the quietest bracket seen across ALL attempts —
+        # "how quiet did this session ever get"; clean grades the KEPT one
+        "max_eff": round(max(r["eff"] for r in attempts), 3),
         "clean": best["eff"] >= gate,
     }
     exc = best["exc"]

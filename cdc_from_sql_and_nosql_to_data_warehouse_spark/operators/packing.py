@@ -22,6 +22,7 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_
 # DuckDB tokenization CTE (single-sourced; functions/portable_hash.py)
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (  # noqa: E402
     SQL_TOKS_CTE as _SQL_TOKS,
+    sql_md5_unit as _sql_md5_unit,
 )
 
 # Small window/stride so the ~54-token testdata documents produce
@@ -191,3 +192,94 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast("int"),
     )
     return sc.select("vec_id", "scale", F.posexplode(q).alias("pos", "q"))
+
+
+_SPAN_START_P = 0.05  # per-position span-start probability
+_SPAN_LEN = 3  # fixed corruption span length (tokens)
+_SPAN_U = "'doc:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)"
+
+
+
+
+@register(
+    "q_span_corruption",
+    oracle=f"""
+    WITH {_SQL_TOKS},
+    pos AS (
+      SELECT doc_id, unnest(generate_series(0, length(toks) - 1)) AS p
+      FROM toks WHERE length(toks) >= 1
+    ),
+    flagged AS (
+      SELECT doc_id, p,
+        CASE WHEN {_sql_md5_unit(_SPAN_U)} < {_SPAN_START_P} THEN 1 ELSE 0 END
+          AS start
+      FROM pos
+    ),
+    covered AS (
+      SELECT doc_id, start,
+        max(start) OVER (
+          PARTITION BY doc_id ORDER BY p
+          ROWS BETWEEN {_SPAN_LEN - 1} PRECEDING AND CURRENT ROW
+        ) AS masked
+      FROM flagged
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(SUM(start) AS BIGINT) AS n_spans,
+      CAST(SUM(masked) AS BIGINT) AS n_masked,
+      round(CAST(SUM(masked) AS DOUBLE) / COUNT(*), 6) AS corruption_rate
+    FROM covered
+    GROUP BY doc_id
+    """,
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask PLANNING: for each document,
+    deterministically select span starts (per-position md5-uniform <
+    5%), extend each to a 3-token span, and report how many tokens the
+    union of spans masks.  The mask-budget audit a denoising-objective
+    pipeline runs before materializing corrupted examples — rates far
+    from the configured budget flag tokenizer or corpus drift.
+
+    Determinism: the per-position draw is the cross-engine md5 uniform
+    (functions/portable_hash.md5_unit) on 'doc:<doc_id>:<pos>' — no
+    RNG, so the oracle reproduces the exact mask.  Scale: one explode
+    (flat, no shuffle), ONE window partitioned by doc_id with a
+    constant 3-row frame (never unbounded), one hash agg — per-doc
+    cost is linear in its token count."""
+    from pyspark.sql.window import Window
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+        md5_unit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(X.tokens("text")).alias("p", "tok")
+    )
+    flagged = pos.select(
+        "doc_id",
+        "p",
+        F.when(
+            md5_unit(
+                F.concat_ws(":", F.lit("doc"), F.col("doc_id"), F.col("p"))
+            )
+            < _SPAN_START_P,
+            1,
+        )
+        .otherwise(0)
+        .alias("start"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(_SPAN_LEN - 1), 0)
+    )
+    covered = flagged.withColumn("masked", F.max("start").over(w))
+    return covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("start").cast("bigint").alias("n_spans"),
+        F.sum("masked").cast("bigint").alias("n_masked"),
+        F.round(
+            F.sum("masked").cast("double") / F.count(F.lit(1)), 6
+        ).alias("corruption_rate"),
+    )

@@ -121,6 +121,19 @@ def test_log_scan_missing_file_is_empty():
     }
 
 
+def test_attempt_selection_prefers_clean_then_fastest():
+    # gate-clearing attempt wins even if slower; with no clean attempt
+    # the fastest wall is the least noise-inflated sample
+    a = {"eff": 0.50, "obj": {"value": 34.0}}
+    b = {"eff": 0.90, "obj": {"value": 40.0}}
+    c = {"eff": 0.52, "obj": {"value": 38.0}}
+    assert bench._select_attempt([a, b, c], gate=0.85) is b
+    assert bench._select_attempt([a, c], gate=0.85) is a
+    # a missing value never wins
+    d = {"eff": 0.60, "obj": {}}
+    assert bench._select_attempt([d, c], gate=0.85) is c
+
+
 def test_cpu_probe_shape():
     # 2-proc probe keeps the test cheap; fields and bounds only —
     # absolute numbers are host-dependent by definition
