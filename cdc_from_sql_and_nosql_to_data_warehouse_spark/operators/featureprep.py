@@ -466,3 +466,164 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", *projs)
 
 
+
+
+@register(
+    "q_target_encoding",
+    oracle="""
+    WITH y AS (
+      SELECT c_custkey, c_mktsegment,
+        CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+      FROM customer
+    ),
+    seg AS (
+      SELECT c_mktsegment, CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM y GROUP BY c_mktsegment
+    )
+    SELECT y.c_custkey, y.c_mktsegment AS segment, CAST(y.y AS INTEGER) AS y,
+      CASE WHEN seg.n > 1
+           THEN round(CAST(seg.sum_y - y.y AS DOUBLE) / (seg.n - 1), 6)
+      END AS enc
+    FROM y JOIN seg USING (c_mktsegment)
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out TARGET ENCODING of a categorical feature: each
+    row's category is replaced by the mean of the (binary) target over
+    every OTHER row of that category — the standard high-cardinality
+    encoding, with the leave-one-out correction that prevents the
+    row's own label from leaking into its feature.
+
+    Exactness: the target is 0/1, so the category sums are integers;
+    the only division is (sum_y − y)/(n − 1) — an int/int double
+    division both engines evaluate identically — rounded once to 6dp.
+    Scale: one hash agg to a |categories|-row stats table, broadcast
+    back onto the scan (AQE chooses the broadcast while it fits — the
+    stats side is category-bounded, not data-bounded); no window, no
+    per-row state."""
+    y = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") > 0, 1).otherwise(0).alias("y"),
+    )
+    seg = y.groupBy("c_mktsegment").agg(
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return y.join(seg, "c_mktsegment").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("y").cast("int").alias("y"),
+        F.when(
+            F.col("n") > 1,
+            F.round((F.col("sum_y") - F.col("y")).cast("double") / (F.col("n") - 1), 6),
+        ).alias("enc"),
+    )
+
+
+# collapse threshold: categories holding < 4% of rows fold into OTHER.
+# Compared as integers (cnt * 100 < total * 4) — no float boundary to
+# diverge between engines.
+_RARE_PCT = 4
+
+
+@register(
+    "q_rare_collapse",
+    oracle=f"""
+    WITH counts AS (
+      SELECT p_brand, COUNT(*) AS cnt FROM part GROUP BY p_brand
+    ),
+    total AS (SELECT SUM(cnt) AS total FROM counts),
+    labeled AS (
+      SELECT CASE WHEN cnt * 100 < total * {_RARE_PCT} THEN 'OTHER'
+                  ELSE p_brand END AS label,
+             cnt
+      FROM counts CROSS JOIN total
+    )
+    SELECT label, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) AS BIGINT) AS n_categories
+    FROM labeled GROUP BY label
+    """,
+)
+def q_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category COLLAPSING: categories carrying under 4% of rows
+    fold into a single OTHER label — the featureprep pass that keeps
+    one-hot/target encodings from exploding on heavy-tailed
+    categoricals (and serving-time rows from hitting unseen levels).
+
+    Determinism: the threshold comparison is pure integer arithmetic
+    (cnt·100 < total·4) — no float boundary for engines to disagree
+    on.  Scale: everything after the first hash agg operates on
+    |categories| rows, not data rows; the total is a 1-row broadcast
+    cross join."""
+    counts = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    labeled = counts.crossJoin(F.broadcast(total)).select(
+        F.when(
+            F.col("cnt") * 100 < F.col("total") * _RARE_PCT, F.lit("OTHER")
+        )
+        .otherwise(F.col("p_brand"))
+        .alias("label"),
+        "cnt",
+    )
+    return labeled.groupBy("label").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+    )
+
+
+@register(
+    "q_quantile_normalize",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+      round(percent_rank() OVER (
+        PARTITION BY l_returnflag ORDER BY l_quantity), 6) AS qn
+    FROM lineitem
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group QUANTILE NORMALIZATION: each value mapped to its
+    percent rank within its group — rank-based feature scaling, immune
+    to outliers and distribution shape.
+
+    The oracle states the semantics directly as a percent_rank()
+    window; the Spark plan REFUSES that shape — percent_rank over 3
+    giant groups is 3 single-task sorts of the whole fact table.
+    Instead: percent_rank's definition is (count of strictly smaller
+    rows)/(n−1), so aggregate to DISTINCT (group, value) counts (tiny:
+    |groups|·|distinct values|), take the EXCLUSIVE running sum over
+    value within group (a window over the distinct rows, not the
+    facts), broadcast-join back, and divide once.  Identical output,
+    and the only per-fact work is a hash agg and a broadcast probe."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    vc = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranks = vc.select(
+        "l_returnflag",
+        "l_quantity",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("n_less"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    return li.join(ranks, ["l_returnflag", "l_quantity"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.round(
+            F.col("n_less").cast("double") / (F.col("n") - 1), 6
+        ).alias("qn"),
+    )

@@ -63,6 +63,34 @@ def test_record_linkage_candidates_are_block_joined(spark):
     assert "BroadcastNestedLoopJoin" not in text, text
 
 
+def test_target_encoding_broadcasts_category_stats(spark):
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.featureprep import (
+        q_target_encoding,
+    )
+
+    df = q_target_encoding(spark, SF_DIR)
+    assert plans.has_broadcast_join(df)
+    assert "CartesianProduct" not in plans.formatted_plan(df)
+
+
+def test_quantile_normalize_windows_distinct_values_not_facts(spark):
+    # the oracle is a percent_rank window; the plan must be the
+    # distinct-value decomposition — no fact-table window (a window
+    # over 3 giant l_returnflag partitions would show a fact-side sort
+    # feeding Window; here Window consumes the (group, value) agg)
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.featureprep import (
+        q_quantile_normalize,
+    )
+
+    df = q_quantile_normalize(spark, SF_DIR)
+    text = plans.formatted_plan(df)
+    assert plans.has_broadcast_join(df)
+    # the Window's input is the aggregated distinct-value frame: a
+    # HashAggregate must appear below the Window in the plan tree
+    phys = text.split("== Physical Plan ==")[-1]
+    assert "Window" in phys and "HashAggregate" in phys, phys
+
+
 def test_fuzzy_match_union_blocking_pair_budget(spark):
     # the round-8 compound-block rewrite: candidate volume at test SF
     # must stay bounded (sf0.001: 150 customers -> a few hundred pairs,
