@@ -62,6 +62,19 @@ def sql_toks_expr(col: str = "text") -> str:
 
 SQL_TOKS_EXPR = sql_toks_expr()
 
+
+def sql_bpe_toks_expr(col: str = "text") -> str:
+    """DuckDB mirror of ``functions.text.bpe_ish_tokens(col)``: the
+    GPT-2-style pre-tokenizer shape — punctuation runs split from word
+    pieces, then whitespace-split (same explicit class; RE2 has no \\s
+    parity with Java)."""
+    return (
+        "list_filter(string_split_regex(regexp_replace(lower("
+        + col
+        + "), '([^\\w \\t\\n\\x0B\\f\\r]+)', ' \\1 ', 'g'), "
+        "'[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
+    )
+
 # the same, as a ready-to-WITH CTE over the documents table
 SQL_TOKS_CTE = f"""
     toks AS (

@@ -3251,3 +3251,133 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corrs.selectExpr(
         f"stack({len(pair_names)}, {stack_args}) AS (var1, var2, corr)"
     )
+
+
+@register(
+    "q_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS obs
+      FROM lineitem GROUP BY 1, 2
+    ),
+    rt AS (SELECT rf, SUM(obs) AS rtot FROM cells GROUP BY rf),
+    ct AS (SELECT ls, SUM(obs) AS ctot FROM cells GROUP BY ls),
+    n AS (SELECT SUM(obs) AS tot FROM cells),
+    terms AS (
+      SELECT
+        round((CAST(obs AS DOUBLE) / tot)
+              * ln(CAST(obs AS DOUBLE) * tot
+                   / (CAST(rtot AS DOUBLE) * ctot)), 6) AS mi_t,
+        round(-(CAST(obs AS DOUBLE) / tot)
+              * ln(CAST(obs AS DOUBLE) / tot), 6) AS hj_t
+      FROM cells JOIN rt USING (rf) JOIN ct USING (ls) CROSS JOIN n
+    ),
+    hr AS (
+      SELECT SUM(CAST(round(-(CAST(rtot AS DOUBLE) / tot)
+                 * ln(CAST(rtot AS DOUBLE) / tot), 6) AS DECIMAL(18,6)))
+        AS h_rf
+      FROM rt CROSS JOIN n
+    ),
+    hc AS (
+      SELECT SUM(CAST(round(-(CAST(ctot AS DOUBLE) / tot)
+                 * ln(CAST(ctot AS DOUBLE) / tot), 6) AS DECIMAL(18,6)))
+        AS h_ls
+      FROM ct CROSS JOIN n
+    ),
+    mi AS (
+      SELECT SUM(CAST(mi_t AS DECIMAL(18,6))) AS mi_nats,
+             SUM(CAST(hj_t AS DECIMAL(18,6))) AS h_joint
+      FROM terms
+    )
+    SELECT CAST(mi_nats AS DOUBLE) AS mi_nats,
+      CAST(h_rf AS DOUBLE) AS h_rf,
+      CAST(h_ls AS DOUBLE) AS h_ls,
+      CAST(h_joint AS DOUBLE) AS h_joint,
+      round(CAST(mi_nats AS DOUBLE)
+            / least(CAST(h_rf AS DOUBLE), CAST(h_ls AS DOUBLE)), 6) AS nmi
+    FROM mi CROSS JOIN hr CROSS JOIN hc
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (return flag
+    × line status) in nats, with marginal/joint entropies and the
+    min-entropy-normalized NMI — chi-square's companion statistic for
+    categorical dependence, the feature-relevance score of a selection
+    pass.
+
+    Float policy (the q_chi2/q_retrieval_ndcg precedent): every
+    transcendental TERM is rounded to 6dp immediately, then summed as
+    DECIMAL(18,6) — exact, associative, partition-order-independent;
+    the single final division is rounded once.  Scale: one map-side-
+    combined hash agg to the |rf|×|ls| cell frame; everything after is
+    key-domain-bounded (≤ dozens of rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls"))
+        .agg(F.count("*").alias("obs"))
+        .localCheckpoint(eager=False)  # tiny; consumed by 4 branches
+    )
+    rt = cells.groupBy("rf").agg(F.sum("obs").alias("rtot"))
+    ct = cells.groupBy("ls").agg(F.sum("obs").alias("ctot"))
+    n = cells.agg(F.sum("obs").alias("tot"))
+
+    def dsum6(col: F.Column, alias: str) -> F.Column:
+        return F.sum(col.cast("decimal(18,6)")).alias(alias)
+
+    obs_d = F.col("obs").cast("double")
+    terms = (
+        cells.join(rt, "rf")
+        .join(ct, "ls")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                (obs_d / F.col("tot"))
+                * F.log(
+                    obs_d * F.col("tot")
+                    / (F.col("rtot").cast("double") * F.col("ctot"))
+                ),
+                6,
+            ).alias("mi_t"),
+            F.round(
+                -(obs_d / F.col("tot")) * F.log(obs_d / F.col("tot")), 6
+            ).alias("hj_t"),
+        )
+    )
+    mi = terms.agg(dsum6(F.col("mi_t"), "mi_nats"), dsum6(F.col("hj_t"), "h_joint"))
+    hr = (
+        rt.crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                -(F.col("rtot").cast("double") / F.col("tot"))
+                * F.log(F.col("rtot").cast("double") / F.col("tot")),
+                6,
+            ).alias("t")
+        )
+        .agg(dsum6(F.col("t"), "h_rf"))
+    )
+    hc = (
+        ct.crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                -(F.col("ctot").cast("double") / F.col("tot"))
+                * F.log(F.col("ctot").cast("double") / F.col("tot")),
+                6,
+            ).alias("t")
+        )
+        .agg(dsum6(F.col("t"), "h_ls"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(hr))
+        .crossJoin(F.broadcast(hc))
+        .select(
+            F.col("mi_nats").cast("double").alias("mi_nats"),
+            F.col("h_rf").cast("double").alias("h_rf"),
+            F.col("h_ls").cast("double").alias("h_ls"),
+            F.col("h_joint").cast("double").alias("h_joint"),
+            F.round(
+                F.col("mi_nats").cast("double")
+                / F.least(F.col("h_rf").cast("double"), F.col("h_ls").cast("double")),
+                6,
+            ).alias("nmi"),
+        )
+    )

@@ -20,6 +20,8 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_
 # (single-sourced; functions/portable_hash.py)
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (  # noqa: E402
     SQL_TOKS_EXPR as _SQL_TOKS,
+    sql_bpe_toks_expr,
+    sql_toks_expr,
 )
 
 
@@ -316,12 +318,10 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_token_count_bpe",
-    oracle=r"""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id,
-        list_filter(
-          string_split_regex(regexp_replace(lower(text), '([^\w \t\n\x0B\f\r]+)', ' \1 ', 'g'), '[ \t\n\x0B\f\r]+'),
-          x -> x <> '') AS toks
+        {sql_bpe_toks_expr()} AS toks
       FROM documents
     )
     SELECT doc_id, CAST(length(toks) AS BIGINT) AS n_bpe_tokens
@@ -1177,4 +1177,56 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(ari_micro).cast("double") / 1000000.0 / F.count("*")).alias(
             "avg_ari"
         ),
+    )
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+        CAST(length(text) AS BIGINT) AS n_char,
+        CAST(length({sql_toks_expr()}) AS BIGINT) AS n_ws,
+        CAST(length({sql_bpe_toks_expr()}) AS BIGINT) AS n_bpe
+      FROM documents
+    )
+    SELECT lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+      CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+      round(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS fertility,
+      round(CAST(SUM(n_char) AS DOUBLE) / SUM(n_bpe), 6) AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 tokenizer FERTILITY audit per language: BPE-ish tokens per
+    whitespace word and characters per token — the standard check that
+    a tokenizer doesn't systematically over-segment some languages
+    (high fertility = more compute per content word for that slice of
+    the corpus; the multilingual-fairness number every training-data
+    report tables).
+
+    Exactness: all sums are integer token counts; the two divisions
+    are int/int double divisions rounded once to 6dp.  Scale: one scan
+    computing both token counts as flat expressions, one hash agg on
+    the bounded lang domain — nothing data-scaled crosses the
+    network."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_char"),
+        F.size(X.tokens("text")).cast("bigint").alias("n_ws"),
+        F.size(X.bpe_ish_tokens("text")).cast("bigint").alias("n_bpe"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+        F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_char").cast("double") / F.sum("n_bpe"), 6
+        ).alias("chars_per_token"),
     )
