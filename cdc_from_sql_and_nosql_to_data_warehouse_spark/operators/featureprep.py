@@ -469,7 +469,7 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_target_encoding",
+    "q_target_encoding_loo",
     oracle="""
     WITH y AS (
       SELECT c_custkey, c_mktsegment,
@@ -488,12 +488,14 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM y JOIN seg USING (c_mktsegment)
     """,
 )
-def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out TARGET ENCODING of a categorical feature: each
     row's category is replaced by the mean of the (binary) target over
-    every OTHER row of that category — the standard high-cardinality
-    encoding, with the leave-one-out correction that prevents the
-    row's own label from leaking into its feature.
+    every OTHER row of that category — the per-ROW leakage correction,
+    complementing mlprep.q_target_encode's per-CATEGORY smoothed-mean
+    table (shrinkage handles rare categories; leave-one-out handles
+    the row's own label leaking into its feature — production
+    pipelines use both).
 
     Exactness: the target is 0/1, so the category sums are integers;
     the only division is (sum_y − y)/(n − 1) — an int/int double

@@ -65,10 +65,10 @@ def test_record_linkage_candidates_are_block_joined(spark):
 
 def test_target_encoding_broadcasts_category_stats(spark):
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.featureprep import (
-        q_target_encoding,
+        q_target_encoding_loo,
     )
 
-    df = q_target_encoding(spark, SF_DIR)
+    df = q_target_encoding_loo(spark, SF_DIR)
     assert plans.has_broadcast_join(df)
     assert "CartesianProduct" not in plans.formatted_plan(df)
 
