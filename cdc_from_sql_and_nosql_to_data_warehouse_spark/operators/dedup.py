@@ -1433,3 +1433,89 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("score") >= 38)
     )
+
+
+_ER_MATCH_SCORE = 50  # linkage score at or above which a pair is a match
+
+
+@register(
+    "q_er_resolve",
+    oracle=f"""
+    WITH RECURSIVE c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+        substr(c_name, length(c_name) - 2, 3) AS blk
+      FROM customer
+    ),
+    matches AS (
+      SELECT a.c_custkey AS a, b.c_custkey AS b
+      FROM c a JOIN c b
+        ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+      WHERE CASE WHEN a.c_nationkey = b.c_nationkey THEN 22 ELSE 0 END
+          + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 16 ELSE 0 END
+          + CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 100.0 THEN 19 ELSE 0 END
+          + CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 31 ELSE 0 END
+          >= {_ER_MATCH_SCORE}
+    ),
+    edges AS (
+      SELECT a AS x, b AS y FROM matches
+      UNION SELECT b, a FROM matches
+    ),
+    reach(x, y) AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+    )
+    SELECT x AS record_id, least(x, MIN(y)) AS entity_id
+    FROM reach GROUP BY x
+    """,
+)
+def q_er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ENTITY RESOLUTION, the full chain in one query:
+    blocking (suffix-3 equi-join — q_fuzzy_match's pass A) → pairwise
+    Fellegi-Sunter scoring (q_record_linkage's integer agreement
+    weights, match at score ≥ 50 = name + any strong field, or three
+    weak fields) → connected components (dedup_clusters' O(diameter)
+    min-label propagation) → (record, entity_id) for every record that
+    matched anything.
+
+    Each stage keeps its own scale shape: candidates are block-local
+    equi-join output, scoring is a flat projection per pair, and
+    clustering shuffles only (node, label) pairs per round.  The
+    DuckDB twin resolves the same matches by recursive transitive
+    closure (the q_dedup_clusters_md5 precedent — exact at oracle
+    scale)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.substring(F.col("c_name"), -3, 3).alias("blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    score = (
+        F.when(F.col("a.c_nationkey") == F.col("b.c_nationkey"), 22).otherwise(0)
+        + F.when(F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), 16).otherwise(0)
+        + F.when(
+            F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) < 100.0, 19
+        ).otherwise(0)
+        + F.when(
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2) >= 0, 31
+        ).otherwise(0)
+    )
+    matches = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(score >= _ER_MATCH_SCORE)
+        .select(
+            F.col("a.c_custkey").alias("a"),
+            F.col("b.c_custkey").alias("b"),
+        )
+    )
+    return dedup_clusters(matches).select(
+        F.col("doc_id").alias("record_id"),
+        F.col("cluster_id").alias("entity_id"),
+    )
