@@ -42,8 +42,9 @@ def test_slope_schema_and_coverage(slope):
     assert slope["criteria"] == {"ratio_max": 12.0, "skew_max": 4.0}
     # the 10 most expensive round-5 headliners + 4 round-6 shapes
     # + 3 round-7 additions (attribution pair, robust-scale knob)
-    # + 1 round-8 addition (keyed interval join)
-    assert len(slope["queries"]) in (17, 18)
+    # + up to 4 round-8 additions (interval join, time-decay credits,
+    #   span mask, quantile normalize)
+    assert len(slope["queries"]) in (17, 18, 21)
     for extra in (
         "q_last_touch_attribution",
         "q_linear_attribution",

@@ -85,11 +85,18 @@ QUERIES = [
     "q_last_touch_attribution",
     "q_linear_attribution",
     "q_robust_scale",
-    # round-8 addition: the keyed interval join (compound
+    # round-8 additions: the keyed interval join (compound
     # (user, horizon-bucket) key — candidate volume per probe is
     # bucket-local, so the slope must stay linear even though the
-    # replicated events multiply both sides)
+    # replicated events multiply both sides), the credit fan-out
+    # attribution (output IS the credit list — linear in purchases ×
+    # path length), the span-corruption mask (token explode + constant
+    # frame window), and the distinct-value percent-rank decomposition
+    # (fact-side work is one agg + one broadcast probe)
     "q_impression_click_join",
+    "q_time_decay_attribution",
+    "q_span_corruption",
+    "q_quantile_normalize",
 ]
 
 # key columns to shift per table; dims (region, nation) copy unchanged
