@@ -206,7 +206,7 @@ def _scan_log(path: str) -> dict:
     count = 0
     first = None
     classes: dict[str, int] = {}
-    unknown = 0
+    bad = 0  # frames that are unmatched OR matched a known-HARMFUL class
     try:
         with open(path, "r", errors="replace") as f:
             for line in f:
@@ -215,16 +215,16 @@ def _scan_log(path: str) -> dict:
                 count += 1
                 if first is None:
                     first = line.strip()[:300]
-                slug = None
-                for sub, name, benign in _EXC_KNOWN:
+                for sub, name, known_benign in _EXC_KNOWN:
                     if sub in line:
                         slug = name
+                        if not known_benign:
+                            bad += 1
                         break
                 else:
-                    benign = False
                     m = cls_tok.search(line)
                     slug = m.group(2) if m else "unclassified"
-                    unknown += 1
+                    bad += 1
                 classes[slug] = classes.get(slug, 0) + 1
     except OSError:
         pass
@@ -232,9 +232,11 @@ def _scan_log(path: str) -> dict:
         "count": count,
         "first": first,
         "classes": classes,
-        # true iff nothing unexpected: every counted frame (possibly
-        # zero of them) matched a known-benign class
-        "benign": unknown == 0,
+        # true iff nothing harmful: every counted frame (possibly zero
+        # of them) matched a known-BENIGN class — a known-but-harmful
+        # entry in _EXC_KNOWN flips this too (review-caught: the
+        # per-class benign flag was previously never read)
+        "benign": bad == 0,
     }
 
 
@@ -407,14 +409,36 @@ def _emit(attempts: list[dict], gate: float) -> None:
     sec["eff_gate"] = gate
     with open(os.path.join(_REPO, "bench_secondary.json"), "w") as f:
         json.dump(sec, f)
+    print(_clamped_line(obj), flush=True)
+
+
+def _clamped_line(obj: dict, limit: int = 1800) -> str:
+    """Serialize the artifact, degrading unbounded fields until the
+    line fits the driver's ~2000-char tail buffer (the round-4
+    parsed:null failure class — a too-long final line loses the whole
+    bench round).  Degradation order: per-query timings → exception
+    first-frame → classes histogram clamped to top-3 + remainder →
+    classes dropped.  Everything dropped here is always in
+    bench_secondary.json."""
     line = json.dumps(obj)
-    if len(line) > 1800:
+    if len(line) > limit:
         obj["queries"] = {}
         line = json.dumps(obj)
-    if len(line) > 1800:
+    if len(line) > limit and "exc" in obj:
         obj["exc"]["first"] = None
         line = json.dumps(obj)
-    print(line, flush=True)
+    if len(line) > limit and "exc" in obj:
+        top = sorted(obj["exc"]["classes"].items(), key=lambda kv: -kv[1])
+        clamped = dict(top[:3])
+        rest = sum(n for _, n in top[3:])
+        if rest:
+            clamped["_other"] = rest
+        obj["exc"]["classes"] = clamped
+        line = json.dumps(obj)
+    if len(line) > limit and "exc" in obj:
+        obj["exc"]["classes"] = {}
+        line = json.dumps(obj)
+    return line
 
 
 # ------------------------------ child: the bench ------------------------------

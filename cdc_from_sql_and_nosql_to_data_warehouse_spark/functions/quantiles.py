@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import glob
 import os
-from functools import lru_cache
 
 from pyspark.sql import DataFrame
 
@@ -30,14 +29,17 @@ EXACT_MAX_ROWS = 50_000_000
 APPROX_ACCURACY = 10_000
 
 
-@lru_cache(maxsize=256)
 def parquet_rows(path: str) -> int | None:
     """Row count straight from parquet FOOTERS via pyarrow — no Spark
     job at all (VERDICT r7 nit: ``df.count()`` is metadata-cheap on
     parquet but still schedules a job ahead of every percentile-family
     query; over a slow catalog at 100 TB that latency is avoidable).
-    Cached per path; returns None for anything that isn't plain
-    parquet, and the caller falls back to ``df.count()``."""
+    Deliberately UNCACHED: a footer read is ~ms (the point was avoiding
+    a scheduled Spark job, not the I/O), and an mtime-blind cache
+    returned stale counts — including a permanent None — when a path
+    was rewritten in-session (review-caught).  Returns None for
+    anything that isn't plain parquet; the caller falls back to
+    ``df.count()``."""
     import pyarrow.parquet as pq
 
     try:

@@ -271,11 +271,16 @@ def q_impression_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON t.user_id = p.user_id
        AND (t.ts < p.p_ts OR (t.ts = p.p_ts AND t.event_id < p.p_id))
     ),
+    summed AS (
+      SELECT channel, p_value, w,
+        SUM(CAST(w AS DECIMAL(18,6))) OVER (PARTITION BY p_id) AS sw
+      FROM weighted
+    ),
     normed AS (
       SELECT channel,
-        round(p_value * w / CAST(SUM(CAST(w AS DECIMAL(18,6)))
-              OVER (PARTITION BY p_id) AS DOUBLE), 6) AS credit
-      FROM weighted
+        round(p_value * w / CAST(sw AS DOUBLE), 6) AS credit
+      FROM summed
+      WHERE sw <> 0
     )
     SELECT channel,
       CAST(COUNT(*) AS BIGINT) AS n_credits,
@@ -335,15 +340,21 @@ def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
-    normed = weighted.select(
+    summed = weighted.withColumn(
+        "sw",
+        F.sum(F.col("w").cast("decimal(18,6)")).over(Window.partitionBy("p_id")),
+    )
+    # a purchase whose every touch is old enough that all 6dp-rounded
+    # weights underflow to 0 has sw = 0 exactly (DECIMAL sum) — without
+    # this guard the credit is 0/0 NaN, which Spark silently drops at
+    # the decimal cast and DuckDB ERRORS on (review-caught; the 30-day
+    # test corpus can't reach it, multi-year histories can).  Such a
+    # purchase is unattributable under decay, like a touchless purchase
+    # under the linear model.
+    normed = summed.filter(F.col("sw") != 0).select(
         "channel",
         F.round(
-            F.col("p_value")
-            * F.col("w")
-            / F.sum(F.col("w").cast("decimal(18,6)"))
-            .over(Window.partitionBy("p_id"))
-            .cast("double"),
-            6,
+            F.col("p_value") * F.col("w") / F.col("sw").cast("double"), 6
         ).alias("credit"),
     )
     return normed.groupBy("channel").agg(

@@ -1364,24 +1364,74 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_record_linkage",
-    oracle="""
-    WITH c AS (
+# ONE definition of the Fellegi-Sunter agreement weights and the
+# blocked-candidate SQL, shared by q_record_linkage and q_er_resolve
+# (review-caught: the weights were retyped in four places — a tuning
+# change could silently desynchronize the chain).
+_LINKAGE_W = {"nation": 22, "segment": 16, "acctbal": 19, "name": 31}
+
+_SQL_LINKAGE_SCORED = f"""c AS (
       SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
         substr(c_name, length(c_name) - 2, 3) AS blk
       FROM customer
     ),
     scored AS (
       SELECT a.c_custkey AS a, b.c_custkey AS b,
-        CAST(CASE WHEN a.c_nationkey = b.c_nationkey THEN 22 ELSE 0 END
-           + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 16 ELSE 0 END
-           + CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 100.0 THEN 19 ELSE 0 END
-           + CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 31 ELSE 0 END
+        CAST(CASE WHEN a.c_nationkey = b.c_nationkey THEN {_LINKAGE_W["nation"]} ELSE 0 END
+           + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN {_LINKAGE_W["segment"]} ELSE 0 END
+           + CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 100.0 THEN {_LINKAGE_W["acctbal"]} ELSE 0 END
+           + CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN {_LINKAGE_W["name"]} ELSE 0 END
           AS BIGINT) AS score
       FROM c a JOIN c b
         ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    )"""
+
+
+def _linkage_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_SQL_LINKAGE_SCORED``: suffix-3-blocked customer
+    pairs with the integer Fellegi-Sunter agreement score."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.substring(F.col("c_name"), -3, 3).alias("blk"),
     )
+    a, b = c.alias("a"), c.alias("b")
+    score = (
+        F.when(
+            F.col("a.c_nationkey") == F.col("b.c_nationkey"),
+            _LINKAGE_W["nation"],
+        ).otherwise(0)
+        + F.when(
+            F.col("a.c_mktsegment") == F.col("b.c_mktsegment"),
+            _LINKAGE_W["segment"],
+        ).otherwise(0)
+        + F.when(
+            F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) < 100.0,
+            _LINKAGE_W["acctbal"],
+        ).otherwise(0)
+        + F.when(
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2) >= 0,
+            _LINKAGE_W["name"],
+        ).otherwise(0)
+    )
+    return a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("a"),
+        F.col("b.c_custkey").alias("b"),
+        score.cast("bigint").alias("score"),
+    )
+
+
+@register(
+    "q_record_linkage",
+    oracle=f"""
+    WITH {_SQL_LINKAGE_SCORED}
     SELECT a, b, score FROM scored WHERE score >= 38
     """,
 )
@@ -1401,38 +1451,7 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs); scoring is a flat codegen projection per pair; the
     Levenshtein runs thresholded (banded DP, -1 over the bound) so the
     expensive feature costs O(threshold·len) per pair."""
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        "c_mktsegment",
-        "c_acctbal",
-        F.substring(F.col("c_name"), -3, 3).alias("blk"),
-    )
-    a, b = c.alias("a"), c.alias("b")
-    agree = (
-        F.when(F.col("a.c_nationkey") == F.col("b.c_nationkey"), 22).otherwise(0)
-        + F.when(F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), 16).otherwise(0)
-        + F.when(
-            F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) < 100.0, 19
-        ).otherwise(0)
-        + F.when(
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2) >= 0, 31
-        ).otherwise(0)
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .select(
-            F.col("a.c_custkey").alias("a"),
-            F.col("b.c_custkey").alias("b"),
-            agree.cast("bigint").alias("score"),
-        )
-        .filter(F.col("score") >= 38)
-    )
+    return _linkage_scored(spark, sf_dir).filter(F.col("score") >= 38)
 
 
 _ER_MATCH_SCORE = 50  # linkage score at or above which a pair is a match
@@ -1441,20 +1460,9 @@ _ER_MATCH_SCORE = 50  # linkage score at or above which a pair is a match
 @register(
     "q_er_resolve",
     oracle=f"""
-    WITH RECURSIVE c AS (
-      SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
-        substr(c_name, length(c_name) - 2, 3) AS blk
-      FROM customer
-    ),
+    WITH RECURSIVE {_SQL_LINKAGE_SCORED},
     matches AS (
-      SELECT a.c_custkey AS a, b.c_custkey AS b
-      FROM c a JOIN c b
-        ON a.blk = b.blk AND a.c_custkey < b.c_custkey
-      WHERE CASE WHEN a.c_nationkey = b.c_nationkey THEN 22 ELSE 0 END
-          + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 16 ELSE 0 END
-          + CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 100.0 THEN 19 ELSE 0 END
-          + CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 31 ELSE 0 END
-          >= {_ER_MATCH_SCORE}
+      SELECT a, b FROM scored WHERE score >= {_ER_MATCH_SCORE}
     ),
     edges AS (
       SELECT a AS x, b AS y FROM matches
@@ -1484,36 +1492,10 @@ def q_er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin resolves the same matches by recursive transitive
     closure (the q_dedup_clusters_md5 precedent — exact at oracle
     scale)."""
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        "c_mktsegment",
-        "c_acctbal",
-        F.substring(F.col("c_name"), -3, 3).alias("blk"),
-    )
-    a, b = c.alias("a"), c.alias("b")
-    score = (
-        F.when(F.col("a.c_nationkey") == F.col("b.c_nationkey"), 22).otherwise(0)
-        + F.when(F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), 16).otherwise(0)
-        + F.when(
-            F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) < 100.0, 19
-        ).otherwise(0)
-        + F.when(
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2) >= 0, 31
-        ).otherwise(0)
-    )
     matches = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .filter(score >= _ER_MATCH_SCORE)
-        .select(
-            F.col("a.c_custkey").alias("a"),
-            F.col("b.c_custkey").alias("b"),
-        )
+        _linkage_scored(spark, sf_dir)
+        .filter(F.col("score") >= _ER_MATCH_SCORE)
+        .select("a", "b")
     )
     return dedup_clusters(matches).select(
         F.col("doc_id").alias("record_id"),

@@ -111,6 +111,51 @@ def test_log_scan_all_benign_frames_verdict(tmp_path):
     assert got["benign"] is True
 
 
+def test_log_scan_known_harmful_class_flips_benign(tmp_path, monkeypatch):
+    # the per-class benign flag must be READ: a known-but-harmful entry
+    # (the documented extension point) may never be lumped into a
+    # benign verdict (review-caught round 8)
+    monkeypatch.setattr(
+        bench,
+        "_EXC_KNOWN",
+        bench._EXC_KNOWN + [("OutOfMemoryError", "oom", False)],
+    )
+    log = tmp_path / "log.txt"
+    log.write_text("java.lang.OutOfMemoryError: Java heap space\n")
+    got = bench._scan_log(str(log))
+    assert got["classes"] == {"oom": 1}
+    assert got["benign"] is False
+
+
+def test_clamped_line_bounds_unbounded_classes_histogram():
+    # a log with hundreds of distinct exception classes must still
+    # produce a line under the driver's tail buffer — the histogram
+    # clamps to top-3 + "_other", then drops
+    obj = {
+        "metric": "headline_query_wall_total",
+        "value": 1.0,
+        "queries": {f"q_{i}": 1.234 for i in range(40)},
+        "exc": {
+            "n": 500,
+            "classes": {f"SomeLongExceptionClassName{i}": i for i in range(200)},
+            "benign": False,
+            "first": "x" * 80,
+        },
+    }
+    line = bench._clamped_line(obj)
+    assert len(line) <= 1800
+    import json as _json
+
+    parsed = _json.loads(line)
+    assert parsed["metric"] == "headline_query_wall_total"
+    classes = parsed["exc"]["classes"]
+    assert len(classes) <= 4  # top 3 + _other, or dropped entirely
+    if "_other" in classes:
+        assert classes["_other"] == sum(range(200)) - sum(
+            sorted(range(200))[-3:]
+        )
+
+
 def test_log_scan_missing_file_is_empty():
     got = bench._scan_log("/nonexistent/definitely/not/here.txt")
     assert got == {

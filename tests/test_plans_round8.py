@@ -30,8 +30,9 @@ def test_impression_click_join_is_a_keyed_hash_join(spark):
     text = plans.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in text, text
     assert "CartesianProduct" not in text, text
-    # the event_type filters reach the scan
-    assert plans.has_pushed_filter(df, "view") or "view" in text, text
+    # the event_type filters reach the scan (no vacuous fallback — the
+    # literal 'view' always appears in the Filter node's text)
+    assert plans.has_pushed_filter(df, "view"), text
 
 
 def test_time_decay_window_is_keyed_by_purchase(spark):
@@ -97,3 +98,37 @@ def test_fuzzy_match_union_blocking_pair_budget(spark):
     # nothing within an order of magnitude of all-pairs ~11k)
     n = q_fuzzy_match(spark, SF_DIR).count()
     assert 0 < n < 2000, n
+
+
+def test_time_decay_zero_weight_purchase_drops_not_nan(spark, tmp_path):
+    # a purchase whose every touch is old enough that all 6dp decay
+    # weights round to 0 (age >> 146 days at 7-day half-life) must DROP
+    # from the attribution, never divide 0/0 into NaN credits
+    # (review-caught: Spark silently nulls the NaN at the decimal cast,
+    # DuckDB errors — both wrong answers)
+    import datetime as dt
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.behavioral import (
+        q_time_decay_attribution,
+    )
+
+    sf_dir = str(tmp_path)
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [
+        # user 1: touch 3 YEARS before the purchase -> weight rounds to 0
+        (1, t0, 1, "click", 10.0, None),
+        (2, t0 + dt.timedelta(days=1095), 1, "purchase", 99.0, None),
+        # user 2: fresh touch -> normal credit
+        (3, t0, 2, "view", 5.0, None),
+        (4, t0 + dt.timedelta(hours=1), 2, "purchase", 50.0, None),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    out = {r["channel"]: r["revenue"] for r in q_time_decay_attribution(spark, sf_dir).collect()}
+    # the stale-touch purchase contributes nothing anywhere; the fresh
+    # one credits its full value to 'view'
+    assert "click" not in out, out
+    assert abs(out["view"] - 50.0) < 1e-6, out
+    for v in out.values():
+        assert v == v, f"NaN leaked into revenue: {out}"

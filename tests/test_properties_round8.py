@@ -136,6 +136,11 @@ def test_time_decay_credits_conserve_purchase_value(touches, cents):
     ws = [round(0.5 ** (age / 7.0), 6) for age, _ in touches]
     sw = sum(ws)  # exact in the operator (DECIMAL(18,6) sum)
     if sw == 0:
-        return  # all weights underflowed the 6dp rounding — no credits
+        # the operator's sw != 0 guard: every weight underflowed the
+        # 6dp rounding → the purchase is unattributable and emits NO
+        # credits (never a 0/0 NaN) — mirror that here
+        credits = []
+        assert sum(credits) == 0.0
+        return
     credits = [round(value * w / sw, 6) for w in ws]
     assert abs(sum(credits) - value) <= 5e-7 * len(credits) + 1e-9

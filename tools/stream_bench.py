@@ -197,6 +197,71 @@ _ROCKSDB_PROVIDER = (
 )
 
 
+def _run_stateful(
+    spark,
+    agg,
+    work: str,
+    tag: str,
+    emitted_key: str,
+    timeout_sec: int = 1200,
+    rocksdb: bool | None = None,
+) -> dict:
+    """Shared scaffold for every stateful mode (window/session/bigstate/
+    join — was four near-identical copies, review-caught): parquet sink,
+    availableNow trigger, await-or-die, progress-derived batch stats,
+    max state rows, emitted-row count.  ``rocksdb`` not-None also
+    saves/sets/restores the state-store provider around the run."""
+    ckpt = os.path.join(work, f"ckpt_{tag}")
+    out = os.path.join(work, f"out_{tag}")
+    prev_provider = None
+    if rocksdb is not None and rocksdb:
+        prev_provider = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+        )
+    t0 = time.perf_counter()
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_die(q, timeout_sec, tag)
+    finally:
+        if rocksdb is not None and rocksdb:
+            if prev_provider is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev_provider
+                )
+    wall = time.perf_counter() - t0
+    rows, durs = batch_stats(q)
+    state_rows = 0
+    for p in q.recentProgress:
+        for so in p.get("stateOperators", []):
+            state_rows = max(state_rows, so.get("numRowsTotal", 0))
+    emitted = spark.read.parquet(out).count()
+    doc = {
+        "input_rows": rows,
+        emitted_key: emitted,
+        "max_state_rows": state_rows,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(rows / wall, 1),
+        "micro_batches": len(durs),
+        "batch_ms_median": round(statistics.median(durs), 1),
+        "batch_ms_p95": round(sorted(durs)[math.ceil(len(durs) * 0.95) - 1], 1),
+    }
+    if rocksdb is not None:
+        doc["state_store"] = "rocksdb" if rocksdb else "hdfs-backed (default)"
+    return doc
+
+
 def run_window_mode(
     spark,
     drop_dir: str,
@@ -215,13 +280,6 @@ def run_window_mode(
     per-run checkpoints."""
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming import windows
 
-    ckpt = os.path.join(work, f"ckpt_{tag}")
-    out = os.path.join(work, f"out_{tag}")
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    if rocksdb:
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
     stream = (
         spark.readStream.schema("ts timestamp, event_type string, value double")
         .option("maxFilesPerTrigger", files_per_trigger)
@@ -230,43 +288,9 @@ def run_window_mode(
     agg = windows.tumbling_counts(
         stream, ts="ts", width="5 minutes", watermark="10 minutes"
     )
-    t0 = time.perf_counter()
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _run_stateful(
+        spark, agg, work, tag, "windows_emitted", rocksdb=rocksdb
     )
-    try:
-        _await_or_die(q, 1200, tag)
-    finally:
-        if rocksdb:
-            if prev_provider is None:
-                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-            else:
-                spark.conf.set(
-                    "spark.sql.streaming.stateStore.providerClass", prev_provider
-                )
-    wall = time.perf_counter() - t0
-    rows, durs = batch_stats(q)
-    state_rows = 0
-    for p in q.recentProgress:
-        for so in p.get("stateOperators", []):
-            state_rows = max(state_rows, so.get("numRowsTotal", 0))
-    emitted = spark.read.parquet(out).count()
-    return {
-        "input_rows": rows,
-        "windows_emitted": emitted,
-        "max_state_rows": state_rows,
-        "state_store": "rocksdb" if rocksdb else "hdfs-backed (default)",
-        "wall_sec": round(wall, 3),
-        "rows_per_sec": round(rows / wall, 1),
-        "micro_batches": len(durs),
-        "batch_ms_median": round(statistics.median(durs), 1),
-        "batch_ms_p95": round(sorted(durs)[math.ceil(len(durs) * 0.95) - 1], 1),
-    }
 
 
 def run_session_mode(
@@ -283,8 +307,6 @@ def run_session_mode(
     by input size (same invariant the tumbling mode pins)."""
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming import windows
 
-    ckpt = os.path.join(work, f"ckpt_{tag}")
-    out = os.path.join(work, f"out_{tag}")
     stream = (
         spark.readStream.schema(
             "ts timestamp, event_type string, value double, user_id long"
@@ -295,33 +317,7 @@ def run_session_mode(
     agg = windows.session_counts(
         stream, ts="ts", gap="5 minutes", watermark="10 minutes"
     )
-    t0 = time.perf_counter()
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_die(q, 1200, tag)
-    wall = time.perf_counter() - t0
-    rows, durs = batch_stats(q)
-    state_rows = 0
-    for p in q.recentProgress:
-        for so in p.get("stateOperators", []):
-            state_rows = max(state_rows, so.get("numRowsTotal", 0))
-    emitted = spark.read.parquet(out).count()
-    return {
-        "input_rows": rows,
-        "sessions_emitted": emitted,
-        "max_state_rows": state_rows,
-        "wall_sec": round(wall, 3),
-        "rows_per_sec": round(rows / wall, 1),
-        "micro_batches": len(durs),
-        "batch_ms_median": round(statistics.median(durs), 1),
-        "batch_ms_p95": round(sorted(durs)[math.ceil(len(durs) * 0.95) - 1], 1),
-    }
+    return _run_stateful(spark, agg, work, tag, "sessions_emitted")
 
 
 def run_bigstate_mode(
@@ -341,13 +337,6 @@ def run_bigstate_mode(
     changelog) actually diverge.  This mode deliberately measures
     provider cost, not the time-bounded-state invariant (the other
     modes pin that)."""
-    ckpt = os.path.join(work, f"ckpt_{tag}")
-    out = os.path.join(work, f"out_{tag}")
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    if rocksdb:
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
     stream = (
         spark.readStream.schema("ts timestamp, event_type string, value double")
         .option("maxFilesPerTrigger", files_per_trigger)
@@ -362,43 +351,10 @@ def run_bigstate_mode(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "k", "n")
     )
-    t0 = time.perf_counter()
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _run_stateful(
+        spark, agg, work, tag, "windows_emitted",
+        timeout_sec=1800, rocksdb=rocksdb,
     )
-    try:
-        _await_or_die(q, 1800, tag)
-    finally:
-        if rocksdb:
-            if prev_provider is None:
-                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-            else:
-                spark.conf.set(
-                    "spark.sql.streaming.stateStore.providerClass", prev_provider
-                )
-    wall = time.perf_counter() - t0
-    rows, durs = batch_stats(q)
-    state_rows = 0
-    for p in q.recentProgress:
-        for so in p.get("stateOperators", []):
-            state_rows = max(state_rows, so.get("numRowsTotal", 0))
-    emitted = spark.read.parquet(out).count()
-    return {
-        "input_rows": rows,
-        "windows_emitted": emitted,
-        "max_state_rows": state_rows,
-        "state_store": "rocksdb" if rocksdb else "hdfs-backed (default)",
-        "wall_sec": round(wall, 3),
-        "rows_per_sec": round(rows / wall, 1),
-        "micro_batches": len(durs),
-        "batch_ms_median": round(statistics.median(durs), 1),
-        "batch_ms_p95": round(sorted(durs)[math.ceil(len(durs) * 0.95) - 1], 1),
-    }
 
 
 def run_join_mode(
@@ -418,8 +374,6 @@ def run_join_mode(
     stream-length-bounded)."""
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming import windows
 
-    ckpt = os.path.join(work, f"ckpt_{tag}")
-    out = os.path.join(work, f"out_{tag}")
     schema = "ts timestamp, event_type string, value double, user_id long"
 
     def side(event_type: str, value_alias: str):
@@ -442,33 +396,7 @@ def run_join_mode(
         watermark="10 minutes",
         within="5 minutes",
     )
-    t0 = time.perf_counter()
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_die(q, 1200, tag)
-    wall = time.perf_counter() - t0
-    rows, durs = batch_stats(q)
-    state_rows = 0
-    for p in q.recentProgress:
-        for so in p.get("stateOperators", []):
-            state_rows = max(state_rows, so.get("numRowsTotal", 0))
-    emitted = spark.read.parquet(out).count()
-    return {
-        "input_rows": rows,
-        "pairs_emitted": emitted,
-        "max_state_rows": state_rows,
-        "wall_sec": round(wall, 3),
-        "rows_per_sec": round(rows / wall, 1),
-        "micro_batches": len(durs),
-        "batch_ms_median": round(statistics.median(durs), 1),
-        "batch_ms_p95": round(sorted(durs)[math.ceil(len(durs) * 0.95) - 1], 1),
-    }
+    return _run_stateful(spark, joined, work, tag, "pairs_emitted")
 
 
 def main() -> None:
