@@ -586,6 +586,7 @@ def q_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
       round(percent_rank() OVER (
         PARTITION BY l_returnflag ORDER BY l_quantity), 6) AS qn
     FROM lineitem
+    WHERE l_quantity IS NOT NULL
     """,
 )
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -601,9 +602,19 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     |groups|·|distinct values|), take the EXCLUSIVE running sum over
     value within group (a window over the distinct rows, not the
     facts), broadcast-join back, and divide once.  Identical output,
-    and the only per-fact work is a hash agg and a broadcast probe."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    and the only per-fact work is a hash agg and a broadcast probe.
+
+    NULL semantics (dirty-fixture-caught): the metric is defined over
+    NON-NULL values only (a NULL quantity has no rank — and Spark
+    orders NULLS FIRST where DuckDB orders NULLS LAST, so ranking them
+    cannot be engine-portable); a NULL GROUP KEY is a real group, so
+    the join back is null-SAFE on the key (plain equality silently
+    dropped the NULL-flag rows the window oracle keeps).  Single-row
+    groups get qn = 0 (percent_rank's convention), never 0/0."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .filter(F.col("l_quantity").isNotNull())
     )
     vc = li.groupBy("l_returnflag", "l_quantity").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -615,17 +626,24 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wn = Window.partitionBy("l_returnflag")
     ranks = vc.select(
-        "l_returnflag",
-        "l_quantity",
+        F.col("l_returnflag").alias("rf_r"),
+        F.col("l_quantity").alias("qty_r"),
         F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("n_less"),
         F.sum("cnt").over(wn).alias("n"),
     )
-    return li.join(ranks, ["l_returnflag", "l_quantity"]).select(
+    return li.join(
+        ranks,
+        li["l_returnflag"].eqNullSafe(ranks["rf_r"])
+        & (li["l_quantity"] == ranks["qty_r"]),
+    ).select(
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
         "l_quantity",
-        F.round(
-            F.col("n_less").cast("double") / (F.col("n") - 1), 6
-        ).alias("qn"),
+        F.when(
+            F.col("n") > 1,
+            F.round(F.col("n_less").cast("double") / (F.col("n") - 1), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("qn"),
     )

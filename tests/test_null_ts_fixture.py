@@ -54,6 +54,11 @@ EVENT_TS_QUERIES = [
     # round-7: attribution windows order on events.ts per user
     "q_last_touch_attribution",
     "q_linear_attribution",
+    # round-8: decay credits compare ts pairs (NULL ts must drop the
+    # touch identically in both engines); the interval join buckets on
+    # unix_micros(ts) (NULL → NULL bucket → no match, both engines)
+    "q_time_decay_attribution",
+    "q_impression_click_join",
 ]
 
 
