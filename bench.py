@@ -240,10 +240,14 @@ def _scan_log(path: str) -> dict:
     }
 
 
-def _run_attempt(attempt: int, nproc: int) -> dict | None:
+def _run_attempt(attempt: int, nproc: int, have_best: bool = False) -> dict | None:
     """One full child bench run bracketed by CPU probes.  Returns the
-    attempt record, or exits the process on a child failure (a failing
-    bench is a bug, never host noise — retrying would mask it)."""
+    attempt record.  A FIRST-attempt child failure exits the process
+    (a failing bench with no result in hand is a bug, never host noise
+    — retrying would mask it); a RETRY failure with a good attempt
+    already selected returns None instead, so a transient crash on
+    attempt 2+ can't discard an artifact we already have (ADVICE r8 —
+    the caller logs it, keeps best-so-far, and exits 0)."""
     log_path = f"{_LOG_PATH}.attempt{attempt}"
     probe_before = _cpu_probe(nproc)
     env = dict(os.environ, SPARK_BENCH_CHILD="1")
@@ -263,6 +267,16 @@ def _run_attempt(attempt: int, nproc: int) -> dict | None:
                 sys.stderr.write(f.read()[-3000:])
         except OSError:
             pass
+        try:
+            os.remove(log_path)
+        except OSError:
+            pass
+        if have_best:
+            sys.stderr.write(
+                f"\nbench: retry attempt {attempt} failed "
+                f"(rc={proc.returncode}); keeping best-so-far artifact\n"
+            )
+            return None
         sys.exit(proc.returncode or 1)
     effs = [e for e in (probe_before["par_eff"], probe_after["par_eff"]) if e]
     sec_path = os.path.join(_REPO, "bench_secondary.json")
@@ -293,7 +307,13 @@ def _select_attempt(attempts: list[dict], gate: float) -> dict:
     clean = [r for r in attempts if r["eff"] >= gate]
     if clean:
         return clean[0]
-    return min(attempts, key=lambda r: r["obj"].get("value") or float("inf"))
+    # explicit None check: a falsy-but-valid 0.0 wall must still be
+    # selectable (ADVICE r8 — `or float("inf")` treated it as missing)
+    def _wall(r: dict) -> float:
+        v = r["obj"].get("value")
+        return float("inf") if v is None else v
+
+    return min(attempts, key=_wall)
 
 
 def _parent() -> None:
@@ -328,8 +348,12 @@ def _parent() -> None:
                     break
                 time.sleep(10)
         t_att = time.monotonic()
-        rec = _run_attempt(i, nproc)
+        rec = _run_attempt(i, nproc, have_best=bool(attempts))
         attempt_wall = time.monotonic() - t_att
+        if rec is None:
+            # transient retry failure with a good artifact in hand:
+            # stop retrying, keep what we have (already emitted)
+            break
         attempts.append(rec)
         # Timeout-proofing: emit a COMPLETE best-so-far artifact line
         # (and matching sidecar/log) after EVERY attempt.  The driver

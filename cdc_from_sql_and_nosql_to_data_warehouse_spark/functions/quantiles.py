@@ -44,7 +44,14 @@ def parquet_rows(path: str) -> int | None:
 
     try:
         if os.path.isdir(path):
-            files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            # recursive: a partitioned layout (key=val subdirs) keeps
+            # its part files nested — a top-level-only glob would
+            # silently undercount a MIXED layout (some top-level parts
+            # plus subdirs) and keep the exact path selected above the
+            # 50M-row boundary (ADVICE r8)
+            files = sorted(
+                glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            )
             if not files:
                 return None
             return sum(pq.read_metadata(f).num_rows for f in files)
@@ -58,7 +65,15 @@ def use_exact(
 ) -> bool:
     """Resolve the knob: explicit arg > env override > row-count probe.
     Pass ``source_path`` (the parquet file/dir the frame scans) to
-    answer the probe from footers without a Spark job."""
+    answer the probe from footers without a Spark job.
+
+    ``source_path`` must correspond to the UNFILTERED frame: the
+    footer count is the raw table's rows, so passing it alongside a
+    filtered/joined ``df`` silently overstates the group sizes and can
+    demote an exact-eligible frame to approx (ADVICE r8).  Current
+    call sites (the percentile-stats family) all probe plain scans;
+    a future caller with a derived frame should omit ``source_path``
+    and pay the one ``df.count()`` job."""
     if exact is not None:
         return exact
     env = os.environ.get("SPARK_GRAFT_ROBUST_EXACT")

@@ -1194,8 +1194,12 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(COUNT(*) AS BIGINT) AS n_docs,
       CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
       CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
-      round(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS fertility,
-      round(CAST(SUM(n_char) AS DOUBLE) / SUM(n_bpe), 6) AS chars_per_token
+      CASE WHEN SUM(n_ws) > 0
+        THEN round(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) END
+        AS fertility,
+      CASE WHEN SUM(n_bpe) > 0
+        THEN round(CAST(SUM(n_char) AS DOUBLE) / SUM(n_bpe), 6) END
+        AS chars_per_token
     FROM t GROUP BY lang
     """,
 )
@@ -1208,7 +1212,12 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     report tables).
 
     Exactness: all sums are integer token counts; the two divisions
-    are int/int double divisions rounded once to 6dp.  Scale: one scan
+    are int/int double divisions rounded once to 6dp, each guarded by
+    a positive-denominator CASE (a lang slice whose every doc
+    tokenizes to zero words would otherwise read 0/0 — NULL on Spark
+    non-ANSI, NaN/inf on DuckDB: a cross-engine split on degenerate
+    corpora; same guard as q_time_decay_attribution's ``sw <> 0``).
+    Scale: one scan
     computing both token counts as flat expressions, one hash agg on
     the bounded lang domain — nothing data-scaled crosses the
     network."""
@@ -1223,10 +1232,12 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_ws").cast("bigint").alias("ws_tokens"),
         F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
-        F.round(
-            F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6
+        F.when(
+            F.sum("n_ws") > 0,
+            F.round(F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6),
         ).alias("fertility"),
-        F.round(
-            F.sum("n_char").cast("double") / F.sum("n_bpe"), 6
+        F.when(
+            F.sum("n_bpe") > 0,
+            F.round(F.sum("n_char").cast("double") / F.sum("n_bpe"), 6),
         ).alias("chars_per_token"),
     )
