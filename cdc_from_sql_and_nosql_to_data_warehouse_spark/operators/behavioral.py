@@ -15,6 +15,12 @@ counts are well-defined and identical across engines; the credit split
 in the linear model is computed as value/n_touches ONCE per purchase
 and rounded to 6dp before the per-channel sum so both engines add
 identical summands in sorted-fold order.
+
+The multi-touch models (linear, time-decay) bound their lookback to 90
+days (_ATTR_LOOKBACK_US) via the horizon-bucket compound-key join
+q_impression_click_join proved — per-purchase candidate fan-in is
+bucket-local, so one bot user with a multi-year history costs linear,
+not quadratic, work (VERDICT r8 hardening item 1).
 """
 
 from __future__ import annotations
@@ -80,91 +86,141 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Attribution lookback horizon: touches older than 90 days before the
+#: purchase earn NO credit (VERDICT r8 hardening — an unbounded
+#: lookback makes one adversarial bot user's purchases×touches pair
+#: count quadratic in its history; the horizon bounds the fan-in and
+#: is also the standard marketing-model choice).
+_ATTR_LOOKBACK_US = 90 * 86_400 * 1_000_000
+
+
+def _attr_touches(ev: DataFrame) -> DataFrame:
+    """Non-purchase touches keyed for the horizon-bucket join: each
+    touch lands in exactly ONE lookback-width time bucket."""
+    return ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user_id"),
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("tu"),
+        F.col("event_id").alias("t_id"),
+        F.floor(F.unix_micros("ts") / F.lit(_ATTR_LOOKBACK_US)).alias("bucket"),
+    )
+
+
+def _attr_candidates(ev: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Bucket-local candidate pairs BEFORE the residual range filter —
+    the same compound-key decomposition q_impression_click_join proved:
+    each purchase's window [pu−H, pu] spans ≤2 H-wide buckets, so it
+    explodes to those 2 and joins touches on (user_id, bucket).  Per
+    purchase, the candidate set is the touches of 2 buckets — bounded
+    by the horizon, NEVER by how long the user's history grows
+    (property-pinned in tests/test_properties_round9.py).
+    ``purchases`` must carry user_id, p_id and pu (unix micros)."""
+    H = F.lit(_ATTR_LOOKBACK_US)
+    exploded = purchases.withColumn(
+        "p_bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("pu") - H) / H),
+                    F.floor(F.col("pu") / H),
+                )
+            )
+        ),
+    )
+    return exploded.join(
+        _attr_touches(ev),
+        (F.col("user_id") == F.col("t_user_id"))
+        & (F.col("p_bucket") == F.col("bucket")),
+    )
+
+
+def _attr_pairs(ev: DataFrame, purchases: DataFrame) -> DataFrame:
+    """(purchase, touch) pairs inside the lookback window, with the
+    (ts, event_id) tiebreak: tu ∈ [pu−H, pu), plus same-µs touches
+    whose event_id precedes the purchase's."""
+    return _attr_candidates(ev, purchases).filter(
+        (F.col("tu") >= F.col("pu") - F.lit(_ATTR_LOOKBACK_US))
+        & (
+            (F.col("tu") < F.col("pu"))
+            | ((F.col("tu") == F.col("pu")) & (F.col("t_id") < F.col("p_id")))
+        )
+    )
+
+
 @register(
     "q_linear_attribution",
-    oracle="""
-    WITH numbered AS (
-      SELECT user_id, event_type, value, ts, event_id,
-        COUNT(CASE WHEN event_type <> 'purchase' THEN 1 END) OVER (
-          PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_touches
-      FROM events
-    ),
-    purchases AS (
-      SELECT user_id, event_id AS p_id, ts AS p_ts, n_touches,
-        round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) / n_touches, 6)
-          AS credit
-      FROM numbered
-      WHERE event_type = 'purchase' AND n_touches > 0
+    oracle=f"""
+    WITH purchases AS (
+      SELECT user_id, event_id AS p_id, ts AS p_ts, epoch_us(ts) AS pu,
+        CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS p_value
+      FROM events WHERE event_type = 'purchase'
     ),
     touches AS (
-      SELECT user_id, event_type AS channel, ts, event_id FROM events
-      WHERE event_type <> 'purchase'
+      SELECT user_id, event_type AS channel, ts, event_id,
+        epoch_us(ts) AS tu
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+      SELECT p.p_id, p.p_value, t.channel
+      FROM purchases p JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.tu >= p.pu - {_ATTR_LOOKBACK_US}
+       AND (t.ts < p.p_ts OR (t.ts = p.p_ts AND t.event_id < p.p_id))
+    ),
+    counted AS (
+      SELECT channel, p_value,
+        COUNT(*) OVER (PARTITION BY p_id) AS n_touches
+      FROM pairs
     )
-    SELECT t.channel,
+    SELECT channel,
       CAST(COUNT(*) AS BIGINT) AS n_credits,
-      CAST(SUM(CAST(CAST(p.credit AS DECIMAL(18,6)) AS DECIMAL(28,6)))
-           AS DOUBLE) AS revenue
-    FROM purchases p JOIN touches t
-      ON t.user_id = p.user_id
-     AND (t.ts < p.p_ts OR (t.ts = p.p_ts AND t.event_id < p.p_id))
-    GROUP BY t.channel
+      CAST(SUM(CAST(CAST(round(p_value / n_touches, 6) AS DECIMAL(18,6))
+                    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM counted
+    GROUP BY channel
     """,
 )
 def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear (equal-split) multi-touch attribution: each purchase's
-    value is divided equally across ALL of the user's preceding
-    non-purchase touches — the other canonical attribution model,
-    rewarding every step of the path instead of only the last.
+    """Linear (equal-split) multi-touch attribution with a 90-DAY
+    LOOKBACK: each purchase's value is divided equally across the
+    user's non-purchase touches inside the 90 days before it — the
+    other canonical attribution model, rewarding every step of the
+    (recent) path instead of only the last.  Touches older than the
+    horizon earn nothing; a purchase with no in-window touch is
+    unattributable and emits no credits.
 
     Determinism: the per-purchase credit (value / n_touches) is
     rounded to 6dp ONCE, then summed per channel as DECIMAL(28,6) —
     exact and associative, so partition order can't move the output
     (the functions/exact.py policy applied to a computed quota).
 
-    Scale: the preceding-touch COUNT is the same user-partitioned
-    window as last-touch (no self-join needed for the denominator);
-    the credit fan-out joins purchases to touches per user — a
-    co-partitioned range-ish join whose output is the true credit
-    list (each touch earns a row; that IS the model's output size),
-    then one hash agg on the channel domain.  Per-user cost is
-    purchases × touches for that user — bounded by session behavior,
-    not corpus size, and co-located by the user_id shuffle."""
+    Scale (VERDICT r8 hardening): the purchases⋈touches fan-in rides
+    the horizon-bucket compound key proven by q_impression_click_join
+    (_attr_candidates) — each purchase explodes to the ≤2 lookback-
+    width buckets its window overlaps and joins touches on
+    (user_id, bucket), so per-purchase candidates are bounded by the
+    horizon's bucket population, never by the user's total history
+    (one multi-year bot user stays linear; property-pinned).  The
+    denominator is a window over p_id (unique key — purchases-many
+    1-group partitions), then one hash agg on the channel domain."""
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.asc_nulls_last("ts"), "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.unix_micros("ts").alias("pu"),
+        F.col("value").cast("decimal(12,2)").cast("double").alias("p_value"),
     )
-    numbered = ev.withColumn(
-        "n_touches",
-        F.count(F.when(F.col("event_type") != "purchase", 1)).over(w),
+    pairs = _attr_pairs(ev, purchases).select("p_id", "p_value", "channel")
+    counted = pairs.withColumn(
+        "n_touches", F.count(F.lit(1)).over(Window.partitionBy("p_id"))
     )
-    purchases = (
-        numbered.filter(
-            (F.col("event_type") == "purchase") & (F.col("n_touches") > 0)
-        )
-        .select(
-            "user_id",
-            F.col("event_id").alias("p_id"),
-            F.col("ts").alias("p_ts"),
-            F.round(
-                F.col("value").cast("decimal(12,2)").cast("double")
-                / F.col("n_touches"),
-                6,
-            ).alias("credit"),
-        )
-    )
-    touches = ev.filter(F.col("event_type") != "purchase").select(
-        "user_id", F.col("event_type").alias("channel"), "ts", "event_id"
-    )
-    credited = purchases.join(touches, "user_id").filter(
-        (F.col("ts") < F.col("p_ts"))
-        | ((F.col("ts") == F.col("p_ts")) & (F.col("event_id") < F.col("p_id")))
-    )
-    return credited.groupBy("channel").agg(
+    return counted.groupBy("channel").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_credits"),
-        F.sum(F.col("credit").cast("decimal(18,6)").cast("decimal(28,6)"))
+        F.sum(
+            F.round(F.col("p_value") / F.col("n_touches"), 6)
+            .cast("decimal(18,6)")
+            .cast("decimal(28,6)")
+        )
         .cast("double")
         .alias("revenue"),
     )
@@ -253,22 +309,24 @@ def q_impression_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_time_decay_attribution",
-    oracle="""
+    oracle=f"""
     WITH purchases AS (
-      SELECT user_id, event_id AS p_id, ts AS p_ts,
+      SELECT user_id, event_id AS p_id, ts AS p_ts, epoch_us(ts) AS pu,
         CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS p_value
       FROM events WHERE event_type = 'purchase'
     ),
     touches AS (
-      SELECT user_id, event_type AS channel, ts, event_id FROM events
-      WHERE event_type <> 'purchase'
+      SELECT user_id, event_type AS channel, ts, event_id,
+        epoch_us(ts) AS tu
+      FROM events WHERE event_type <> 'purchase'
     ),
     weighted AS (
       SELECT p.p_id, p.p_value, t.channel,
-        round(power(0.5, (epoch_us(p.p_ts) - epoch_us(t.ts))
+        round(power(0.5, (p.pu - t.tu)
                          / 86400000000.0 / 7.0), 6) AS w
       FROM purchases p JOIN touches t
         ON t.user_id = p.user_id
+       AND t.tu >= p.pu - {_ATTR_LOOKBACK_US}
        AND (t.ts < p.p_ts OR (t.ts = p.p_ts AND t.event_id < p.p_id))
     ),
     summed AS (
@@ -291,10 +349,13 @@ def q_impression_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-decay multi-touch attribution (the third canonical model
-    next to last-touch and linear): each preceding touch earns a share
-    of the purchase value proportional to 0.5^(age_days / 7) — a
-    7-day half-life — normalized per purchase.
+    """Time-decay multi-touch attribution with a 90-DAY LOOKBACK (the
+    third canonical model next to last-touch and linear): each touch
+    inside the 90 days before the purchase earns a share of its value
+    proportional to 0.5^(age_days / 7) — a 7-day half-life —
+    normalized per purchase.  Touches beyond the horizon earn nothing
+    (at a 7-day half-life a 90-day-old touch's 6dp weight is ~1e-4 —
+    the horizon discards what the decay had already made negligible).
 
     Determinism (house float policy): the decay weight is rounded to
     6dp immediately after the one transcendental (pow), so both
@@ -303,42 +364,33 @@ def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6dp once and channel revenue is summed as
     DECIMAL(28,6) — partition order cannot move any output bit.
 
-    Scale: identical join geometry to q_linear_attribution (purchases
-    ⋈ preceding touches, co-partitioned on user_id — per-user cost
-    bounded by that user's path length, never corpus size); the
-    normalizer is a window over p_id (unique key — purchases-many
-    1-group partitions, embarrassingly parallel), then one hash agg
-    on the channel domain."""
+    Scale (VERDICT r8 hardening): identical join geometry to
+    q_linear_attribution — the purchases⋈touches fan-in rides the
+    horizon-bucket compound key (_attr_candidates), so per-purchase
+    candidates are bounded by the horizon's bucket population, never
+    by the user's total history; the normalizer is a window over p_id
+    (unique key — purchases-many 1-group partitions, embarrassingly
+    parallel), then one hash agg on the channel domain."""
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("p_id"),
-        F.col("ts").alias("p_ts"),
+        F.unix_micros("ts").alias("pu"),
         F.col("value").cast("decimal(12,2)").cast("double").alias("p_value"),
     )
-    touches = ev.filter(F.col("event_type") != "purchase").select(
-        "user_id", F.col("event_type").alias("channel"), "ts", "event_id"
-    )
-    weighted = (
-        purchases.join(touches, "user_id")
-        .filter(
-            (F.col("ts") < F.col("p_ts"))
-            | ((F.col("ts") == F.col("p_ts")) & (F.col("event_id") < F.col("p_id")))
-        )
-        .select(
-            "p_id",
-            "p_value",
-            "channel",
-            F.round(
-                F.pow(
-                    F.lit(0.5),
-                    (F.unix_micros("p_ts") - F.unix_micros("ts"))
-                    / F.lit(86400000000.0)
-                    / F.lit(7.0),
-                ),
-                6,
-            ).alias("w"),
-        )
+    weighted = _attr_pairs(ev, purchases).select(
+        "p_id",
+        "p_value",
+        "channel",
+        F.round(
+            F.pow(
+                F.lit(0.5),
+                (F.col("pu") - F.col("tu"))
+                / F.lit(86400000000.0)
+                / F.lit(7.0),
+            ),
+            6,
+        ).alias("w"),
     )
     summed = weighted.withColumn(
         "sw",

@@ -71,19 +71,25 @@ def test_robust_scale_approx_tracks_exact(spark):
 
 
 def test_attribution_windows_partition_by_user(spark):
-    # both attribution models: the only window is user-partitioned
-    # (high cardinality), never a global SinglePartition sort, and the
-    # plan has no CartesianProduct (the credit join is keyed on user)
+    # both attribution models: every window is keyed on a high-
+    # cardinality column (user_id for last-touch's preceding-channel
+    # scan; p_id for linear's per-purchase denominator since the r9
+    # lookback rewrite), never a global SinglePartition sort, and the
+    # plan has no CartesianProduct (the credit join is keyed on
+    # user_id + horizon bucket)
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import REGISTRY
 
-    for name in ("q_last_touch_attribution", "q_linear_attribution"):
+    for name, key in (
+        ("q_last_touch_attribution", "user_id"),
+        ("q_linear_attribution", "p_id"),
+    ):
         df = REGISTRY[name].fn(spark, SF_DIR)
         text = plans.formatted_plan(df)
         assert "CartesianProduct" not in text, (name, text)
         assert "Exchange SinglePartition" not in text.split("AdaptiveSparkPlan")[
             -1
         ].split("HashAggregate")[0], (name, text)
-        assert "windowspecdefinition(user_id" in text, (name, text)
+        assert f"windowspecdefinition({key}" in text, (name, text)
 
 
 def test_linear_attribution_conserves_revenue(spark):
