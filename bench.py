@@ -24,8 +24,16 @@ Both are now built in:
   and embeds both in the JSON, so a throttled host is visible in the
   artifact itself instead of requiring after-the-fact archaeology.
 - per-query dispersion of the 3 back-to-back runs (max/min ratio) is
-  recorded: disp_med/disp_max on the stdout line, the full per-query
-  run lists in bench_secondary.json.
+  recorded: disp_med/disp_max in bench_secondary.json (they rode the
+  stdout line until round 9, when the paired array took the space),
+  with the full per-query run lists alongside.
+
+Round-9 addition (VERDICT r8 next-1): in-run PAIRED CALIBRATION — see
+the comment at YARDSTICK below.  The stdout line gains "paired"
+(int(ratio·100) per headliner, HEADLINE order), "yard" (the yardstick's
+best wall) and "value_paired" (Σ ratios); cross-round comparisons of
+unchanged queries should read ≈flat in "paired" even when raw walls
+drift 2× with host tenancy.
 
 Round-8 additions (VERDICT r7 next-1/next-2): the probe now GATES the
 run instead of only annotating it — the parent retries the full bench
@@ -131,6 +139,22 @@ HEADLINE = [
     "q_retrieval_auc",
     "q_pca_project",
 ]
+
+# In-run paired calibration (VERDICT r8 next-1): the host's tenancy
+# swings 2× between rounds, so cross-round ABSOLUTES compare host
+# noise, not engine changes.  The yardstick — q_pricing_summary, the
+# same plan since round 1 — is re-timed immediately BEFORE each
+# headliner's back-to-back block (and once after the last), and every
+# headliner is also recorded as a RATIO to the min of its two
+# bracketing yardstick samples.  Numerator and denominator ride the
+# same tenancy window, so the ratio is flat across rounds for
+# unchanged queries even when raw walls drift 2×.  On the artifact
+# line: "paired" = int(ratio·100) per headliner in HEADLINE order
+# (aligned with the "queries" keys), "yard" = the yardstick's own
+# best wall, "value_paired" = Σ ratios (total in yardstick units —
+# the noise-immune twin of "value").  Full-precision per-query ratios
+# and the raw yardstick sample list live in bench_secondary.json.
+YARDSTICK = "q_pricing_summary"
 
 # ------------------------- CPU noise probe -------------------------
 
@@ -402,9 +426,10 @@ def _emit(attempts: list[dict], gate: float) -> None:
         "n": exc["count"],
         "classes": exc["classes"],
         "benign": exc["benign"],
-        # 80 chars is enough to name the logger + message head; the
-        # full 300-char frame is in bench_secondary.json
-        "first": (exc["first"] or "")[:80] or None,
+        # 60 chars names the logger + message head; the full 300-char
+        # frame is in bench_secondary.json (was 80 until round 9 —
+        # trimmed for the paired array's line budget)
+        "first": (exc["first"] or "")[:60] or None,
     }
     # ADVISORY normalization (VERDICT r6 missing-1): scale raw wall by
     # the measured parallel efficiency, i.e. "what this total would
@@ -436,13 +461,14 @@ def _emit(attempts: list[dict], gate: float) -> None:
     print(_clamped_line(obj), flush=True)
 
 
-def _clamped_line(obj: dict, limit: int = 1800) -> str:
+def _clamped_line(obj: dict, limit: int = 1950) -> str:
     """Serialize the artifact, degrading unbounded fields until the
     line fits the driver's ~2000-char tail buffer (the round-4
     parsed:null failure class — a too-long final line loses the whole
     bench round).  Degradation order: per-query timings → exception
     first-frame → classes histogram clamped to top-3 + remainder →
-    classes dropped.  Everything dropped here is always in
+    classes dropped → paired array (last: it is the noise-immune
+    cross-round comparator).  Everything dropped here is always in
     bench_secondary.json."""
     line = json.dumps(obj)
     if len(line) > limit:
@@ -462,10 +488,30 @@ def _clamped_line(obj: dict, limit: int = 1800) -> str:
     if len(line) > limit and "exc" in obj:
         obj["exc"]["classes"] = {}
         line = json.dumps(obj)
+    if len(line) > limit and "paired" in obj:
+        obj["paired"] = []
+        line = json.dumps(obj)
     return line
 
 
 # ------------------------------ child: the bench ------------------------------
+
+
+def _paired_ratios(
+    runs: dict[str, list[float]], yard_walls: list[float]
+) -> dict[str, float]:
+    """Per-headliner ratio to the MIN of its two bracketing yardstick
+    samples (min, not mean: co-tenant noise only ever inflates a wall,
+    so the smaller bracket is the cleaner local calibration).
+    yard_walls[i] precedes HEADLINE[i]'s block; yard_walls[i+1] follows
+    it.  A zero/absent bracket drops the entry (encoded as 0 on the
+    line — visibly impossible, never mistaken for a real ratio)."""
+    out: dict[str, float] = {}
+    for i, name in enumerate(HEADLINE):
+        brackets = [y for y in yard_walls[i : i + 2] if y > 0]
+        if brackets and runs.get(name):
+            out[name] = min(runs[name]) / min(brackets)
+    return out
 
 
 def _bench() -> None:
@@ -536,13 +582,25 @@ def _bench() -> None:
         gc.collect()
         return dt
 
+    # paired calibration: one yardstick sample brackets every block
+    yard_walls: list[float] = []
     for name in HEADLINE:
+        yard_walls.append(timed(YARDSTICK))
         for _ in range(3):
             runs[name].append(timed(name))
+    yard_walls.append(timed(YARDSTICK))
     interleaved = {name: round(timed(name), 3) for name in HEADLINE}
 
     timings_min = {name: round(min(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings_min.values()), 3)
+    paired = _paired_ratios(runs, yard_walls)
+    # compact line encoding: int(ratio*100) in HEADLINE order, clipped
+    # so one absurd outlier can't blow the line width
+    paired_ints = [
+        min(int(round(paired.get(n, 0.0) * 100)), 99999) for n in HEADLINE
+    ]
+    value_paired = round(sum(paired.values()), 2)
+    yard_wall = round(min(yard_walls), 3)
     # dispersion: max/min across the 3 back-to-back runs per query —
     # a quiet host reads ~1.0-1.2; host time-sharing (the r6 failure
     # mode) pushes the median well past 1.3 and flags the artifact
@@ -573,42 +631,53 @@ def _bench() -> None:
                 # takes the >1800-char fallback (which drops "queries").
                 "queries_min": timings_min,
                 "total_min": total,
+                # off the stdout line since round 9 (paired array took
+                # the space) — this sidecar is the canonical location
                 "total_r2_comparable_subset": subset_total,
                 "queries_runs": {n: [round(t, 3) for t in ts] for n, ts in runs.items()},
                 "queries_spread": spreads,
-                "protocol": "min-of-3 back-to-back (r1/r2: best-of-2 back-to-back)",
+                # dispersion summary moved off the line in round 9 to
+                # make room for the paired array (still mirrored in
+                # every attempt's sidecar)
+                "disp_med": disp_med,
+                "disp_max": disp_max,
+                # full-precision paired calibration (the line carries
+                # int(ratio*100); this is the 4dp source of truth)
+                "queries_paired": {n: round(r, 4) for n, r in paired.items()},
+                "yard_samples": [round(t, 3) for t in yard_walls],
+                "yardstick": YARDSTICK,
+                "protocol": "min-of-3 back-to-back (r1/r2: best-of-2 back-to-back)"
+                " + yardstick-paired ratios (r9)",
             },
             f,
         )
-    line = json.dumps(
-        {
-            "metric": "headline_query_wall_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings_min,
-            "total_r2_comparable_subset": subset_total,
-            "disp_med": disp_med,
-            "disp_max": disp_max,
-            "sf": sf,
-        }
-    )
+    obj = {
+        "metric": "headline_query_wall_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings_min,
+        "sf": sf,
+        # paired calibration (r9): ints are ratio*100, aligned with the
+        # "queries" key order (= HEADLINE order); noise-immune
+        # cross-round comparator — see module docstring
+        "paired": paired_ints,
+        "yard": {"q": YARDSTICK, "w": yard_wall},
+        "value_paired": value_paired,
+    }
     # Hard guard, mirrored in tests/test_bench_contract.py: if the
     # headline set ever grows the line past the driver's tail buffer,
     # drop per-query detail rather than ship an unparseable line.
-    # (The parent adds probe/exc_n fields — leave it headroom.)
-    if len(line) > 1650:
-        line = json.dumps(
-            {
-                "metric": "headline_query_wall_total",
-                "value": total,
-                "unit": "sec",
-                "queries": {},
-                "total_r2_comparable_subset": subset_total,
-                "disp_med": disp_med,
-                "disp_max": disp_max,
-                "sf": sf,
-            }
-        )
+    # (The parent adds probe/exc fields — leave it headroom: its own
+    # clamp is 1950, additions measure ~340 worst.)  Raw per-query
+    # walls go first (duplicated in the sidecar as queries_min); the
+    # paired array survives longer — it is the cross-round comparator.
+    line = json.dumps(obj)
+    if len(line) > 1600:
+        obj["queries"] = {}
+        line = json.dumps(obj)
+    if len(line) > 1600:
+        obj["paired"] = []
+        line = json.dumps(obj)
     print(line)
 
 

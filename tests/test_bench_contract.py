@@ -20,40 +20,37 @@ import bench
 from cdc_from_sql_and_nosql_to_data_warehouse_spark import operators as ops
 
 
-def _final_line(timings: dict[str, float]) -> str:
+def _final_obj(timings: dict[str, float], paired_int: int = 9999) -> dict:
     # mirrors the PARENT's final shape: child fields plus the probe /
     # exception summary injected by bench._parent()
     total = round(sum(timings.values()), 3)
-    subset_total = round(sum(timings[n] for n in bench.HEADLINE[:23]), 3)
-    return json.dumps(
-        {
-            "metric": "headline_query_wall_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "total_r2_comparable_subset": subset_total,
-            "disp_med": 1.234,
-            "disp_max": 12.345,
-            "sf": 0.1,
-            "probe": {
-                "st0_ms": 1234.5,
-                "st1_ms": 1234.5,
-                "eff0": 0.123,
-                "eff1": 0.123,
-                "best_of": 3,
-                "max_eff": 0.123,
-                "clean": False,
-            },
-            "exc_n": 1234,
-            "exc": {
-                "n": 1234,
-                "classes": {"contextcleaner_accum_race": 1234},
-                "benign": True,
-                "first": "E" * 80,
-            },
-            "value_norm": 12345.678,
-        }
-    )
+    return {
+        "metric": "headline_query_wall_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "paired": [paired_int] * len(bench.HEADLINE),
+        "yard": {"q": bench.YARDSTICK, "w": 123.456},
+        "value_paired": 12345.67,
+        "probe": {
+            "st0_ms": 1234.5,
+            "st1_ms": 1234.5,
+            "eff0": 0.123,
+            "eff1": 0.123,
+            "best_of": 3,
+            "max_eff": 0.123,
+            "clean": False,
+        },
+        "exc_n": 1234,
+        "exc": {
+            "n": 1234,
+            "classes": {"contextcleaner_accum_race": 1234},
+            "benign": True,
+            "first": "E" * 60,
+        },
+        "value_norm": 12345.678,
+    }
 
 
 def test_headline_names_are_registered():
@@ -66,15 +63,79 @@ def test_headline_has_no_duplicates():
 
 
 def test_final_json_line_fits_driver_tail_buffer():
-    # worst-case width: every query takes hundreds of seconds with full
-    # 3-decimal precision (e.g. 123.456 -> 7 chars per value)
-    worst = {name: 123.456 for name in bench.HEADLINE}
-    line = _final_line(worst)
-    assert len(line) < 1800, (
+    # realistic-max width: every query at 9.999s (no round since r1
+    # has exceeded 5s on any single headliner) with 4-digit paired
+    # ints — the UNDEGRADED line must fit outright
+    realistic = {name: 9.999 for name in bench.HEADLINE}
+    line = json.dumps(_final_obj(realistic))
+    assert len(line) < 1950, (
         f"bench final line would be {len(line)} chars with "
         f"{len(bench.HEADLINE)} headline queries; the driver tail buffer "
         "is ~2000 chars — trim HEADLINE or drop per-query detail"
     )
+
+
+def test_clamped_line_always_fits_and_keeps_paired():
+    # worst-case width: hundreds of seconds per query, 5-digit paired
+    # ints, a fat exception histogram — the parent's degradation must
+    # bring the line under the buffer while KEEPING the paired array
+    # (it only drops in the very last step)
+    worst = _final_obj(
+        {name: 123.456 for name in bench.HEADLINE}, paired_int=99999
+    )
+    worst["exc"]["classes"] = {f"SomeLongExceptionName{i}": i for i in range(20)}
+    line = bench._clamped_line(worst)
+    obj = json.loads(line)
+    assert len(line) < 1950, len(line)
+    assert obj["paired"], "degradation dropped the paired array too eagerly"
+    assert obj["value_paired"] == 12345.67
+    assert obj["queries"] == {}  # raw walls degrade first (sidecar has them)
+
+
+def test_clamped_line_paired_is_last_resort(monkeypatch):
+    # at an absurdly small limit the paired array finally goes too,
+    # and the line STILL parses
+    worst = _final_obj(
+        {name: 123.456 for name in bench.HEADLINE}, paired_int=99999
+    )
+    line = bench._clamped_line(worst, limit=700)
+    obj = json.loads(line)
+    assert obj["paired"] == []
+    assert obj["value_paired"] == 12345.67
+
+
+def test_paired_ratios_cancel_uniform_noise():
+    # the whole point: a host slowdown that inflates EVERY wall by the
+    # same factor leaves the paired ratios bit-identical
+    runs_quiet = {n: [1.0 + i * 0.01] * 3 for i, n in enumerate(bench.HEADLINE)}
+    yard_quiet = [0.5] * (len(bench.HEADLINE) + 1)
+    runs_noisy = {n: [t * 2.3 for t in ts] for n, ts in runs_quiet.items()}
+    yard_noisy = [y * 2.3 for y in yard_quiet]
+    quiet = bench._paired_ratios(runs_quiet, yard_quiet)
+    noisy = bench._paired_ratios(runs_noisy, yard_noisy)
+    assert quiet.keys() == noisy.keys() and len(quiet) == len(bench.HEADLINE)
+    for n in quiet:
+        assert abs(quiet[n] - noisy[n]) < 1e-9, n
+
+
+def test_paired_ratios_use_min_bracket_and_skip_zero_yard():
+    names = bench.HEADLINE
+    runs = {n: [2.0] for n in names}
+    # first bracket pair is (0.0, 1.0) -> min 1.0 -> ratio 2.0;
+    # a fully-zero bracket pair would drop the entry
+    yard = [0.0] + [1.0] * len(names)
+    got = bench._paired_ratios(runs, yard)
+    assert got[names[0]] == 2.0
+    yard_dead = [0.0, 0.0] + [1.0] * (len(names) - 1)
+    got2 = bench._paired_ratios(runs, yard_dead)
+    assert names[0] not in got2 and names[1] in got2
+
+
+def test_yardstick_is_a_registered_headliner():
+    # the yardstick must stay a headline query (it is warmed with the
+    # rest and its own raw wall stays on the line for context)
+    assert bench.YARDSTICK in bench.HEADLINE
+    assert bench.YARDSTICK in ops.REGISTRY
 
 
 def test_log_scan_counts_exception_frames(tmp_path):
