@@ -55,6 +55,27 @@ def _sql_iteration(k: int) -> str:
     )"""
 
 
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted trade-graph edges (supplier-nation → customer-nation
+    revenue flows): ONE fact-table pass — lineitem⋈orders⋈customer⋈
+    supplier reduced to a ≤|nation|² (src, dst, w) table.  The shared
+    data-scaled prefix of q_pagerank and q_triangle_count (SURVEY
+    §2.4 deferred helper, extracted r9 — the two copies had to stay
+    byte-equivalent or the operators' scale stories silently fork)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        li.select("l_orderkey", "l_suppkey", _volume().alias("vol"))
+        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .agg(F.sum("vol").cast("double").alias("w"))
+    )
+
+
 @register(
     "q_pagerank",
     oracle=f"""
@@ -95,20 +116,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-order-independent and engine-exact; out-degree
     normalization and edge weights go through the exact-decimal
     policy (functions/exact.py)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
-
-    edges = (
-        li.select("l_orderkey", "l_suppkey", _volume().alias("vol"))
-        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
-        .join(sup.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
-        .agg(F.sum("vol").cast("double").alias("w"))
-    )
+    edges = _trade_edges(spark, sf_dir)
 
     def sorted_sum(col: F.Column) -> F.Column:
         return F.aggregate(
@@ -199,20 +208,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     same two joins apply after the degree-ordering trick (orient edges
     low-degree → high-degree) which bounds every wedge list — the
     join shape is unchanged, so this operator ports."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    sup = load_table(spark, sf_dir, "supplier")
-
-    edges = (
-        li.select("l_orderkey", "l_suppkey", _volume().alias("vol"))
-        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
-        .join(sup.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
-        .agg(F.sum("vol").cast("double").alias("w"))
-        .filter(F.col("w") > 0)
-    )
+    edges = _trade_edges(spark, sf_dir).filter(F.col("w") > 0)
     und = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(

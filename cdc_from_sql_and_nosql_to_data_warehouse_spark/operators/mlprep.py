@@ -133,6 +133,38 @@ def _assert_clean_embeddings(emb) -> None:
         )
 
 
+def _sorted_mean_centroids(
+    frame: DataFrame, keys: list[str], vec_col: str, out_vec: str
+) -> DataFrame:
+    """Per-key centroid rebuild with SORTED-FOLD means — the
+    q_embedding_centroids determinism trick as the one shared helper
+    (SURVEY §2.4 deferred item, extracted r9 from its three copies:
+    the k-means Lloyd update, the PQ codebook training round, and the
+    label centroids of q_embedding_outliers).  Explode the vector,
+    mean each (keys, pos) group as a sorted left fold (partition-order
+    free, bit-identical to DuckDB's list_reduce∘list_sort), then
+    rebuild the ordered array per key.  Mirrors the shared SQL
+    fragment _SQL_SORTED_MEAN."""
+    dims = frame.select(*keys, F.posexplode(vec_col).alias("pos0", "x")).select(
+        *keys,
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("x").cast("double").alias("v"),
+    )
+    means = dims.groupBy(*keys, "pos").agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list("v")), F.lit(0.0), lambda a, x: a + x
+            )
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    return means.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda t: t["m"]
+        ).alias(out_vec)
+    )
+
+
 @register(
     "q_kmeans_assign",
     oracle=f"""
@@ -210,30 +242,15 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("vec_id", F.col("m.cid").alias("cluster"), "embedding")
         )
-        dims = (
-            assigned.select("cluster", F.posexplode("embedding").alias("pos0", "x"))
-            .select("cluster", (F.col("pos0") + 1).alias("pos"), F.col("x").cast("double").alias("v"))
-        )
-        means = dims.groupBy("cluster", "pos").agg(
-            (
-                F.aggregate(
-                    F.array_sort(F.collect_list("v")), F.lit(0.0), lambda a, x: a + x
-                )
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
         # no checkpoint here: the iteration lineage is a single chain
         # (each cents is consumed exactly once by the next assign), so
         # there is no cross-branch recomputation to save — measured
         # 1.11 s → 1.48 s WITH a localCheckpoint (it just adds a
         # materialization stage).  Contrast q_pagerank, whose edge
         # frame is consumed once per iteration and does checkpoint.
-        cents = means.groupBy(F.col("cluster").alias("cid")).agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("cvec")
-        )
+        cents = _sorted_mean_centroids(
+            assigned, ["cluster"], "embedding", "cvec"
+        ).select(F.col("cluster").alias("cid"), "cvec")
     return _assign(
         emb.join(F.broadcast(cents)).select(
             "vec_id", "cid", _sq_dist("embedding", "cvec", _EMB_DIM).alias("d")
@@ -285,26 +302,8 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
             .agg(F.min(F.struct("d", "code")).alias("m"), F.first("sv").alias("sv"))
             .select("s", F.col("m.code").alias("code"), "sv")
         )
-        dims = assigned.select(
-            "s", "code", F.posexplode("sv").alias("pos0", "x")
-        ).select(
-            "s",
-            "code",
-            (F.col("pos0") + 1).alias("pos"),
-            F.col("x").cast("double").alias("v"),
-        )
-        means = dims.groupBy("s", "code", "pos").agg(
-            (
-                F.aggregate(
-                    F.array_sort(F.collect_list("v")), F.lit(0.0), lambda a, x: a + x
-                )
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
-        cb = means.groupBy(F.col("s").alias("cs"), "code").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda t: t["m"]
-            ).alias("cv")
+        cb = _sorted_mean_centroids(assigned, ["s", "code"], "sv", "cv").select(
+            F.col("s").alias("cs"), "code", "cv"
         )
     # bounded (≤ M·K* rows); consumed by the encode AND the search LUT
     return cb.localCheckpoint(eager=False)
@@ -616,6 +615,109 @@ def q_sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CDC delta for the maintained index, synthesized deterministically
+# from the embeddings table so both engines derive the identical delta:
+# vec_id % 17 == 3 → DELETE, == 5 → UPDATE (embedding negated),
+# == 7 → INSERT (new id = vec_id + _INS_SHIFT, embedding reversed).
+_DELTA_MOD = 17
+_INS_SHIFT = 10_000_000  # far above any base vec_id at every SF
+
+
+@register(
+    "q_sim_index_incremental",
+    oracle=f"""
+    WITH {_SQL_PQ_PRELUDE},
+    corpus2 AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {_DELTA_MOD} NOT IN (3, 5)
+      UNION ALL
+      SELECT vec_id,
+        list_transform(embedding, x -> CAST(-x AS FLOAT)) AS embedding
+      FROM embeddings WHERE vec_id % {_DELTA_MOD} = 5
+      UNION ALL
+      SELECT vec_id + {_INS_SHIFT} AS vec_id,
+        list_reverse(embedding) AS embedding
+      FROM embeddings WHERE vec_id % {_DELTA_MOD} = 7
+    ),
+    sub2 AS (
+      SELECT vec_id, s,
+        list_slice(embedding, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS sv
+      FROM corpus2 CROSS JOIN s
+    ),
+    enc2 AS (
+      SELECT vec_id, s, code FROM (
+        SELECT sub2.vec_id, sub2.s, cb.code,
+          row_number() OVER (
+            PARTITION BY sub2.vec_id, sub2.s
+            ORDER BY {_sql_sq_dist("sub2.sv", "cb.cv")}, cb.code) AS rn
+        FROM sub2 JOIN {_SQL_PQ_CB} cb ON sub2.s = cb.s
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, s AS subspace, code FROM enc2
+    """,
+)
+def q_sim_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 INCREMENTAL ANN-index maintenance under CDC — the vector
+    twin of q_mv_incremental (operators/cdc_batch.py): a trained PQ
+    index advances by a CDC delta WITHOUT retraining.  New/changed
+    vectors are re-encoded against the FROZEN base codebook and
+    upserted into the code table; deleted vectors drop.  The delta is
+    synthesized deterministically from vec_id (% {_DELTA_MOD}:
+    3→delete, 5→update = negated embedding, 7→insert = reversed
+    embedding under a shifted id) so DuckDB derives the identical
+    feed.
+
+    The ORACLE encodes the ENTIRE post-delta corpus with the same
+    base-trained codebook (a full re-encode), so the hash match IS the
+    maintenance-equivalence proof: incremental apply ≡ rebuild-with-
+    frozen-codebook, code for code.  The recall pin vs a fully
+    RETRAINED index (the drift question quantization papers defer to
+    re-training schedules) lives in tests/test_sim_index_round9.py.
+    (The coarse IVF level maintains identically — assign new vectors
+    to frozen centroids — but its k-means centroid floats are engine-
+    specific, q_sim_ivf's documented rows-only rationale, so the
+    oracle-checked surface is the PQ code table.)
+
+    Scale: training + base encode are q_sim_pq's plan (scan + 32-row
+    broadcast codebook + map-side argmin fold); the INCREMENTAL work
+    is delta-proportional only — the delta re-encode touches delta
+    rows times the same broadcast codebook, and the upsert is one
+    left_anti + union on the code table, exactly the
+    q_upsert_latest_wins geometry.  At 100 TB the base code table is
+    storage (8 bytes/vector), never recomputed; a daily delta costs
+    |delta|·M lookups, not a corpus pass."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _assert_clean_embeddings(emb)
+    cb = _pq_codebook(emb)  # trained on the BASE corpus, then FROZEN
+
+    def code_rows(encoded: DataFrame) -> DataFrame:
+        # (vec_id, subspace, code) scalar rows — the stored index
+        # layout, and the driver-hashable shape (q_sim_pq precedent)
+        return encoded.select(
+            "vec_id", F.col("s").cast("bigint").alias("subspace"), "code"
+        )
+
+    base_codes = code_rows(_pq_encode(emb, cb))
+    mod = F.col("vec_id") % _DELTA_MOD
+    # CDC delta: updates re-encode, inserts encode fresh, deletes drop
+    updates = emb.filter(mod == 5).select(
+        "vec_id",
+        F.transform("embedding", lambda x: (-x).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    inserts = emb.filter(mod == 7).select(
+        (F.col("vec_id") + _INS_SHIFT).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    upsert_codes = code_rows(_pq_encode(updates.unionByName(inserts), cb))
+    # keys leaving the code table: deletes AND updates (replaced)
+    gone = emb.filter(mod.isin(3, 5)).select("vec_id")
+    return base_codes.join(gone, "vec_id", "left_anti").unionByName(
+        upsert_codes
+    )
+
+
 @register(
     "q_weighted_sample",
     oracle=f"""
@@ -707,31 +809,12 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding"
     )
     _assert_clean_embeddings(emb)
-    dims = emb.select(
-        "label", F.posexplode("embedding").alias("pos0", "x")
-    ).select(
-        "label", (F.col("pos0") + 1).alias("pos"), F.col("x").cast("double").alias("v")
-    )
-    means = dims.groupBy("label", "pos").agg(
-        (
-            F.aggregate(
-                F.array_sort(F.collect_list("v")), F.lit(0.0), lambda a, x: a + x
-            )
-            / F.count(F.lit(1))
-        ).alias("m")
-    )
     # scored is consumed twice (threshold agg + final filter); cent is
     # post-aggregate and label-bounded, so checkpointing it caps the
     # recompute at one extra pruned scan + distance fold (CSE policy)
-    cent = (
-        means.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("cvec")
-        )
-        .localCheckpoint(eager=False)
-    )
+    cent = _sorted_mean_centroids(
+        emb, ["label"], "embedding", "cvec"
+    ).localCheckpoint(eager=False)
     scored = emb.join(F.broadcast(cent), "label").select(
         "vec_id", "label", _sq_dist("embedding", "cvec", _EMB_DIM).alias("d")
     )

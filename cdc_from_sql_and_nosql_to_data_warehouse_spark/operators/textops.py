@@ -24,6 +24,12 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash impo
     sql_toks_expr,
 )
 
+# Stopword oracle fragment DERIVED from the one Python source of truth
+# (X.STOPWORDS_EN), the way _MARKER_SQL derives from X.LANG_MARKERS —
+# a hand-pasted twin literal can silently drift from the Spark-side
+# list (SURVEY §2.4 deferred item, closed r9).
+_SW_SQL = "[" + ",".join(f"'{w}'" for w in X.STOPWORDS_EN) + "]"
+
 
 @register(
     "q_text_tokens",
@@ -75,7 +81,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
       SELECT doc_id, n_char, n_punct, CAST(length(toks) AS BIGINT) AS n_tok,
         CAST(length(list_filter(toks, t -> list_contains(
-          ['the','and','of','to','a','in','is','it','for','on','with','as','at','by'], t))) AS BIGINT) AS n_sw
+          {_SW_SQL}, t))) AS BIGINT) AS n_sw
       FROM t
     )
     SELECT doc_id, n_char, n_tok,
@@ -335,9 +341,6 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates the same regex in DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", F.size(X.bpe_ish_tokens("text")).cast("bigint").alias("n_bpe_tokens"))
-
-
-_SW_SQL = "['the','and','of','to','a','in','is','it','for','on','with','as','at','by']"
 
 
 @register(

@@ -44,7 +44,8 @@ def test_slope_schema_and_coverage(slope):
     # + 3 round-7 additions (attribution pair, robust-scale knob)
     # + up to 4 round-8 additions (interval join, time-decay credits,
     #   span mask, quantile normalize)
-    assert len(slope["queries"]) in (17, 18, 21)
+    # + up to 2 round-9 additions (ER chain, CDC-maintained PQ index)
+    assert len(slope["queries"]) in (17, 18, 21, 23)
     for extra in (
         "q_last_touch_attribution",
         "q_linear_attribution",
@@ -89,7 +90,18 @@ def test_slope_x100_two_decade_block(slope):
         pytest.skip("SCALE_SLOPE.json predates the x100 block")
     x = slope["x100"]
     assert x["criteria"] == {"ratio_max": 120.0, "skew_max": 4.0}
-    assert len(x["queries"]) == 10
+    # 10 heaviest headliners; +4 round-9 shapes once regenerated
+    # (VERDICT r8 next-4: er_resolve, impression_click_join,
+    # time_decay_attribution, span_corruption)
+    assert len(x["queries"]) in (10, 14)
+    if len(x["queries"]) == 14:
+        for extra in (
+            "q_er_resolve",
+            "q_impression_click_join",
+            "q_time_decay_attribution",
+            "q_span_corruption",
+        ):
+            assert extra in x["queries"], extra
     for name, q in x["queries"].items():
         assert q["t_1x_sec"] > 0 and q["t_100x_sec"] > 0, name
         assert q["ratio"] <= x["criteria"]["ratio_max"], (name, q["ratio"])
@@ -169,6 +181,11 @@ def test_stream_bench_join_mode(stream):
     if "join" not in stream:
         pytest.skip("stream_bench.json predates the join mode")
     j = stream["join"]
+    # r9: the 1× block carries its own overhead note (the 1× wall is
+    # trigger-overhead dominated and reads higher than 10× — VERDICT
+    # r8 wrong-4 asked the artifact to say so itself)
+    if "note" in j:
+        assert "overhead" in j["note"], j["note"]
     assert j["pairs_emitted"] > 0
     # state is a small fraction of the join-side input, not cumulative
     assert 0 < j["max_state_rows"] <= 0.25 * j["input_rows"], j

@@ -97,6 +97,14 @@ QUERIES = [
     "q_time_decay_attribution",
     "q_span_corruption",
     "q_quantile_normalize",
+    # round-9 additions: the blocked ER chain (block → score →
+    # min-label propagation — candidate volume is block-local, so the
+    # slope must stay linear) and the CDC-maintained PQ index (delta
+    # re-encode + upsert against the frozen codebook — the maintenance
+    # cost scales with the CORPUS re-encode here because the synthetic
+    # delta is a fixed fraction of it)
+    "q_er_resolve",
+    "q_sim_index_incremental",
 ]
 
 # key columns to shift per table; dims (region, nation) copy unchanged
@@ -137,6 +145,12 @@ X100_QUERIES = [
     "q_min_cost_supplier",
     "q_bm25_search",
     "q_lm_score",
+    # round-9 (VERDICT r8 next-4): the four newest data-scaled shapes
+    # previously carrying only 10× evidence
+    "q_er_resolve",
+    "q_impression_click_join",
+    "q_time_decay_attribution",
+    "q_span_corruption",
 ]
 
 
