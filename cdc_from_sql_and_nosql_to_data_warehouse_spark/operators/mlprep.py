@@ -718,6 +718,57 @@ def q_sim_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_codebook_literal(cb: DataFrame) -> Column:
+    """The trained codebook collected into ONE array-of-arrays literal
+    ordered (s, code) — ≤ M·K* = 8·16 rows, a BOUNDED documented
+    collect (the broadcast-as-literal form).  Codewords emptied by
+    Lloyd training fill their slot with +1e18 vectors so positional
+    indexing never shifts and an absent code can never win an argmin —
+    the same slot-spine rule as q_sim_pq_search's LUT.
+
+    Why a literal and not a join: baked into the expression tree, the
+    PQ encode becomes a PURE PROJECTION — no join, no aggregation — so
+    it is legal in a STREAMING select (stateful-op-free), and on a
+    cluster it ships once inside the codegen'd plan instead of a
+    broadcast exchange per micro-batch."""
+    slots: dict[tuple[int, int], list[float]] = {
+        (r["cs"], r["code"]): [float(x) for x in r["cv"]] for r in cb.collect()
+    }
+    dead = [1e18] * _PQ_SUB
+    return F.array(
+        *[
+            F.array(*[F.lit(x) for x in slots.get((s, k), dead)])
+            for s in range(_PQ_M)
+            for k in range(_PQ_K)
+        ]
+    )
+
+
+def pq_encode_expr(cb_lit: Column, emb_col: str = "embedding") -> Column:
+    """PQ codes as a comma-joined STRING computed by a map-only
+    expression against the codebook literal — one row per vector, one
+    scalar key-value payload, which is exactly what the generic CDC
+    merge machinery (streaming.cdc.start_merge_stream, single-key
+    latest-wins) wants as a change-event column.  Argmin ties break on
+    the LOWEST code, matching _pq_encode's min(struct(d, code)):
+    distances are generated in ascending-code order and array_position
+    returns the FIRST occurrence of the min."""
+
+    def code_for(s: int) -> Column:
+        sl = F.expr(f"slice({emb_col}, {s * _PQ_SUB} + 1, {_PQ_SUB})")
+        dists = F.array(
+            *[
+                _sq_dist(sl, F.element_at(cb_lit, s * _PQ_K + k + 1), _PQ_SUB)
+                for k in range(_PQ_K)
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("bigint")
+
+    return F.concat_ws(
+        ",", *[code_for(s).cast("string") for s in range(_PQ_M)]
+    )
+
+
 @register(
     "q_weighted_sample",
     oracle=f"""

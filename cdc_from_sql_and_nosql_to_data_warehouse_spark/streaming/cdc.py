@@ -435,6 +435,74 @@ def start_merge_stream(
     return writer.start()
 
 
+# -------- streaming ANN-index maintenance (q_sim_index_incremental's
+# streaming twin: the same frozen-codebook delta re-encode, executed
+# through the real CDC merge pipeline)
+
+VECTOR_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("eventName", T.StringType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField(
+            "newImage",
+            T.StructType(
+                [
+                    T.StructField("vec_id", T.StringType(), False),
+                    T.StructField(
+                        "embedding", T.ArrayType(T.FloatType()), False
+                    ),
+                ]
+            ),
+            True,
+        ),
+        T.StructField("removedId", T.StringType(), True),
+    ]
+)
+
+
+def read_vector_change_stream(
+    spark: SparkSession, drop_dir: str, max_files_per_trigger: int = 100
+) -> DataFrame:
+    """Embedding change-stream source: the vector twin of
+    read_change_stream (same envelope, newImage carries the raw
+    embedding instead of a trade row)."""
+    return (
+        spark.readStream.schema(VECTOR_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(drop_dir)
+    )
+
+
+def encode_vector_changes(changes: DataFrame, codebook_literal) -> DataFrame:
+    """Streaming ANN-index maintenance, step 1: map vector change
+    events to CODE-TABLE change events by re-encoding each new/changed
+    embedding against the FROZEN codebook literal
+    (operators.mlprep.pq_codebook_literal).  A PURE PROJECTION — no
+    join, no aggregation — so it is legal on an unbounded stream with
+    no watermark/state; REMOVEs (null newImage) pass through.  Compose
+    with ``start_merge_stream(key="vec_id")`` and the maintained PQ
+    index advances exactly like any other CDC-merged table: bucket-
+    incremental, versioned, crash-safe.  Equivalence to the batch
+    operator (q_sim_index_incremental) is pinned end-to-end in
+    tests/test_stream_index_round9.py."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.mlprep import (
+        pq_encode_expr,
+    )
+
+    return changes.withColumn(
+        "newImage",
+        F.when(
+            F.col("newImage").isNotNull(),
+            F.struct(
+                F.col("newImage.vec_id").alias("vec_id"),
+                pq_encode_expr(codebook_literal, "newImage.embedding").alias(
+                    "codes"
+                ),
+            ),
+        ),
+    )
+
+
 def streaming_dedup(changes: DataFrame, key_cols: list[str], watermark_col: str, delay: str):
     """B35: watermark-scoped streaming dedup — state is bounded by the
     watermark horizon (dedup-forever state is unbounded at 100 TB;
