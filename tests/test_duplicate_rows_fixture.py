@@ -58,6 +58,13 @@ KEYED_CONTRACT = {
     "q_sim_pq",
     "q_sim_pq_search",
     "q_token_budget",
+    # round-9: the maintained PQ index shares q_sim_pq's training
+    # machinery (duplicated vec_id < K* rows duplicate the Lloyd
+    # seeds), and an UPSERT-MAINTAINED index is keyed by definition —
+    # a duplicated primary key has no defined latest-wins image.  A
+    # real pipeline dedups before indexing (same remedy as the rest
+    # of this list).
+    "q_sim_index_incremental",
     # round-6: q_dedup_eval audits the SAME minhash machinery (Spark
     # rebuilds shingle sets per doc_id; the oracle's bag self-join sees
     # each duplicated row), and q_hybrid_rrf's per-row (cosine-rank,
