@@ -291,11 +291,14 @@ def _run_attempt(attempt: int, nproc: int, have_best: bool = False) -> dict | No
                 sys.stderr.write(f.read()[-3000:])
         except OSError:
             pass
-        try:
-            os.remove(log_path)
-        except OSError:
-            pass
         if have_best:
+            # clean the failed retry's log (the kept attempt's log is
+            # already committed via _emit); on a FATAL first-attempt
+            # failure the log stays on disk for post-mortem
+            try:
+                os.remove(log_path)
+            except OSError:
+                pass
             sys.stderr.write(
                 f"\nbench: retry attempt {attempt} failed "
                 f"(rc={proc.returncode}); keeping best-so-far artifact\n"
@@ -504,8 +507,9 @@ def _paired_ratios(
     samples (min, not mean: co-tenant noise only ever inflates a wall,
     so the smaller bracket is the cleaner local calibration).
     yard_walls[i] precedes HEADLINE[i]'s block; yard_walls[i+1] follows
-    it.  A zero/absent bracket drops the entry (encoded as 0 on the
-    line — visibly impossible, never mistaken for a real ratio)."""
+    it.  Non-positive brackets are ignored; when BOTH brackets are
+    unusable the entry drops (encoded as 0 on the line — visibly
+    impossible, never mistaken for a real ratio)."""
     out: dict[str, float] = {}
     for i, name in enumerate(HEADLINE):
         brackets = [y for y in yard_walls[i : i + 2] if y > 0]
