@@ -1501,3 +1501,98 @@ def q_er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("record_id"),
         F.col("cluster_id").alias("entity_id"),
     )
+
+
+@register(
+    "q_dedup_cross_spans",
+    oracle=f"""
+    WITH st AS (
+      SELECT doc_id, toks,
+        unnest(generate_series(1, greatest(length(toks) - {_SPAN_K - 1}, 0))) AS i
+      FROM (SELECT doc_id, {SQL_TOKS_EXPR} AS toks FROM documents)
+    ),
+    w AS (
+      SELECT doc_id,
+        {sql_md5_int(f"array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')")} AS h
+      FROM st
+    ),
+    pairs AS (SELECT DISTINCT doc_id, h FROM w),
+    flagged AS (
+      SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS nd FROM pairs
+    ),
+    perdoc AS (
+      SELECT doc_id,
+        COUNT(*) AS n_distinct_windows,
+        CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_cross_windows
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      COALESCE(n_distinct_windows, 0) AS n_distinct_windows,
+      COALESCE(n_cross_windows, 0) AS n_cross_windows,
+      CASE WHEN COALESCE(n_distinct_windows, 0) = 0 THEN 0.0
+           ELSE CAST(n_cross_windows AS DOUBLE)
+                / CAST(n_distinct_windows AS DOUBLE)
+      END AS cross_frac
+    FROM documents d LEFT JOIN perdoc USING (doc_id)
+    """,
+)
+def q_dedup_cross_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2′ CROSS-DOCUMENT duplicated-passage detection — the
+    boilerplate/template signal q_dedup_spans cannot isolate: there a
+    window is "duplicated" if its hash occurs more than once
+    corpus-wide, which conflates WITHIN-doc repetition (a chorus, a
+    table of numbers) with CROSS-doc boilerplate (cookie banners,
+    license headers, injected templates — the thing a training-data
+    pipeline actually strips).  Here (doc_id, window-hash) pairs are
+    DEDUPLICATED first, so a window counts as cross-duplicated only
+    when it appears in ≥2 DISTINCT documents, and each document
+    reports the fraction of its distinct windows shared with another
+    document.
+
+    100 TB plan: the same flat codegen window rows as q_dedup_spans
+    (md5_shingle_rows shape — explode start positions, never
+    interpreted per-doc arrays); dropDuplicates(doc_id, h) is one hash
+    aggregate; distinct-doc multiplicity is a COUNT over
+    Window.partitionBy(h) on the DEDUPED pairs (bounded by docs, not
+    occurrences — a doc repeating one sentence 10^6 times contributes
+    ONE row to the hot hash partition, which is why this is not
+    q_dedup_spans with an extra distinct); then one per-doc aggregate.
+    No self-join, no array rebuild; short documents report 0.0 via the
+    left join."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        md5_shingle_rows(docs, _SPAN_K)
+        .select(F.col("id").alias("doc_id"), "h")
+        .dropDuplicates(["doc_id", "h"])
+    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    perdoc = (
+        pairs.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_windows"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias(
+                "n_cross_windows"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_distinct_windows", F.lit(0)).alias(
+                "n_distinct_windows"
+            ),
+            F.coalesce("n_cross_windows", F.lit(0)).alias("n_cross_windows"),
+            F.when(
+                F.coalesce("n_distinct_windows", F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                F.col("n_cross_windows").cast("double")
+                / F.col("n_distinct_windows").cast("double")
+            )
+            .alias("cross_frac"),
+        )
+    )

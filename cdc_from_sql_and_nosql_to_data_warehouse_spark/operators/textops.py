@@ -1244,3 +1244,100 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_char").cast("double") / F.sum("n_bpe"), 6),
         ).alias("chars_per_token"),
     )
+
+
+# CDC delta for the maintained text index, synthesized deterministically
+# from doc_id so both engines derive the identical feed: % 13 == 4 →
+# DELETE, == 6 → UPDATE (suffix changes the token set), == 8 → INSERT
+# (new id, prefixed text).
+_TIDX_MOD = 13
+_TIDX_SHIFT = 10_000_000  # far above any base doc_id at every SF
+
+
+@register(
+    "q_text_index_incremental",
+    oracle=f"""
+    WITH corpus2 AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % {_TIDX_MOD} NOT IN (4, 6)
+      UNION ALL
+      SELECT doc_id, text || ' qqupdated' FROM documents
+      WHERE doc_id % {_TIDX_MOD} = 6
+      UNION ALL
+      SELECT doc_id + {_TIDX_SHIFT} AS doc_id, 'zzfresh ' || text
+      FROM documents WHERE doc_id % {_TIDX_MOD} = 8
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+    FROM (
+      SELECT doc_id, unnest(list_distinct({sql_toks_expr()})) AS term
+      FROM corpus2
+    )
+    GROUP BY term
+    """,
+)
+def q_text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 INCREMENTAL search-index statistics maintenance under CDC —
+    the TEXT twin of q_sim_index_incremental and q_mv_incremental: the
+    document-frequency table behind TF-IDF/BM25 retrieval advances by
+    a CDC delta instead of recomputing from the corpus.  DELETEs and
+    the PRE-update images contribute −1 per (doc, distinct term); the
+    POST-update images and INSERTs contribute +1; the signed deltas
+    fold into the stored df table with one full-outer merge, and terms
+    whose df reaches 0 leave the vocabulary.  The delta derives
+    deterministically from doc_id (% {_TIDX_MOD}: 4→delete, 6→update
+    with a token-set-changing suffix, 8→insert under a shifted id) so
+    DuckDB builds the identical feed.
+
+    The ORACLE recomputes document frequencies from the post-delta
+    corpus directly, so the hash match proves maintenance ≡ full
+    recompute — including the net-zero cancellation for terms present
+    in both images of an update and vocabulary exit at df = 0.
+
+    Scale: at 100 TB the base df table is STORAGE (this query rebuilds
+    it only because the oracle needs a self-contained expression); the
+    incremental work is delta-proportional — tokenize the old+new
+    images only, one hash agg on the delta vocabulary, one merge
+    shuffled on term (bucket the stored table by term and the merge is
+    shuffle-free, the q_mv_incremental argument verbatim).  All counts
+    are integers — no float policy needed at all."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def doc_terms(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            F.explode(F.array_distinct(X.tokens("text"))).alias("term"),
+        )
+
+    base = doc_terms(docs).groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    mod = F.col("doc_id") % _TIDX_MOD
+    leaving = docs.filter(mod.isin(4, 6))  # deletes + pre-update images
+    arriving = (
+        docs.filter(mod == 6)
+        .select("doc_id", F.concat("text", F.lit(" qqupdated")).alias("text"))
+        .unionByName(
+            docs.filter(mod == 8).select(
+                (F.col("doc_id") + _TIDX_SHIFT).alias("doc_id"),
+                F.concat(F.lit("zzfresh "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    signed = (
+        doc_terms(leaving)
+        .withColumn("d", F.lit(-1))
+        .unionByName(doc_terms(arriving).withColumn("d", F.lit(1)))
+    )
+    delta = signed.groupBy("term").agg(F.sum("d").alias("delta"))
+    return (
+        base.join(delta, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                + F.coalesce(F.col("delta"), F.lit(0))
+            ).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+        .select("term", F.col("df").cast("bigint").alias("df"))
+    )
