@@ -346,3 +346,97 @@ def q_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+_PASS_KS = (1, 2, 5)
+
+
+def _sql_pass_at_k(k: int) -> str:
+    """Unbiased pass@k term: 1 − Π_{i<k} (n−c−i)/(n−i), each factor an
+    explicit double division so Spark builds the IDENTICAL left-
+    associated IEEE tree (same order ⇒ same bits; no integer products,
+    which overflow int64 once a task has ~10⁶ attempts)."""
+    prod = " * ".join(
+        f"(CAST(n - c - {i} AS DOUBLE) / (n - {i}))" for i in range(k)
+    )
+    return f"CASE WHEN n >= {k} THEN round(1.0 - {prod}, 6) END"
+
+
+@register(
+    "q_pass_at_k",
+    oracle=f"""
+    WITH per AS (
+      SELECT user_id,
+        COUNT(*) AS n,
+        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS c
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT
+        {", ".join(f"{_sql_pass_at_k(k)} AS p{k}" for k in _PASS_KS)}
+      FROM per
+    )
+    {" UNION ALL ".join(
+        f'''SELECT CAST({k} AS BIGINT) AS k,
+          CAST(COUNT(p{k}) AS BIGINT) AS n_tasks,
+          CAST(SUM(CAST(p{k} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(p{k})
+            AS mean_pass_at_k
+        FROM v''' for k in _PASS_KS)}
+    """,
+)
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k estimator (Chen et al. 2021, "Evaluating Large
+    Language Models Trained on Code", public): for a task with n
+    attempts of which c succeed, pass@k = 1 − C(n−c,k)/C(n,k) — the
+    probability that at least one of k randomly drawn attempts
+    succeeds.  The standard LLM code-eval metric, here computed over
+    the event stream (task = user, attempt = event, success =
+    purchase — conversion probability within k sampled interactions);
+    the estimator is data-shape-agnostic.
+
+    Determinism: the binomial ratio is a product of per-i double
+    RATIOS (never integer factorials — a 10⁶-attempt task overflows
+    int64 at k=5) in a fixed left-associated order, identical
+    expression tree on both engines, rounded once to 6dp per task;
+    task means ride DECIMAL(18,6) sums with one final double division.
+    A task with fewer than k attempts is excluded from that k (NULL —
+    the estimator is undefined); c = n−c crossing zero zeroes the
+    product exactly, giving pass@k = 1.
+
+    Scale: ONE scan + one (user)-keyed hash aggregate computes every
+    k's term in the same pass; the three output rows unpivot from a
+    single global aggregate row — nothing data-scaled crosses the
+    network twice."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c"),
+    )
+
+    def pass_k(k: int) -> F.Column:
+        n, c = F.col("n"), F.col("c")
+        prod = None
+        for i in range(k):
+            term = (n - c - F.lit(i)).cast("double") / (n - F.lit(i))
+            prod = term if prod is None else prod * term
+        return F.when(n >= k, F.round(F.lit(1.0) - prod, 6))
+
+    v = per.select(*[pass_k(k).alias(f"p{k}") for k in _PASS_KS])
+    agg = v.agg(
+        *[
+            a
+            for k in _PASS_KS
+            for a in (
+                F.count(F.col(f"p{k}")).cast("bigint").alias(f"n{k}"),
+                F.sum(F.col(f"p{k}").cast("decimal(18,6)"))
+                .cast("double")
+                .alias(f"s{k}"),
+            )
+        ]
+    )
+    stacked = ", ".join(
+        f"CAST({k} AS BIGINT), n{k}, s{k} / n{k}" for k in _PASS_KS
+    )
+    return agg.selectExpr(
+        f"stack({len(_PASS_KS)}, {stacked}) AS (k, n_tasks, mean_pass_at_k)"
+    )

@@ -44,8 +44,9 @@ def test_slope_schema_and_coverage(slope):
     # + 3 round-7 additions (attribution pair, robust-scale knob)
     # + up to 4 round-8 additions (interval join, time-decay credits,
     #   span mask, quantile normalize)
-    # + up to 2 round-9 additions (ER chain, CDC-maintained PQ index)
-    assert len(slope["queries"]) in (17, 18, 21, 23)
+    # + up to 4 round-9 additions (ER chain, CDC-maintained PQ index,
+    #   CDC-maintained df table, cross-doc span detector)
+    assert len(slope["queries"]) in (17, 18, 21, 23, 25)
     for extra in (
         "q_last_touch_attribution",
         "q_linear_attribution",

@@ -105,6 +105,12 @@ QUERIES = [
     # delta is a fixed fraction of it)
     "q_er_resolve",
     "q_sim_index_incremental",
+    # round-9 late additions: the CDC-maintained df table (delta
+    # tokenize + term merge) and the cross-doc span detector (distinct
+    # pairs → hash-window multiplicity — the re-vocabularied replicas
+    # keep window hashes replica-local, so the slope must stay linear)
+    "q_text_index_incremental",
+    "q_dedup_cross_spans",
 ]
 
 # key columns to shift per table; dims (region, nation) copy unchanged
