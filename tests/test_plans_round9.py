@@ -32,3 +32,30 @@ def test_attribution_lookback_join_is_bucket_keyed(spark):
         assert "BroadcastNestedLoopJoin" not in text, (name, text)
         # the bucket column participates in the join key expression
         assert "p_bucket" in text, (name, text)
+
+
+def test_late_round9_ops_plan_shapes(spark):
+    # q_text_index_incremental: the signed-delta fold merges with ONE
+    # full-outer join on term; q_dedup_cross_spans: no self-join of the
+    # window rows (multiplicity is a window count on deduped pairs);
+    # q_pass_at_k: every k folds into a single global aggregate
+    # (no per-k re-scan)
+    for name, must, must_not in (
+        ("q_text_index_incremental", "FullOuter", "CartesianProduct"),
+        ("q_dedup_cross_spans", None, "CartesianProduct"),
+        ("q_pass_at_k", None, "CartesianProduct"),
+    ):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        text = plans.formatted_plan(df)
+        assert "CartesianProduct" not in text, (name, text)
+        assert "BroadcastNestedLoopJoin" not in text, (name, text)
+        if must:
+            assert must in text, (name, text)
+    # q_pass_at_k reads events exactly once (the AQE-formatted text
+    # lists a scan node up to twice — once in the adaptive plan, once
+    # in the initial one — so "once" reads as ≤ 2 mentions; a per-k
+    # re-scan would mention it ≥ 3×)
+    phys = plans.formatted_plan(
+        REGISTRY["q_pass_at_k"].fn(spark, SF_DIR)
+    ).split("== Physical Plan ==")[-1]
+    assert phys.count("Scan parquet") <= 2, phys

@@ -108,3 +108,30 @@ def test_attribution_same_day_boundary_touch_included(spark):
     ev = spark.createDataFrame(rows, _SCHEMA)
     pairs = _attr_pairs(ev, _purchases(ev)).select("p_id", "t_id").collect()
     assert [(r["p_id"], r["t_id"]) for r in pairs] == [(2, 1)]
+
+
+# ------------------------------------------------------------ pass@k math
+
+from itertools import combinations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(1, 12), st.data())
+def test_pass_at_k_ratio_product_matches_enumeration(n, data):
+    """The operator's ratio-product form of 1 − C(n−c,k)/C(n,k) must
+    equal the literal definition: the fraction of k-subsets of n
+    attempts containing at least one of the c successes — enumerated
+    exhaustively for small n (the estimator's unbiasedness argument)."""
+    c = data.draw(st.integers(0, n))
+    k = data.draw(st.integers(1, n))
+    prod = 1.0
+    for i in range(k):
+        prod *= (n - c - i) / (n - i)
+    got = 1.0 - prod
+    subsets = list(combinations(range(n), k))
+    hits = sum(1 for s in subsets if any(x < c for x in s))
+    want = hits / len(subsets)
+    assert abs(got - want) < 1e-9, (n, c, k, got, want)
