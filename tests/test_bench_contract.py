@@ -277,3 +277,32 @@ def test_stream_bench_await_or_die_raises_on_timeout():
     with _pytest.raises(RuntimeError, match="did not finish"):
         _await_or_die(hung, 1, "merge")
     assert hung.stopped
+
+
+def test_paired_compare_reads_all_three_artifact_shapes(tmp_path):
+    from tools.paired_compare import load_paired
+
+    queries = {"q_a": 1.0, "q_b": 2.0}
+    parsed = {"queries": queries, "paired": [120, 340]}
+    # driver capture
+    p1 = tmp_path / "BENCH_r9.json"
+    p1.write_text(json.dumps({"n": 9, "parsed": parsed}))
+    # raw stdout (noise line + artifact line)
+    p2 = tmp_path / "out.txt"
+    p2.write_text("warming up...\n" + json.dumps(parsed) + "\n")
+    # sidecar
+    p3 = tmp_path / "bench_secondary.json"
+    p3.write_text(json.dumps({"queries_paired": {"q_a": 1.2, "q_b": 3.4}}))
+    want = {"q_a": 1.2, "q_b": 3.4}
+    for p in (p1, p2, p3):
+        assert load_paired(str(p)) == want, p
+
+
+def test_paired_compare_skips_zero_encoded_entries(tmp_path):
+    from tools.paired_compare import load_paired
+
+    p = tmp_path / "b.json"
+    p.write_text(
+        json.dumps({"queries": {"q_a": 1.0, "q_b": 2.0}, "paired": [0, 200]})
+    )
+    assert load_paired(str(p)) == {"q_b": 2.0}
