@@ -415,3 +415,190 @@ def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# Bradley-Terry: 3 MM iterations (Hunter 2004, public), epsilon floor
+# so an all-losing item can never zero a later denominator.
+_BT_ITERS = 3
+_BT_EPS = "0.000000001"  # 1e-9, spelled as a decimal literal
+
+
+def _sql_bt_iter(k: int) -> str:
+    """One unrolled MM iteration as DuckDB CTE fragments: s{k} from
+    s{k-1}.  Mirrors the Spark expression tree exactly (12dp-rounded
+    DECIMAL term sums, 9dp-rounded scores, sum-normalized)."""
+    p, c = f"s{k - 1}", f"s{k}"
+    return f"""
+    t{k} AS (
+      SELECT m.i,
+        CAST(round(m.n / (si.pi + sj.pi), 12) AS DECIMAL(28,12)) AS term
+      FROM m
+      JOIN {p} si ON si.i = m.i
+      JOIN {p} sj ON sj.i = m.j
+    ),
+    r{k} AS (
+      SELECT t.i, round(w.wi / CAST(SUM(t.term) AS DOUBLE), 9) AS praw
+      FROM t{k} t JOIN wtot w ON w.i = t.i
+      GROUP BY t.i, w.wi
+    ),
+    {c} AS (
+      SELECT i, GREATEST(round(
+          praw * items.m_items
+          / CAST((SELECT SUM(CAST(praw AS DECIMAL(18,9))) FROM r{k})
+                 AS DOUBLE), 9), {_BT_EPS}) AS pi
+      FROM r{k} CROSS JOIN items
+    )"""
+
+
+@register(
+    "q_bradley_terry",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY user_id, event_type
+    ),
+    games AS (
+      SELECT a.event_type AS i, b.event_type AS j,
+        COUNT(*) FILTER (WHERE a.cnt > b.cnt) AS w_ij,
+        COUNT(*) FILTER (WHERE b.cnt > a.cnt) AS w_ji
+      FROM counts a
+      JOIN counts b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    ),
+    m AS (
+      SELECT i, j, w_ij + w_ji AS n, w_ij AS w FROM games
+      WHERE w_ij + w_ji > 0
+      UNION ALL
+      SELECT j, i, w_ij + w_ji AS n, w_ji AS w FROM games
+      WHERE w_ij + w_ji > 0
+    ),
+    wtot AS (
+      SELECT i, SUM(w) AS wi, SUM(n) AS ni FROM m GROUP BY i
+    ),
+    items AS (SELECT COUNT(*) AS m_items FROM wtot),
+    s0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS pi FROM wtot),
+    {",".join(_sql_bt_iter(k) for k in range(1, _BT_ITERS + 1))}
+    SELECT s.i AS event_type, round(s.pi, 6) AS bt_score,
+      CAST(w.wi AS BIGINT) AS n_wins, CAST(w.ni AS BIGINT) AS n_games
+    FROM s{_BT_ITERS} s JOIN wtot w ON w.i = s.i
+    """,
+)
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY pairwise-preference ranking via Hunter's MM
+    algorithm (Hunter 2004, "MM algorithms for generalized
+    Bradley-Terry models", public) — the model behind LLM-arena Elo
+    boards and RLHF preference aggregation: items get latent strengths
+    π with P(i beats j) = π_i/(π_i+π_j), fit by the multiplicative
+    update π_i ← W_i / Σ_j n_ij/(π_i+π_j), 3 iterations from π = 1,
+    sum-normalized each step.  Comparisons here: within each user, for
+    every pair of event types both present, the more-frequent type
+    wins (ties are no contest) — "which interaction does this user
+    prefer", aggregated into a wins matrix.
+
+    Determinism: every MM term n/(π_i+π_j) is one double division
+    rounded to 12dp and summed as DECIMAL(28,12) (order-independent);
+    scores round to 9dp per iteration (6dp on output); the epsilon
+    floor keeps a zero-win item from zeroing later denominators.
+    Identical expression trees on both engines.
+
+    Scale: the per-user self-join fans out at most |types|² rows per
+    user (type domain is bounded — same shape as
+    q_event_transitions); everything after the games aggregate
+    operates on the ≤|types|²-row matrix, and each MM iteration is a
+    broadcast join on that bounded table — iteration count never
+    touches data-scaled rows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a = counts.withColumnsRenamed({"event_type": "i", "cnt": "ca"})
+    b = counts.withColumnsRenamed({"event_type": "j", "cnt": "cb"})
+    games = (
+        a.join(b, (a["user_id"] == b["user_id"]) & (F.col("i") < F.col("j")))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.when(F.col("ca") > F.col("cb"), 1)).alias("w_ij"),
+            F.count(F.when(F.col("cb") > F.col("ca"), 1)).alias("w_ji"),
+        )
+        .filter((F.col("w_ij") + F.col("w_ji")) > 0)
+    )
+    # the ONLY data-scaled subtree; each MM iteration references the
+    # matrix and the score frame TWICE, so without a barrier the
+    # logical plan (and re-execution) grows 4^iters.  localCheckpoint
+    # materializes the ≤|types|²-row frame and TRUNCATES lineage —
+    # cache() alone leaves the logical tree exponential (measured:
+    # plan-string generation OOMs at 3 iterations).  Same
+    # bounded-state class as the repo's accepted bounded collects.
+    games = games.localCheckpoint()
+    m = games.select(
+        "i", "j", (F.col("w_ij") + F.col("w_ji")).alias("n"),
+        F.col("w_ij").alias("w"),
+    ).unionAll(
+        games.select(
+            F.col("j").alias("i"), F.col("i").alias("j"),
+            (F.col("w_ij") + F.col("w_ji")).alias("n"),
+            F.col("w_ji").alias("w"),
+        )
+    )
+    wtot = m.groupBy("i").agg(F.sum("w").alias("wi"), F.sum("n").alias("ni"))
+    items = wtot.agg(F.count(F.lit(1)).alias("m_items"))
+    scores = wtot.select("i", F.lit(1.0).alias("pi"))
+    eps = F.lit(float(_BT_EPS))
+    for _ in range(_BT_ITERS):
+        si = scores.withColumnsRenamed({"i": "ti", "pi": "pi_i"})
+        sj = scores.withColumnsRenamed({"i": "tj", "pi": "pi_j"})
+        t = (
+            m.join(F.broadcast(si), F.col("i") == F.col("ti"))
+            .join(F.broadcast(sj), F.col("j") == F.col("tj"))
+            .select(
+                "i",
+                F.round(
+                    F.col("n") / (F.col("pi_i") + F.col("pi_j")), 12
+                )
+                .cast("decimal(28,12)")
+                .alias("term"),
+            )
+        )
+        raw = (
+            t.join(F.broadcast(wtot.select("i", "wi")), "i")
+            .groupBy("i", "wi")
+            .agg(F.sum("term").alias("denom"))
+            .select(
+                "i",
+                F.round(
+                    F.col("wi") / F.col("denom").cast("double"), 9
+                ).alias("praw"),
+            )
+        )
+        # barrier: raw is referenced twice (normalizer + update) —
+        # see the games localCheckpoint note above.
+        raw = raw.localCheckpoint()
+        total = raw.agg(
+            F.sum(F.col("praw").cast("decimal(18,9)")).alias("tot")
+        )
+        scores = (
+            raw.join(F.broadcast(items))
+            .join(F.broadcast(total))
+            .select(
+                "i",
+                F.greatest(
+                    F.round(
+                        F.col("praw")
+                        * F.col("m_items")
+                        / F.col("tot").cast("double"),
+                        9,
+                    ),
+                    eps,
+                ).alias("pi"),
+            )
+        ).localCheckpoint()
+    return scores.join(wtot, "i").select(
+        F.col("i").alias("event_type"),
+        F.round("pi", 6).alias("bt_score"),
+        F.col("wi").cast("bigint").alias("n_wins"),
+        F.col("ni").cast("bigint").alias("n_games"),
+    )

@@ -6,7 +6,7 @@ evalprep.py for family docs and /root/reference/source/*/handler.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -17,7 +17,9 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import (
 )
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
     SQL_TOKS_EXPR,
+    md5_prefix_int,
     md5_unit,
+    sql_md5_int,
     sql_md5_unit,
 )
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
@@ -646,4 +648,175 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("qn"),
+    )
+
+
+@register(
+    "q_woe_encode",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderpriority,
+        COUNT(*) FILTER (WHERE o_orderstatus <> 'F') AS n_good,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_bad
+      FROM orders GROUP BY o_orderpriority
+    ),
+    tot AS (
+      SELECT SUM(n_good) AS g_tot, SUM(n_bad) AS b_tot FROM counts
+    )
+    SELECT o_orderpriority AS category,
+      CAST(n_good AS BIGINT) AS n_good, CAST(n_bad AS BIGINT) AS n_bad,
+      round(ln(((n_good + 0.5) * b_tot) / ((n_bad + 0.5) * g_tot)), 6)
+        AS woe,
+      round((CAST(n_good AS DOUBLE) / g_tot - CAST(n_bad AS DOUBLE) / b_tot)
+        * round(ln(((n_good + 0.5) * b_tot) / ((n_bad + 0.5) * g_tot)), 6), 6)
+        AS iv_term
+    FROM counts CROSS JOIN tot
+    """,
+)
+def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT-OF-EVIDENCE encoding + Information Value terms for a
+    categorical feature against a binary target (credit-scoring's
+    standard monotone encoding; Siddiqi 2006, public): WoE_i =
+    ln(P(cat_i | good) / P(cat_i | bad)) with 0.5 Laplace smoothing so
+    a one-sided category never yields ±inf, and IV_i = (g_i/G − b_i/B)
+    · WoE_i — summing iv_term gives the feature's total IV, the
+    classical feature-selection screen.
+
+    Complements q_target_encoding_loo (per-row leakage-corrected mean)
+    and q_one_hot_encode: WoE is the per-CATEGORY log-odds table a
+    scorecard pipeline joins back onto the fact rows.
+
+    Determinism: counts are exact integers; (n_good+0.5)·b_tot is an
+    exact double (< 2^53), ONE division feeds ln, and the
+    transcendental is rounded to 6dp before reuse (the
+    q_time_decay_attribution policy); the iv_term product is rounded
+    once more.  Scale: one hash aggregate to a |categories|-row table
+    and a 1-row totals broadcast — nothing after the first shuffle is
+    data-scaled."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") != "F", 1)).alias("n_good"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_bad"),
+    )
+    tot = counts.agg(
+        F.sum("n_good").alias("g_tot"), F.sum("n_bad").alias("b_tot")
+    )
+    woe = F.round(
+        F.log(
+            ((F.col("n_good") + 0.5) * F.col("b_tot"))
+            / ((F.col("n_bad") + 0.5) * F.col("g_tot"))
+        ),
+        6,
+    )
+    return counts.join(F.broadcast(tot)).select(
+        F.col("o_orderpriority").alias("category"),
+        F.col("n_good").cast("bigint").alias("n_good"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        woe.alias("woe"),
+        F.round(
+            (
+                F.col("n_good").cast("double") / F.col("g_tot")
+                - F.col("n_bad").cast("double") / F.col("b_tot")
+            )
+            * woe,
+            6,
+        ).alias("iv_term"),
+    )
+
+
+# Count-min sketch geometry: 3 independent md5-derived hash rows of 256
+# buckets.  Probe keys are the first 20 part keys — small enough that
+# the exact truth join is cheap at any sf, large enough to exercise
+# collisions (60k rows / 256 buckets ≈ 23 keys per cell at sf0.01).
+_CMS_DEPTH = 3
+_CMS_WIDTH = 256
+_CMS_PROBE_MAX = 20
+
+
+@register(
+    "q_count_min_sketch",
+    oracle=f"""
+    WITH cells AS (
+      SELECT d.d AS depth,
+        {sql_md5_int("d.d || ':' || CAST(l_partkey AS VARCHAR)")}
+          % {_CMS_WIDTH} AS bucket,
+        COUNT(*) AS cnt
+      FROM lineitem CROSS JOIN (SELECT unnest([0, 1, 2]) AS d) d
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT l_partkey, COUNT(*) AS true_cnt FROM lineitem
+      WHERE l_partkey <= {_CMS_PROBE_MAX} GROUP BY l_partkey
+    ),
+    est AS (
+      SELECT t.l_partkey, t.true_cnt, MIN(c.cnt) AS cms_est
+      FROM truth t
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS d) d
+      JOIN cells c
+        ON c.depth = d.d
+       AND c.bucket = {sql_md5_int("d.d || ':' || CAST(t.l_partkey AS VARCHAR)")}
+             % {_CMS_WIDTH}
+      GROUP BY t.l_partkey, t.true_cnt
+    )
+    SELECT l_partkey, CAST(true_cnt AS BIGINT) AS true_cnt,
+      CAST(cms_est AS BIGINT) AS cms_est,
+      CAST(cms_est - true_cnt AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def q_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH frequency estimation (Cormode & Muthukrishnan
+    2005, public): a 3×256 grid of counters where
+    each key increments one md5-derived bucket per row, and a key's
+    estimate is the MIN over its 3 cells — always ≥ the
+    true count, within εN with high probability.  The sketch is the
+    mergeable workhorse for frequency queries the exact q_heavy_hitters
+    path can't afford at stream scale; `overestimate` exposes the
+    collision error directly against the exact truth for the probe
+    keys.
+
+    Determinism: bucket = md5-prefix-int % width — the engine-portable
+    hash (functions/portable_hash.py); every value is an exact integer
+    count, no floats anywhere.  Scale/mergeability: the grid build is
+    ONE hash aggregate whose map-side partial sketches ARE count-min
+    sketches (cell-wise sum is the CMS merge operator — each task
+    emits ≤ depth·width partials regardless of row count); everything
+    downstream operates on the 768-cell grid and
+    a probe-bounded truth table."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    depths = F.explode(
+        F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])
+    ).alias("depth")
+
+    def bucket(depth: Column, key: Column) -> Column:
+        h = F.concat(depth.cast("string"), F.lit(":"), key.cast("string"))
+        return md5_prefix_int(h) % _CMS_WIDTH
+
+    cells = (
+        li.select("l_partkey", depths)
+        .select("depth", bucket(F.col("depth"), F.col("l_partkey")).alias("bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    truth = (
+        li.filter(F.col("l_partkey") <= _CMS_PROBE_MAX)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    probes = truth.select("l_partkey", "true_cnt", depths).select(
+        "l_partkey",
+        "true_cnt",
+        "depth",
+        bucket(F.col("depth"), F.col("l_partkey")).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["depth", "bucket"])
+        .groupBy("l_partkey", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "l_partkey",
+        F.col("true_cnt").cast("bigint").alias("true_cnt"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("true_cnt")).cast("bigint").alias("overestimate"),
     )

@@ -22,6 +22,8 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_
 # DuckDB tokenization CTE (single-sourced; functions/portable_hash.py)
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (  # noqa: E402
     SQL_TOKS_CTE as _SQL_TOKS,
+    md5_prefix_int,
+    sql_md5_int as _sql_md5_int,
     sql_md5_unit as _sql_md5_unit,
 )
 
@@ -282,4 +284,93 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("masked").cast("double") / F.count(F.lit(1)), 6
         ).alias("corruption_rate"),
+    )
+
+
+# FIM sentinels — the PSM (prefix-suffix-middle) layout from Bavarian
+# et al. 2022 ("Efficient Training of Language Models to Fill in the
+# Middle", public; also StarCoder's <fim_*> tokens).
+_FIM_PRE = "<fim_prefix>"
+_FIM_SUF = "<fim_suffix>"
+_FIM_MID = "<fim_middle>"
+
+# oracle fragments: the two md5-derived cut hashes (portable int hash)
+_SQL_FIM_HA = _sql_md5_int("CAST(doc_id AS VARCHAR) || ':fim-a'")
+_SQL_FIM_HB = _sql_md5_int("CAST(doc_id AS VARCHAR) || ':fim-b'")
+
+
+@register(
+    "q_fim_transform",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE text IS NOT NULL AND length(text) >= 3
+    ),
+    cuts AS (
+      SELECT doc_id, text, n,
+        1 + {_SQL_FIM_HA} % (n - 2) AS a
+      FROM d
+    ),
+    cuts2 AS (
+      SELECT doc_id, text, n, a,
+        a + 1 + {_SQL_FIM_HB} % (n - 1 - a) AS b
+      FROM cuts
+    )
+    SELECT doc_id, CAST(a AS BIGINT) AS cut_a, CAST(b AS BIGINT) AS cut_b,
+      '{_FIM_PRE}' || substr(text, 1, a)
+        || '{_FIM_SUF}' || substr(text, b + 1, n - b)
+        || '{_FIM_MID}' || substr(text, a + 1, b - a) AS fim_text
+    FROM cuts2
+    """,
+)
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022,
+    public; the StarCoder/code-LLM training-data op): each document
+    splits at two deterministic cut points into (prefix, middle,
+    suffix) and is re-emitted in PSM order —
+    <fim_prefix>P<fim_suffix>S<fim_middle>M — so an autoregressive
+    model learns to infill the middle conditioned on both sides.
+
+    Cut points are md5-derived integers (functions/portable_hash.py):
+    a ∈ [1, n−2] and b ∈ [a+1, n−1], guaranteeing all three parts are
+    non-empty (middle ≥ 1 char, suffix ≥ 1 char); documents under 3
+    chars are excluded.  All arithmetic is integer modulo on the
+    60-bit hash — no float anywhere — and substr is 1-based
+    character (not byte) indexing in both engines.
+
+    Scale: a PURE PROJECTION — zero shuffles, zero state; each task
+    transforms its own rows at scan speed, the ideal 100 TB shape
+    (same class as q_chunk_documents)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= 3))
+        .select("doc_id", "text", F.length("text").alias("n"))
+    )
+    ha = md5_prefix_int(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":fim-a"))
+    )
+    hb = md5_prefix_int(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":fim-b"))
+    )
+    cuts = d.select(
+        "doc_id", "text", "n", (F.lit(1) + ha % (F.col("n") - 2)).alias("a")
+    ).select(
+        "doc_id",
+        "text",
+        "n",
+        "a",
+        (F.col("a") + 1 + hb % (F.col("n") - 1 - F.col("a"))).alias("b"),
+    )
+    return cuts.select(
+        "doc_id",
+        F.col("a").cast("bigint").alias("cut_a"),
+        F.col("b").cast("bigint").alias("cut_b"),
+        F.concat(
+            F.lit(_FIM_PRE),
+            F.col("text").substr(F.lit(1), F.col("a")),
+            F.lit(_FIM_SUF),
+            F.col("text").substr(F.col("b") + 1, F.col("n") - F.col("b")),
+            F.lit(_FIM_MID),
+            F.col("text").substr(F.col("a") + 1, F.col("b") - F.col("a")),
+        ).alias("fim_text"),
     )

@@ -332,3 +332,189 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") < 10).alias("at_risk"),
         )
     )
+
+
+# t-closeness threshold (flag groups whose EMD exceeds it) and the
+# sensitive band width shared with q_l_diversity (featureprep.py)
+_TCLOSE_T = 0.2
+
+
+@register(
+    "q_t_closeness",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_nationkey, c_mktsegment,
+        CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band
+      FROM customer WHERE c_acctbal IS NOT NULL
+    ),
+    g AS (
+      SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS cnt
+      FROM cust GROUP BY 1, 2, 3
+    ),
+    grp AS (
+      SELECT c_nationkey, c_mktsegment, SUM(cnt) AS n_g
+      FROM g GROUP BY 1, 2
+    ),
+    bandall AS (
+      SELECT band, COUNT(*) AS cnt_all FROM cust GROUP BY band
+    ),
+    bandall2 AS (
+      SELECT band,
+        SUM(cnt_all) OVER (ORDER BY band
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+      FROM bandall
+    ),
+    tot AS (
+      SELECT SUM(cnt_all) AS n_total, COUNT(*) AS m FROM bandall
+    ),
+    grid AS (
+      SELECT grp.c_nationkey, grp.c_mktsegment, grp.n_g,
+        bandall2.band, bandall2.cum_all,
+        SUM(COALESCE(g.cnt, 0)) OVER (
+          PARTITION BY grp.c_nationkey, grp.c_mktsegment
+          ORDER BY bandall2.band
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+      FROM grp CROSS JOIN bandall2
+      LEFT JOIN g ON g.c_nationkey = grp.c_nationkey
+        AND g.c_mktsegment = grp.c_mktsegment AND g.band = bandall2.band
+    )
+    SELECT grid.c_nationkey, grid.c_mktsegment,
+      CAST(grid.n_g AS BIGINT) AS group_size,
+      round(CAST(SUM(abs(CAST(grid.cum_g AS DECIMAL(38,0)) * tot.n_total
+                         - CAST(grid.cum_all AS DECIMAL(38,0)) * grid.n_g))
+                 AS DOUBLE)
+            / (CAST(grid.n_g AS DOUBLE) * tot.n_total * (tot.m - 1)), 6)
+        AS emd,
+      round(CAST(SUM(abs(CAST(grid.cum_g AS DECIMAL(38,0)) * tot.n_total
+                         - CAST(grid.cum_all AS DECIMAL(38,0)) * grid.n_g))
+                 AS DOUBLE)
+            / (CAST(grid.n_g AS DOUBLE) * tot.n_total * (tot.m - 1)), 6)
+        <= {_TCLOSE_T} AS meets_t
+    FROM grid CROSS JOIN tot
+    GROUP BY grid.c_nationkey, grid.c_mktsegment, grid.n_g,
+             tot.n_total, tot.m
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007, public) —
+    the third rung of the privacy ladder after q_k_anonymity (group
+    size) and q_l_diversity (distinct sensitive values): a group is
+    t-close when the Earth Mover's Distance between ITS sensitive
+    distribution and the GLOBAL one is ≤ t.  A group can be large AND
+    diverse yet still skewed (e.g. 90% of one nation-segment in the
+    top balance band) — exactly the leak EMD catches.  Sensitive
+    attribute = the ordered acctbal band of q_l_diversity; for ordered
+    attributes EMD has the closed form (1/(m−1))·Σᵢ|cumP(i) − cumQ(i)|.
+
+    Determinism — the EMD is computed with INTEGER-EXACT arithmetic:
+    |cumP − cumQ| = |cum_g·N − cum_all·n_g| / (n_g·N), so the sum runs
+    over DECIMAL(38,0) products (order-independent, overflow-safe at
+    any N) and ONE double division + 6dp round happens at the end.  No
+    float ever enters an aggregate.
+
+    Scale: two hash aggregates over the data (QI×band, band), then
+    everything operates on the bounded grid |QI groups|·|bands| —
+    cumulative windows partition on the QI key with ≤|bands| rows per
+    partition, the global spine is one bounded window, and the totals
+    row broadcasts.  Output is QI-domain-bounded regardless of row
+    count."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal").isNotNull())
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 2000.0).cast("bigint").alias("band"),
+        )
+    )
+    g = cust.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grp = g.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").alias("n_g")
+    )
+    glob = cust.groupBy("band").agg(F.count(F.lit(1)).alias("cnt_all"))
+    w_glob = Window.orderBy(F.asc_nulls_last("band")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    glob2 = glob.select("band", F.sum("cnt_all").over(w_glob).alias("cum_all"))
+    tot = glob.agg(
+        F.sum("cnt_all").alias("n_total"), F.count(F.lit(1)).alias("m")
+    )
+    g2 = g.withColumnsRenamed(
+        {"c_nationkey": "gn", "c_mktsegment": "gs", "band": "gb"}
+    )
+    grid = (
+        grp.join(F.broadcast(glob2))
+        .join(
+            g2,
+            (F.col("gn") == F.col("c_nationkey"))
+            & (F.col("gs") == F.col("c_mktsegment"))
+            & (F.col("gb") == F.col("band")),
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_g",
+            "band",
+            "cum_all",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    w_g = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy(F.asc_nulls_last("band"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cumulated = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_g",
+        "cum_all",
+        F.sum("cnt").over(w_g).alias("cum_g"),
+    )
+    term = F.abs(
+        F.col("cum_g").cast("decimal(38,0)") * F.col("n_total")
+        - F.col("cum_all").cast("decimal(38,0)") * F.col("n_g")
+    )
+    emd = F.round(
+        F.sum(term).cast("double")
+        / (
+            F.col("n_g").cast("double")
+            * F.col("n_total")
+            * (F.col("m") - 1)
+        ),
+        6,
+    )
+    return (
+        cumulated.join(F.broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment", "n_g", "n_total", "m")
+        .agg(F.sum(term).alias("emd_num"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n_g").cast("bigint").alias("group_size"),
+            F.round(
+                F.col("emd_num").cast("double")
+                / (
+                    F.col("n_g").cast("double")
+                    * F.col("n_total")
+                    * (F.col("m") - 1)
+                ),
+                6,
+            ).alias("emd"),
+            (
+                F.round(
+                    F.col("emd_num").cast("double")
+                    / (
+                        F.col("n_g").cast("double")
+                        * F.col("n_total")
+                        * (F.col("m") - 1)
+                    ),
+                    6,
+                )
+                <= _TCLOSE_T
+            ).alias("meets_t"),
+        )
+    )

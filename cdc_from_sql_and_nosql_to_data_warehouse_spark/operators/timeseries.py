@@ -1543,3 +1543,75 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_raw").alias("n_raw"),
         F.sum(F.col("me") - F.col("ms")).alias("covered_us"),
     )
+
+
+@register(
+    "q_max_concurrent",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(o_orderdate AS DATE) AS s,
+        CAST(o_orderdate AS DATE) + INTERVAL 1 DAY * (o_orderkey % 28 + 1)
+          AS e
+      FROM orders
+    ),
+    sweep AS (
+      SELECT ts, SUM(delta) AS net FROM (
+        SELECT s AS ts, 1 AS delta FROM iv
+        UNION ALL
+        SELECT CAST(e AS DATE) AS ts, -1 AS delta FROM iv
+      ) GROUP BY ts
+    ),
+    run AS (
+      SELECT ts,
+        SUM(net) OVER (ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM sweep
+    )
+    SELECT CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+      MIN(ts) FILTER (WHERE conc = (SELECT MAX(conc) FROM run)) AS at_day
+    FROM run
+    """,
+)
+def q_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM INTERVAL CONCURRENCY (sweep line): how many order
+    fulfilment windows — [o_orderdate, o_orderdate + (key%28+1) days),
+    half-open — are open at once, and the earliest day the peak is
+    reached.  The classic capacity question (max concurrent sessions /
+    connections / jobs), answered without the quadratic
+    self-range-join: each interval contributes a +1 at its start and a
+    −1 at its (exclusive) end, and concurrency at t is the running sum
+    of net deltas through t.
+
+    Half-open semantics need no tie-break ordering: aggregating BOTH
+    deltas of the same day into one net value per day IS the
+    end-before-start rule (an interval ending at t has already left,
+    one starting at t has arrived).  All values are exact integers.
+
+    Scale: the only data-scaled exchanges are the delta union's hash
+    aggregate by day; the running sum rides the DATE-BOUNDED spine
+    (the q_cumulative_users date-domain exception — |days| rows
+    regardless of order count), and the final max+argmin folds in one
+    1-row aggregate (max_by on the (conc, −epoch) struct gives the
+    EARLIEST peak day deterministically)."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.col("o_orderdate").cast("date")
+    e = F.date_add(s, (F.col("o_orderkey") % 28 + 1).cast("int"))
+    starts = o.select(s.alias("ts"), F.lit(1).alias("delta"))
+    ends = o.select(e.alias("ts"), F.lit(-1).alias("delta"))
+    sweep = starts.unionAll(ends).groupBy("ts").agg(
+        F.sum("delta").alias("net")
+    )
+    w = Window.orderBy(F.asc_nulls_last("ts")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = sweep.select("ts", F.sum("net").over(w).alias("conc"))
+    peak = F.max(
+        F.struct(
+            F.col("conc"),
+            (-F.unix_date(F.col("ts"))).alias("neg_day"),
+        )
+    )
+    return run.agg(peak.alias("p")).select(
+        F.col("p.conc").cast("bigint").alias("max_concurrent"),
+        F.date_from_unix_date((-F.col("p.neg_day")).cast("int")).alias("at_day"),
+    )
