@@ -602,3 +602,243 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wi").cast("bigint").alias("n_wins"),
         F.col("ni").cast("bigint").alias("n_games"),
     )
+
+
+# Shapley attribution: the 4 touch channels (non-purchase event types),
+# bit positions in sorted order.  Pinned domain, like _SEGMENTS in
+# featureprep — the game is over channel SETS, so the alphabet must be
+# fixed up front (2^|channels| coalitions).
+_SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]
+_SHAPLEY_N = len(_SHAPLEY_CHANNELS)
+# s!(n-1-s)! for n=4, s=0..3 — the Shapley weight numerators (over n!)
+_SHAPLEY_FACT = [6, 2, 2, 6]
+_SHAPLEY_NFACT = 24
+
+_SQL_FACT_CASE = "CASE bit_count(vs.S) " + " ".join(
+    f"WHEN {s} THEN {f}" for s, f in enumerate(_SHAPLEY_FACT)
+) + " END"
+
+
+@register(
+    "q_shapley_attribution",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+        {" + ".join(
+            f"(2 ** {i}) * MAX(CASE WHEN event_type = '{ch}' THEN 1 ELSE 0 END)"
+            for i, ch in enumerate(_SHAPLEY_CHANNELS)
+        )} AS mask,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    bymask AS (
+      SELECT CAST(mask AS BIGINT) AS mask, COUNT(*) AS n, SUM(conv) AS c
+      FROM per_user GROUP BY mask
+    ),
+    coalitions AS (
+      SELECT CAST(unnest(generate_series(0, {2 ** _SHAPLEY_N - 1})) AS BIGINT)
+        AS S
+    ),
+    v AS (
+      SELECT S,
+        CASE WHEN SUM(n) > 0
+             THEN round(CAST(SUM(c) AS DOUBLE) / SUM(n), 6)
+             ELSE 0.0 END AS v
+      FROM coalitions LEFT JOIN bymask ON (bymask.mask & coalitions.S)
+        = bymask.mask
+      GROUP BY S
+    ),
+    chan AS (
+      SELECT * FROM (VALUES {", ".join(
+          f"('{ch}', CAST({2 ** i} AS BIGINT))"
+          for i, ch in enumerate(_SHAPLEY_CHANNELS)
+      )}) AS t(channel, bit)
+    ),
+    terms AS (
+      SELECT chan.channel,
+        round(({_SQL_FACT_CASE}) * (vi.v - vs.v)
+              / {_SHAPLEY_NFACT}.0, 6) AS term
+      FROM chan
+      JOIN v vs ON (vs.S & chan.bit) = 0
+      JOIN v vi ON vi.S = vs.S + chan.bit
+    )
+    SELECT channel,
+      CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS shapley
+    FROM terms GROUP BY channel
+    """,
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY-VALUE channel attribution (Shapley 1953; the
+    data-driven attribution model of Zhao et al. 2018 and of
+    production ad platforms, public): each channel's credit is its
+    average marginal contribution to the conversion rate across all
+    2^n coalition orderings — the only attribution scheme satisfying
+    efficiency/symmetry/dummy axioms, complementing the heuristic
+    last-touch/linear/time-decay family.
+
+    The game: v(S) = conversion rate of users whose touched-channel
+    set is CONTAINED in S (the reachable-conversion value function);
+    Shapley_i = Σ_{{S ∌ i}} |S|!(n−1−|S|)!/n! · (v(S∪i) − v(S)),
+    exactly enumerated over the 16 coalitions of the 4-channel
+    domain.
+
+    Determinism: v is an int/int division rounded 6dp; each weighted
+    marginal term rounds 6dp (the weight is an integer-CASE over
+    bit_count divided by n! — identical trees) and sums as
+    DECIMAL(18,6).  Scale: ONE user-keyed aggregate is the only
+    data-scaled shuffle; masks collapse to ≤2^n rows, the coalition
+    lattice is a 16×16 bounded subset join, and the Shapley sum runs
+    over 4×8 bounded terms — exact Shapley, no Monte-Carlo, because
+    the coalition space is domain-bounded, not data-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    mask = None
+    for i, ch in enumerate(_SHAPLEY_CHANNELS):
+        ind = F.lit(2 ** i) * F.max(
+            F.when(F.col("event_type") == ch, 1).otherwise(0)
+        )
+        mask = ind if mask is None else mask + ind
+    per_user = ev.groupBy("user_id").agg(
+        mask.cast("bigint").alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    bymask = per_user.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    coalitions = spark.range(2 ** _SHAPLEY_N).select(
+        F.col("id").alias("S")
+    )
+    v = (
+        coalitions.join(
+            F.broadcast(bymask),
+            bymask["mask"].bitwiseAND(coalitions["S"]) == bymask["mask"],
+            "left",
+        )
+        .groupBy("S")
+        .agg(
+            F.when(
+                F.sum("n") > 0,
+                F.round(F.sum("c").cast("double") / F.sum("n"), 6),
+            )
+            .otherwise(0.0)
+            .alias("v")
+        )
+    )
+    chan = spark.createDataFrame(
+        [(ch, 2 ** i) for i, ch in enumerate(_SHAPLEY_CHANNELS)],
+        "channel string, bit bigint",
+    )
+    vs = v.withColumnsRenamed({"S": "S0", "v": "v0"})
+    vi = v.withColumnsRenamed({"S": "S1", "v": "v1"})
+    fact = F.element_at(
+        F.array(*[F.lit(f) for f in _SHAPLEY_FACT]),
+        F.bit_count(F.col("S0")).cast("int") + 1,
+    )
+    terms = (
+        chan.join(
+            F.broadcast(vs), vs["S0"].bitwiseAND(chan["bit"]) == 0
+        )
+        .join(F.broadcast(vi), F.col("S1") == F.col("S0") + F.col("bit"))
+        .select(
+            "channel",
+            F.round(
+                fact * (F.col("v1") - F.col("v0")) / _SHAPLEY_NFACT, 6
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("channel").agg(
+        F.sum(F.col("term").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("shapley")
+    )
+
+
+@register(
+    "q_seq_patterns",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, event_type,
+        (MIN({'ts': epoch_us(ts), 'id': event_id})).ts AS fts,
+        (MIN({'ts': epoch_us(ts), 'id': event_id})).id AS fid
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM firsts),
+    pairs AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+        COUNT(*) AS n
+      FROM firsts a
+      JOIN firsts b ON a.user_id = b.user_id
+        AND a.event_type <> b.event_type
+        AND (a.fts < b.fts OR (a.fts = b.fts AND a.fid < b.fid))
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT antecedent, consequent, CAST(n AS BIGINT) AS n_users,
+      round(CAST(n AS DOUBLE) / tot.n_users, 6) AS support
+    FROM pairs CROSS JOIN tot
+    """,
+)
+def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL-PATTERN support (the length-2 core of
+    AprioriAll/PrefixSpan, Agrawal & Srikant 1995, public): for every
+    ordered pair of event types, the fraction of users whose FIRST a
+    strictly precedes their FIRST b — "a happens before b" with any
+    gap, complementing q_event_transitions (adjacent bigrams only) and
+    q_event_funnel (one fixed path).  The support table is what a
+    journey-mining pipeline thresholds into rules.
+
+    Determinism: first occurrence is the lexicographic MIN of
+    (epoch-micros, event_id) — a total order, so simultaneous-µs
+    events break ties identically on both engines; support is an
+    int/int division rounded once.
+
+    Scale: one (user, type)-keyed aggregate compresses each user to
+    ≤|types| rows; the per-user self-join fans out ≤|types|² pairs
+    per user (domain-bounded, the q_bradley_terry shape) into a
+    |types|²-row result; the distinct-user total is a 1-row
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min(
+            F.struct(F.unix_micros("ts").alias("ts"), F.col("event_id").alias("id"))
+        ).alias("m")
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("m.ts").alias("fts"),
+        F.col("m.id").alias("fid"),
+    )
+    tot = firsts.agg(F.countDistinct("user_id").alias("n_users"))
+    a = firsts.withColumnsRenamed(
+        {"event_type": "antecedent", "fts": "a_ts", "fid": "a_id"}
+    )
+    b = firsts.withColumnsRenamed(
+        {"event_type": "consequent", "fts": "b_ts", "fid": "b_id"}
+    )
+    pairs = (
+        a.join(
+            b,
+            (a["user_id"] == b["user_id"])
+            & (F.col("antecedent") != F.col("consequent"))
+            & (
+                (F.col("a_ts") < F.col("b_ts"))
+                | (
+                    (F.col("a_ts") == F.col("b_ts"))
+                    & (F.col("a_id") < F.col("b_id"))
+                )
+            ),
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.join(F.broadcast(tot)).select(
+        "antecedent",
+        "consequent",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(F.col("n").cast("double") / F.col("n_users"), 6).alias(
+            "support"
+        ),
+    )

@@ -270,3 +270,117 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("s").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_suppliers"))
+
+
+# link prediction: cap the per-part supplier fanout.  A hub part with
+# d co-suppliers contributes C(d,2) pairs; hubs also carry the least
+# signal (1/ln d → 0), so production link predictors drop them — the
+# cap makes the pair fanout per part O(cap²) by construction.
+_LP_MAX_DEG = 50
+_LP_TOPK = 20
+
+
+@register(
+    "q_link_prediction",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    ),
+    pdeg AS (
+      SELECT p, COUNT(*) AS deg FROM edges GROUP BY p
+      HAVING COUNT(*) BETWEEN 2 AND {_LP_MAX_DEG}
+    ),
+    sdeg AS (
+      SELECT s, COUNT(*) AS sd FROM edges GROUP BY s
+    ),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2,
+        CAST(COUNT(*) AS BIGINT) AS common_parts,
+        CAST(SUM(CAST(round(1.0 / ln(pdeg.deg), 6) AS DECIMAL(18,6)))
+             AS DOUBLE) AS adamic_adar
+      FROM edges a
+      JOIN edges b ON a.p = b.p AND a.s < b.s
+      JOIN pdeg ON pdeg.p = a.p
+      GROUP BY a.s, b.s
+    )
+    SELECT s1, s2, common_parts, adamic_adar,
+      round(CAST(common_parts AS DOUBLE)
+            / (d1.sd + d2.sd - common_parts), 6) AS jaccard
+    FROM pairs
+    JOIN sdeg d1 ON d1.s = pairs.s1
+    JOIN sdeg d2 ON d2.s = pairs.s2
+    ORDER BY adamic_adar DESC, s1, s2
+    LIMIT {_LP_TOPK}
+    """,
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH LINK PREDICTION features on the supplier co-supply graph
+    (suppliers are linked through the parts they both ship): top-20
+    supplier pairs by ADAMIC-ADAR score (Adamic & Adar 2003, public —
+    Σ over common neighbors of 1/ln(degree), down-weighting hub
+    parts), with common-neighbor count and Jaccard overlap — the
+    classic who-will-co-occur-next feature set for recommendation and
+    graph-ML pipelines.
+
+    Scale: candidate pairs are generated ONLY through shared parts
+    (never supplier×supplier), and parts with more than 50 suppliers
+    are dropped BEFORE pairing — hubs contribute C(d,2) pairs but
+    ~zero Adamic-Adar signal, so the cap bounds per-part fanout by
+    construction (the same skew rule the dedup banding family uses).
+    Per-part 1/ln(deg) terms round at 6dp and sum as DECIMAL; the
+    final top-k is a TakeOrdered with the total (score, s1, s2) key —
+    no global sort materializes.
+
+    Determinism: ln on an integer degree, rounded 6dp before the
+    order-free decimal sum; Jaccard is int-derived and rounded once;
+    the (adamic_adar DESC, s1, s2) tie-break is a total order."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    edges = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    pdeg = (
+        edges.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= _LP_MAX_DEG))
+    )
+    sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("sd"))
+    a = edges.withColumnsRenamed({"s": "s1"})
+    b = edges.withColumnsRenamed({"s": "s2"})
+    pairs = (
+        a.join(b, (a["p"] == b["p"]) & (F.col("s1") < F.col("s2")))
+        .select(a["p"].alias("p"), "s1", "s2")
+        .join(pdeg, "p")
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_parts"),
+            F.sum(
+                F.round(F.lit(1.0) / F.log(F.col("deg")), 6).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("adamic_adar"),
+        )
+    )
+    d1 = sdeg.withColumnsRenamed({"s": "s1", "sd": "sd1"})
+    d2 = sdeg.withColumnsRenamed({"s": "s2", "sd": "sd2"})
+    return (
+        pairs.join(d1, "s1")
+        .join(d2, "s2")
+        .select(
+            "s1",
+            "s2",
+            "common_parts",
+            "adamic_adar",
+            F.round(
+                F.col("common_parts").cast("double")
+                / (F.col("sd1") + F.col("sd2") - F.col("common_parts")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("adamic_adar"), "s1", "s2")
+        .limit(_LP_TOPK)
+    )

@@ -36,6 +36,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+    md5_unit,
+    sql_md5_unit,
+)
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.tpch_shapes import (
     _SQL_VOLUME,
@@ -517,4 +521,76 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= _TCLOSE_T
             ).alias("meets_t"),
         )
+    )
+
+
+# Laplace mechanism: epsilon = 1, count sensitivity = 1 ⇒ scale b = 1.
+# The noise draw is the deterministic inverse-CDF transform of the
+# portable md5-uniform — reproducible across engines/runs/cluster
+# sizes, which real DP release pipelines also want (seeded noise for
+# audit replay).  NOTE: determinism trades away the unpredictability a
+# production adversary model needs; swap the seed string per release.
+_DP_EPSILON = 1.0
+
+
+@register(
+    "q_dp_noisy_count",
+    oracle=f"""
+    WITH counts AS (
+      SELECT o_orderpriority AS category, COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority
+    ),
+    u AS (
+      SELECT category, n,
+        {sql_md5_unit("category || ':dp-seed'")} AS u
+      FROM counts
+    )
+    SELECT category,
+      round(n + round(
+        -CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+          * ln(GREATEST(1.0 - 2.0 * abs(u - 0.5), 1e-12)) / {_DP_EPSILON}, 6),
+        6) AS noisy_count,
+      CAST({_DP_EPSILON} AS DOUBLE) AS epsilon
+    FROM u
+    """,
+)
+def q_dp_noisy_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE counts via the LAPLACE MECHANISM (Dwork
+    et al. 2006, public): each category count is released with
+    Laplace(Δf/ε) noise (sensitivity 1 for a count, ε = 1) — the
+    fourth rung of the privacy ladder after k-anonymity, l-diversity
+    and t-closeness: those audit the data, DP protects the RELEASE
+    itself.
+
+    The draw is the inverse-CDF transform noise =
+    −b·sign(u−½)·ln(1−2|u−½|) of the engine-portable md5-uniform
+    (functions/portable_hash.py) — deterministic and replayable, as
+    DP audit pipelines require (the seed string is the privacy
+    parameter to rotate per release).  The ln argument is floored at
+    1e-12 so a pathological u → 0 can't produce −inf.
+
+    Determinism: the uniform, the sign, and the single ln (rounded
+    6dp, the transcendental policy) are identical on both engines.
+    Scale: ONE hash aggregate; the noise is a projection over the
+    category-bounded result."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    u = md5_unit(F.concat(F.col("category"), F.lit(":dp-seed")))
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = F.round(
+        -sign
+        * F.log(
+            F.greatest(
+                F.lit(1.0) - 2.0 * F.abs(u - 0.5), F.lit(1e-12)
+            )
+        )
+        / _DP_EPSILON,
+        6,
+    )
+    return counts.select(
+        "category",
+        F.round(F.col("n") + noise, 6).alias("noisy_count"),
+        F.lit(_DP_EPSILON).cast("double").alias("epsilon"),
     )

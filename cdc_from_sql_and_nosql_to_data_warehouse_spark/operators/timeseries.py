@@ -1615,3 +1615,127 @@ def q_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.conc").cast("bigint").alias("max_concurrent"),
         F.date_from_unix_date((-F.col("p.neg_day")).cast("int")).alias("at_day"),
     )
+
+
+@register(
+    "q_survival_km",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+        CAST(MIN(ts) AS DATE) AS f,
+        CAST(MAX(ts) AS DATE) AS l,
+        CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS DATE)
+          AS p
+      FROM events GROUP BY user_id
+    ),
+    dur AS (
+      SELECT date_diff('day', f, COALESCE(p, l)) AS t,
+        CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user
+    ),
+    bins AS (
+      SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c FROM dur GROUP BY t
+    ),
+    tot AS (SELECT SUM(d + c) AS n_total FROM bins),
+    risk AS (
+      SELECT t, d, c,
+        n_total - COALESCE(SUM(d + c) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM bins CROSS JOIN tot
+    ),
+    curve AS (
+      SELECT t, d, c, n_risk,
+        SUM(CASE WHEN d > 0 AND d < n_risk
+                 THEN round(ln(CAST(n_risk - d AS DOUBLE) / n_risk), 6)
+                 ELSE 0.0 END) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ln,
+        MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeroed
+      FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+      CAST(d AS BIGINT) AS d_events, CAST(c AS BIGINT) AS n_censored,
+      CASE WHEN zeroed = 1 THEN 0.0 ELSE round(exp(cum_ln), 6) END
+        AS survival
+    FROM curve
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve (Kaplan & Meier 1958, public) for
+    time-to-first-purchase: per user, the duration runs from first
+    event to first purchase (event observed) or to the last event
+    (right-CENSORED — the user simply hasn't converted YET, which is
+    exactly what naive conversion-time averages get wrong and KM
+    handles).  S(t) = Π_{u ≤ t} (1 − d_u/n_u) over event times, with
+    n_u = users still at risk at u.
+
+    Determinism: d/c/n_risk are exact integers; each factor enters in
+    LOG space as round(ln((n−d)/n), 6) — the 6dp-transcendental policy
+    — and the cumulative sum accumulates IN FRAME ORDER (identical
+    float-add sequence both engines, the q_cusum precedent); a
+    d = n_risk time point zeroes the curve exactly from there on via a
+    running flag instead of ln(0).
+
+    Scale: one user-keyed aggregate (the only data-scaled shuffle),
+    then everything rides the DATE-BOUNDED duration spine (|distinct
+    durations| ≤ day domain — the q_cumulative_users exception) with
+    running-sum windows."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("f"),
+        F.max(F.col("ts").cast("date")).alias("l"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).cast("date").alias("p"),
+    )
+    dur = per_user.select(
+        F.datediff(F.coalesce("p", "l"), F.col("f")).alias("t"),
+        F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    bins = dur.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    tot = bins.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    w_prior = Window.orderBy(F.asc_nulls_last("t")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.orderBy(F.asc_nulls_last("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = bins.join(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0))
+        ).alias("n_risk"),
+    )
+    ln_term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk")
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    zero_flag = F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+    curve = risk.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.sum(ln_term).over(w_run).alias("cum_ln"),
+        F.max(zero_flag).over(w_run).alias("zeroed"),
+    )
+    return curve.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        F.when(F.col("zeroed") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_ln")), 6))
+        .alias("survival"),
+    )
