@@ -440,3 +440,108 @@ def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         f"stack({len(_PASS_KS)}, {stacked}) AS (k, n_tasks, mean_pass_at_k)"
     )
+
+
+# off-policy evaluation: the target policy maps context (user_id % 4)
+# to a deterministic action; rewards binarize the event value.
+_IPS_POLICY = ["view", "click", "signup", "error"]
+
+_SQL_IPS_POLICY = "CASE (user_id % 4) " + " ".join(
+    f"WHEN {i} THEN '{a}'" for i, a in enumerate(_IPS_POLICY)
+) + " END"
+
+
+@register(
+    "q_ips_policy_eval",
+    oracle=f"""
+    WITH logged AS (
+      SELECT user_id % 4 AS x, event_type AS a,
+        CASE WHEN value > 50 THEN 1 ELSE 0 END AS r,
+        {_SQL_IPS_POLICY} AS pi_a
+      FROM events WHERE event_type IS NOT NULL
+    ),
+    prop AS (
+      SELECT x, a, COUNT(*) AS n_xa FROM logged GROUP BY x, a
+    ),
+    ctx AS (
+      SELECT x, SUM(n_xa) AS n_x FROM prop GROUP BY x
+    ),
+    weighted AS (
+      SELECT l.r,
+        CASE WHEN l.a = l.pi_a
+             THEN round(CAST(ctx.n_x AS DOUBLE) / prop.n_xa, 6)
+             ELSE 0.0 END AS w
+      FROM logged l
+      JOIN prop ON prop.x = l.x AND prop.a = l.a
+      JOIN ctx ON ctx.x = l.x
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      round(CAST(SUM(CAST(r * w AS DECIMAL(18,6))) AS DOUBLE)
+            / COUNT(*), 6) AS ips,
+      round(CAST(SUM(CAST(r * w AS DECIMAL(18,6))) AS DOUBLE)
+            / CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 6) AS snips,
+      round(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE)
+            * CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE)
+            / CAST(SUM(CAST(round(w * w, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE), 6) AS ess
+    FROM weighted
+    """,
+)
+def q_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFF-POLICY EVALUATION via inverse propensity scoring (Horvitz &
+    Thompson 1952; Dudík/Langford/Li 2011, public) — the counterfactual
+    question behind every recommender/RLHF-policy change: "what reward
+    WOULD the new policy have earned on the logged traffic?"  IPS
+    reweights each logged (context, action, reward) by
+    1[π(x)=a]/p̂(a|x); SNIPS self-normalizes (lower variance, the
+    production default); ESS = (Σw)²/Σw² says how many effective
+    samples survive the reweighting — the diagnostic that tells you
+    when the estimate is junk.
+
+    Context = user bucket (user_id % 4), logged action = event type,
+    reward = value > 50, target policy = a fixed bucket→action map;
+    the propensity is the empirical logging rate p̂(a|x) = n_xa/n_x.
+
+    Determinism: propensities and weights are int/int divisions
+    rounded 6dp; r∈{{0,1}} keeps r·w exact; all sums ride
+    DECIMAL(18,6) (order-independent); w² rounds 6dp before its sum.
+    Scale: one (x,a)-keyed aggregate builds the bounded propensity
+    table (|contexts|·|actions| rows, broadcast back); the estimate
+    folds in ONE global aggregate — no per-row state, no window."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    pi_a = F.element_at(
+        F.array(*[F.lit(a) for a in _IPS_POLICY]),
+        (F.col("user_id") % 4).cast("int") + 1,
+    )
+    logged = ev.select(
+        (F.col("user_id") % 4).alias("x"),
+        F.col("event_type").alias("a"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("r"),
+        pi_a.alias("pi_a"),
+    )
+    prop = logged.groupBy("x", "a").agg(F.count(F.lit(1)).alias("n_xa"))
+    ctx = prop.groupBy("x").agg(F.sum("n_xa").alias("n_x"))
+    w = F.when(
+        F.col("a") == F.col("pi_a"),
+        F.round(F.col("n_x").cast("double") / F.col("n_xa"), 6),
+    ).otherwise(F.lit(0.0))
+    weighted = (
+        logged.join(F.broadcast(prop), ["x", "a"])
+        .join(F.broadcast(ctx), "x")
+        .select("r", w.alias("w"))
+    )
+    sum_rw = F.sum((F.col("r") * F.col("w")).cast("decimal(18,6)")).cast(
+        "double"
+    )
+    sum_w = F.sum(F.col("w").cast("decimal(18,6)")).cast("double")
+    sum_w2 = F.sum(
+        F.round(F.col("w") * F.col("w"), 6).cast("decimal(28,6)")
+    ).cast("double")
+    return weighted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(sum_rw / F.count(F.lit(1)), 6).alias("ips"),
+        F.round(sum_rw / sum_w, 6).alias("snips"),
+        F.round(sum_w * sum_w / sum_w2, 6).alias("ess"),
+    )

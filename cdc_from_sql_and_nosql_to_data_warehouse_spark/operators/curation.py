@@ -1134,3 +1134,127 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# distribution matching: resample the "crawl" half of the corpus
+# (src0..src9) so its length-bin distribution matches the "reference"
+# half (src10..src19).  100-char bins; acceptance is deterministic
+# rejection sampling with the portable md5-uniform.
+_DM_BIN = 100
+
+
+@register(
+    "q_distribution_match",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, n_chars // {_DM_BIN} AS bin,
+        CAST(substr(source, 4) AS INT) < 10 AS is_crawl
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    a AS (
+      SELECT bin, COUNT(*) AS cnt_a FROM docs WHERE is_crawl GROUP BY bin
+    ),
+    b AS (
+      SELECT bin, COUNT(*) AS cnt_b FROM docs WHERE NOT is_crawl
+      GROUP BY bin
+    ),
+    na AS (SELECT SUM(cnt_a) AS n_a FROM a),
+    nb AS (SELECT SUM(cnt_b) AS n_b FROM b),
+    ratios AS (
+      SELECT a.bin, a.cnt_a,
+        round(CAST(COALESCE(b.cnt_b, 0) * na.n_a AS DOUBLE)
+              / (a.cnt_a * nb.n_b), 6) AS ratio
+      FROM a LEFT JOIN b ON a.bin = b.bin CROSS JOIN na CROSS JOIN nb
+    ),
+    mx AS (SELECT MAX(ratio) AS m FROM ratios),
+    probs AS (
+      SELECT bin, cnt_a, round(ratio / mx.m, 6) AS accept_prob
+      FROM ratios CROSS JOIN mx
+    )
+    SELECT p.bin AS bin, CAST(p.cnt_a AS BIGINT) AS n_orig,
+      CAST(COUNT(CASE WHEN
+        {sql_md5_unit("CAST(d.doc_id AS VARCHAR) || ':dm'")} < p.accept_prob
+        THEN 1 END) AS BIGINT) AS n_accepted,
+      p.accept_prob
+    FROM probs p JOIN docs d ON d.bin = p.bin AND d.is_crawl
+    GROUP BY p.bin, p.cnt_a, p.accept_prob
+    """,
+)
+def q_distribution_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION MATCHING by deterministic rejection sampling (the
+    importance-resampling step of training-data pipelines — e.g.
+    matching a crawl's length profile to a curated reference corpus,
+    the move behind quality-matched data mixes): per 100-char length
+    bin, a crawl document is kept with probability proportional to
+    (reference density / crawl density), normalized so the
+    highest-ratio bin keeps everything.  Bins the reference corpus
+    lacks get acceptance 0 (ratio's COALESCE), bins the crawl lacks
+    have nothing to sample and don't appear.
+
+    Determinism: densities are integer-count cross-products (one
+    double division, 6dp); acceptance compares the portable
+    md5-uniform (functions/portable_hash.py) against the 6dp-rounded
+    probability — reproducible across engines, runs and cluster
+    sizes, the same policy as q_split_train_eval.
+
+    Scale: two bounded hash aggregates (|bins| rows), 1-row totals +
+    |bins|-row prob table broadcast back onto the crawl scan; the
+    accept decision is a pure projection."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("n_chars") / _DM_BIN).cast("bigint").alias("bin"),
+            (F.substring("source", 4, 10).cast("int") < 10).alias(
+                "is_crawl"
+            ),
+        )
+    )
+    a = docs.filter("is_crawl").groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt_a")
+    )
+    b = docs.filter(~F.col("is_crawl")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt_b")
+    )
+    na = a.agg(F.sum("cnt_a").alias("n_a"))
+    nb = b.agg(F.sum("cnt_b").alias("n_b"))
+    ratios = (
+        a.join(b.withColumnsRenamed({"bin": "bbin"}),
+               F.col("bin") == F.col("bbin"), "left")
+        .join(F.broadcast(na))
+        .join(F.broadcast(nb))
+        .select(
+            "bin",
+            "cnt_a",
+            F.round(
+                (F.coalesce(F.col("cnt_b"), F.lit(0)) * F.col("n_a"))
+                .cast("double")
+                / (F.col("cnt_a") * F.col("n_b")),
+                6,
+            ).alias("ratio"),
+        )
+    )
+    mx = ratios.agg(F.max("ratio").alias("m"))
+    probs = ratios.join(F.broadcast(mx)).select(
+        "bin",
+        "cnt_a",
+        F.round(F.col("ratio") / F.col("m"), 6).alias("accept_prob"),
+    )
+    u = md5_unit(F.concat(F.col("doc_id").cast("string"), F.lit(":dm")))
+    return (
+        docs.filter("is_crawl")
+        .join(F.broadcast(probs), "bin")
+        .groupBy("bin", "cnt_a", "accept_prob")
+        .agg(
+            F.count(F.when(u < F.col("accept_prob"), 1))
+            .cast("bigint")
+            .alias("n_accepted")
+        )
+        .select(
+            "bin",
+            F.col("cnt_a").cast("bigint").alias("n_orig"),
+            "n_accepted",
+            "accept_prob",
+        )
+    )

@@ -16,7 +16,9 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import (
 )
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
     SQL_TOKS_EXPR,
+    md5_prefix_int,
     md5_unit,
+    sql_md5_int,
     sql_md5_unit,
 )
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
@@ -445,4 +447,137 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         ).alias("residual"),
+    )
+
+
+# bootstrap: resample the daily-revenue series B times with
+# replacement; picks are md5-derived (replayable, engine-portable).
+_BOOT_B = 200
+
+
+@register(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(16,2))
+          AS rev
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    idx AS (
+      SELECT rev, row_number() OVER (ORDER BY day) - 1 AS i FROM daily
+    ),
+    nd AS (SELECT COUNT(*) AS n FROM daily),
+    picks AS (
+      SELECT b.b,
+        {sql_md5_int(
+            "CAST(b.b AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)"
+        )} % nd.n AS pick
+      FROM idx t
+      CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) b
+      CROSS JOIN nd
+    ),
+    boot AS (
+      SELECT p.b,
+        round(CAST(SUM(CAST(i2.rev AS DECIMAL(18,2))) AS DOUBLE)
+              / COUNT(*), 6) AS mean_b
+      FROM picks p JOIN idx i2 ON i2.i = p.pick
+      GROUP BY p.b
+    ),
+    base AS (
+      SELECT round(CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_rev,
+        CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily
+    )
+    SELECT base.n_days, CAST({_BOOT_B} AS BIGINT) AS b, base.mean_rev,
+      round(quantile_cont(boot.mean_b, 0.025), 4) AS ci_lo,
+      round(quantile_cont(boot.mean_b, 0.975), 4) AS ci_hi
+    FROM boot CROSS JOIN base
+    GROUP BY base.n_days, base.mean_rev
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOTSTRAP confidence interval (Efron 1979, public) for the mean
+    daily revenue: 200 resamples-with-replacement of the daily series,
+    each resample's mean collected into an empirical distribution
+    whose 2.5%/97.5% quantiles are the 95% CI — the
+    distribution-assumption-free uncertainty quantification that
+    complements q_ab_ttest's parametric form.
+
+    Resampling is DETERMINISTIC: draw (b, i) picks day
+    md5int(b:i) mod n — replayable across engines, runs and cluster
+    sizes (the house rand() replacement).  Daily revenues are
+    decimal-exact; each bootstrap mean is an order-free DECIMAL sum
+    with one 6dp-rounded division; the CI quantiles use the shared
+    (n−1)·p interpolation rounded 4dp.
+
+    Scale: the data-scaled work is ONE day-keyed aggregate; everything
+    after rides the date-bounded spine — the resample fan-out is
+    B·|days| rows (bounded by the calendar, not the data), the
+    pick-join is an equi-join against the |days|-row spine, and B
+    bootstrap means reduce to one row."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(dec("o_totalprice", 14, 2)).cast("decimal(16,2)").alias("rev")
+    )
+    w = Window.orderBy(F.asc_nulls_last("day"))
+    idx = daily.select(
+        "rev", (F.row_number().over(w) - 1).alias("i")
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("n"))
+    picks = (
+        idx.select("i", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"))
+        .join(F.broadcast(nd))
+        .select(
+            "b",
+            (
+                md5_prefix_int(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("i").cast("string"),
+                    )
+                )
+                % F.col("n")
+            ).alias("pick"),
+        )
+    )
+    i2 = idx.withColumnsRenamed({"i": "pick", "rev": "rev2"})
+    boot = (
+        picks.join(i2, "pick")
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("rev2").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_b")
+        )
+    )
+    base = daily.agg(
+        F.round(
+            F.sum(F.col("rev").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    return (
+        boot.join(F.broadcast(base))
+        .groupBy("n_days", "mean_rev")
+        .agg(
+            F.round(F.expr("percentile(mean_b, 0.025)"), 4).alias("ci_lo"),
+            F.round(F.expr("percentile(mean_b, 0.975)"), 4).alias("ci_hi"),
+        )
+        .select(
+            "n_days",
+            F.lit(_BOOT_B).cast("bigint").alias("b"),
+            "mean_rev",
+            "ci_lo",
+            "ci_hi",
+        )
     )

@@ -820,3 +820,103 @@ def q_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_est").cast("bigint").alias("cms_est"),
         (F.col("cms_est") - F.col("true_cnt")).cast("bigint").alias("overestimate"),
     )
+
+
+# uniform-sample quantile sketch: K smallest md5-hash rows form the
+# sample.  K is the sketch's bounded state; hash-order top-K is
+# partition-independent, so per-partition top-K + merge (Spark's
+# TakeOrdered) IS the sketch-merge operator.
+_QSK_K = 2048
+
+
+@register(
+    "q_quantile_sample_sketch",
+    oracle=f"""
+    WITH sample AS (
+      SELECT l_extendedprice AS v
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+      ORDER BY {sql_md5_unit(
+          "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+      )}, l_orderkey, l_linenumber
+      LIMIT {_QSK_K}
+    ),
+    est AS (
+      SELECT round(quantile_cont(v, 0.5), 4) AS est_p50,
+        round(quantile_cont(v, 0.9), 4) AS est_p90
+      FROM sample
+    ),
+    exact AS (
+      SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT CAST({_QSK_K} AS BIGINT) AS k, est_p50, exact_p50,
+      round(abs(est_p50 - exact_p50), 4) AS err_p50,
+      est_p90, exact_p90,
+      round(abs(est_p90 - exact_p90), 4) AS err_p90
+    FROM est CROSS JOIN exact
+    """,
+)
+def q_quantile_sample_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE QUANTILE SKETCH by deterministic uniform sampling:
+    the K = 2048 rows with the smallest portable md5-hash form a
+    uniform sample whose quantiles estimate the population's — the
+    bounded-state companion to q_count_min_sketch for rank queries,
+    and the deterministic stand-in for KLL/t-digest (whose merge
+    states are engine-private and can never hash-match an oracle).
+
+    Mergeability is STRUCTURAL: hash-order top-K is independent of
+    partitioning, so Spark's TakeOrdered (per-partition top-K, then a
+    K-bounded merge — exactly the sketch-merge operator) computes the
+    identical sample on 1 or 1000 executors, and DuckDB's global
+    ORDER-BY-LIMIT reproduces it bit-for-bit.  The (hash, orderkey,
+    linenumber) sort key is a total order, so boundary ties cannot
+    select different rows.
+
+    Determinism: both engines interpolate quantiles with the shared
+    (n−1)·p rule (the q_percentile precedent), rounded 4dp; the exact
+    side uses the same path at oracle scale.  Scale: the sample pass
+    ships K rows per partition max; the exact twin is here for the
+    error columns (a production sketch would skip it)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    h = md5_unit(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    sample = (
+        li.select(F.col("l_extendedprice").alias("v"), h.alias("h"),
+                  "l_orderkey", "l_linenumber")
+        .orderBy("h", "l_orderkey", "l_linenumber")
+        .limit(_QSK_K)
+    )
+    est = sample.agg(
+        F.round(F.expr("percentile(v, 0.5)"), 4).alias("est_p50"),
+        F.round(F.expr("percentile(v, 0.9)"), 4).alias("est_p90"),
+    )
+    exact = li.agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "exact_p50"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
+            "exact_p90"
+        ),
+    )
+    return est.join(F.broadcast(exact)).select(
+        F.lit(_QSK_K).cast("bigint").alias("k"),
+        "est_p50",
+        "exact_p50",
+        F.round(F.abs(F.col("est_p50") - F.col("exact_p50")), 4).alias(
+            "err_p50"
+        ),
+        "est_p90",
+        "exact_p90",
+        F.round(F.abs(F.col("est_p90") - F.col("exact_p90")), 4).alias(
+            "err_p90"
+        ),
+    )

@@ -111,6 +111,20 @@ QUERIES = [
     # keep window hashes replica-local, so the slope must stay linear)
     "q_text_index_incremental",
     "q_dedup_cross_spans",
+    # round-9 batch 2-4: the new data-scaled shapes.  Link prediction
+    # is the riskiest (pair fanout through shared parts — the 50-deg
+    # hub cap must hold the slope linear as replicas multiply parts);
+    # Bradley-Terry and seq-patterns fan out |types|² per user (user
+    # COUNT grows, per-user work fixed); the CMS grid is a constant
+    # 768 cells at any scale (map-side partials are the merge); FIM is
+    # a pure projection (the scan-speed floor); max-concurrency rides
+    # the date-bounded sweep spine.
+    "q_link_prediction",
+    "q_bradley_terry",
+    "q_seq_patterns",
+    "q_count_min_sketch",
+    "q_fim_transform",
+    "q_max_concurrent",
 ]
 
 # key columns to shift per table; dims (region, nation) copy unchanged
