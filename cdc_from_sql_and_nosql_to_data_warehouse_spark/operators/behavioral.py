@@ -842,3 +842,62 @@ def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support"
         ),
     )
+
+
+@register(
+    "q_path_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS rn
+      FROM events WHERE event_type IS NOT NULL
+    ),
+    paths AS (
+      SELECT user_id,
+        array_to_string(list(event_type ORDER BY rn), '>') AS path
+      FROM ranked WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 10
+    """,
+)
+def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP ENTRY PATHS: the 10 most common first-three-event journeys
+    ('view>click>purchase', …) — the path-analysis view product teams
+    read next to q_event_funnel (one fixed path) and q_seq_patterns
+    (pairwise precedence): it shows which openings actually dominate.
+
+    Determinism: the per-user order is the total (ts, event_id) key;
+    the top-k order is the total (count DESC, path ASC) key.
+
+    Scale: ONE user-partitioned window ranks events (never a global
+    sort), the rn ≤ 3 filter bounds the per-user collect at 3 elements
+    BEFORE aggregation, the path table is ≤|types|³ distinct rows, and
+    the top-10 is a TakeOrdered."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(10)
+    )

@@ -859,3 +859,221 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.bit_xor(md5_prefix_int(row)).alias("checksum"),
     )
+
+
+@register(
+    "q_merge_column_lww",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k, c_name,
+        CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+      FROM customer
+    ),
+    -- stream A (CRM): renames, version = k % 7, touches keys k % 3 = 0
+    a AS (
+      SELECT k, k % 7 AS ver, 'A:' || c_name AS new_name
+      FROM base WHERE k % 3 = 0
+    ),
+    -- stream B (billing): re-balances AND renames, version = k % 5,
+    -- touches keys k % 2 = 0 — overlaps A on k % 6 = 0
+    b AS (
+      SELECT k, k % 5 AS ver, 'B:' || c_name AS new_name,
+        CAST(CAST(bal AS DECIMAL(12,2)) + 10 AS DOUBLE) AS new_bal
+      FROM base WHERE k % 2 = 0
+    ),
+    name_cells AS (
+      SELECT k, ver, 1 AS src, new_name AS v FROM a
+      UNION ALL
+      SELECT k, ver, 2 AS src, new_name AS v FROM b
+    ),
+    name_win AS (
+      SELECT k, v AS name_v, row_number() OVER (
+        PARTITION BY k ORDER BY ver DESC, src DESC) AS rn
+      FROM name_cells
+    )
+    SELECT base.k AS c_custkey,
+      COALESCE(nw.name_v, base.c_name) AS c_name,
+      COALESCE(b.new_bal, base.bal) AS acctbal
+    FROM base
+    LEFT JOIN (SELECT k, name_v FROM name_win WHERE rn = 1) nw
+      ON nw.k = base.k
+    LEFT JOIN b ON b.k = base.k
+    """,
+)
+def q_merge_column_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-LEVEL last-writer-wins CDC merge: two change streams
+    update DIFFERENT (overlapping) columns of the same key at
+    different versions — CRM renames, billing re-balances and renames
+    — and the merge resolves each COLUMN independently to its
+    newest-version writer (ties → higher source id), instead of the
+    row-level LWW of q_upsert_latest_wins, which would clobber one
+    stream's column with the other's stale value.  This is the
+    multi-master / multi-source replication semantic (per-cell vector
+    versions, the CRDT LWW-register per column) that row-granular
+    MERGE cannot express.
+
+    Determinism: versions are integer key arithmetic; the per-column
+    winner is a row_number over the total (ver, src) order.  Scale:
+    change cells route through ONE (key)-keyed window bounded by
+    |streams| rows per key (never history length — each stream
+    contributes its latest cell), and the final assembly is two
+    key-equi left joins; at 100 TB all three frames shuffle on the
+    same key so AQE co-partitions them."""
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        "c_name",
+        F.col("c_acctbal").cast("decimal(12,2)").cast("double").alias("bal"),
+    )
+    a = base.filter(F.col("k") % 3 == 0).select(
+        "k",
+        (F.col("k") % 7).alias("ver"),
+        F.concat(F.lit("A:"), F.col("c_name")).alias("new_name"),
+    )
+    b = base.filter(F.col("k") % 2 == 0).select(
+        "k",
+        (F.col("k") % 5).alias("ver"),
+        F.concat(F.lit("B:"), F.col("c_name")).alias("new_name"),
+        (F.col("bal").cast("decimal(12,2)") + 10)
+        .cast("double")
+        .alias("new_bal"),
+    )
+    name_cells = a.select(
+        "k", "ver", F.lit(1).alias("src"), F.col("new_name").alias("v")
+    ).unionAll(
+        b.select(
+            "k", "ver", F.lit(2).alias("src"), F.col("new_name").alias("v")
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("ver"), F.desc("src"))
+    name_win = (
+        name_cells.select(
+            "k", F.col("v").alias("name_v"), F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bal_cells = b.select("k", F.col("new_bal"))
+    return (
+        base.join(name_win, "k", "left")
+        .join(bal_cells, "k", "left")
+        .select(
+            F.col("k").alias("c_custkey"),
+            F.coalesce("name_v", "c_name").alias("c_name"),
+            F.coalesce("new_bal", "bal").alias("acctbal"),
+        )
+    )
+
+
+# bitemporal probe instants (fixed literals inside the testdata's
+# 1992-1998 order-date span; every sf contains orders around them)
+_BT_VALID = "1995-09-15"
+_BT_TX = "1995-09-30"
+
+
+@register(
+    "q_bitemporal",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS price
+      FROM orders WHERE o_orderdate IS NOT NULL
+    ),
+    versions AS (
+      -- v1 as first recorded: full valid range, superseded at od+20
+      SELECT o_orderkey, 'v1' AS version, price,
+        od AS valid_from, od + 30 AS valid_to,
+        od AS tx_from, od + 20 AS tx_to
+      FROM o
+      UNION ALL
+      -- the correction at tx od+20 SPLITS v1: its head survives...
+      SELECT o_orderkey, 'v1-head' AS version, price,
+        od, od + 10, od + 20, NULL
+      FROM o
+      UNION ALL
+      -- ...and the corrected tail replaces the rest (+50 adjustment)
+      SELECT o_orderkey, 'v2', 
+        CAST(CAST(price AS DECIMAL(14,2)) + 50 AS DOUBLE),
+        od + 10, od + 30, od + 20, NULL
+      FROM o
+    )
+    SELECT o_orderkey, version, price, valid_from, valid_to, tx_from
+    FROM versions
+    WHERE valid_from <= DATE '{_BT_VALID}' AND DATE '{_BT_VALID}' < valid_to
+      AND tx_from <= DATE '{_BT_TX}'
+      AND (tx_to IS NULL OR DATE '{_BT_TX}' < tx_to)
+    """,
+)
+def q_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL point-in-time query (Snodgrass 1999, SQL:2011
+    system-versioned + application-time periods, public): every order
+    carries VALID time (when the price applied in the world) and
+    TRANSACTION time (when the warehouse believed it), and the query
+    answers "what did we believe on 1995-09-30 about 1995-09-15" —
+    the audit/restatement question SCD2 (valid time only,
+    q_scd2_point_in_time) cannot answer, because SCD2 forgets what the
+    table USED to say.
+
+    The version store models a late correction correctly: when the
+    corrected tail arrives at tx = od+20 it CLOSES the original
+    full-range row in transaction time and splits it into a surviving
+    head [od, od+10) and the corrected tail [od+10, od+30) — so any
+    (V, T) probe sees AT MOST ONE version per order (half-open
+    intervals on both axes), the bitemporal invariant.
+
+    Determinism: pure integer date arithmetic and decimal-exact money.
+    Scale: version construction is a union of three PROJECTIONS over
+    the scan and the probe is a filter — no join, no window, no
+    shuffle; both probe literals fold into partition-prunable
+    predicates on a date-partitioned layout."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    ).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.col("o_totalprice")
+        .cast("decimal(14,2)")
+        .cast("double")
+        .alias("price"),
+    )
+
+    def version(tag, price, vf, vt, txf, txt):
+        return o.select(
+            "o_orderkey",
+            F.lit(tag).alias("version"),
+            price.alias("price"),
+            vf.alias("valid_from"),
+            vt.alias("valid_to"),
+            txf.alias("tx_from"),
+            txt.alias("tx_to"),
+        )
+
+    od = F.col("od")
+    versions = (
+        version(
+            "v1", F.col("price"), od, F.date_add(od, 30),
+            od, F.date_add(od, 20),
+        )
+        .unionAll(
+            version(
+                "v1-head", F.col("price"), od, F.date_add(od, 10),
+                F.date_add(od, 20), F.lit(None).cast("date"),
+            )
+        )
+        .unionAll(
+            version(
+                "v2",
+                (F.col("price").cast("decimal(14,2)") + 50).cast("double"),
+                F.date_add(od, 10), F.date_add(od, 30),
+                F.date_add(od, 20), F.lit(None).cast("date"),
+            )
+        )
+    )
+    v, t = F.lit(_BT_VALID).cast("date"), F.lit(_BT_TX).cast("date")
+    return versions.filter(
+        (F.col("valid_from") <= v)
+        & (v < F.col("valid_to"))
+        & (F.col("tx_from") <= t)
+        & (F.col("tx_to").isNull() | (t < F.col("tx_to")))
+    ).select(
+        "o_orderkey", "version", "price", "valid_from", "valid_to", "tx_from"
+    )

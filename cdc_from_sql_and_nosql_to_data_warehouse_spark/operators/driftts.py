@@ -581,3 +581,72 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+@register(
+    "q_ts_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS rev
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    ma AS (
+      SELECT day, rev,
+        round(rev - avg(rev) OVER (ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS resid,
+        round(avg(rev) OVER (ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS expected
+      FROM daily
+    ),
+    mad AS (
+      SELECT round(quantile_cont(abs(resid), 0.5), 4) AS mad FROM ma
+    )
+    SELECT day, round(rev, 4) AS revenue, expected, resid AS residual
+    FROM ma CROSS JOIN mad
+    WHERE abs(resid) > 3 * mad.mad
+    """,
+)
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES ANOMALY detection on daily revenue: days whose
+    residual against a centered 7-day moving average exceeds 3× the
+    MAD of all residuals — the robust-residual rule (median absolute
+    deviation shrugs off the very outliers it hunts, unlike a σ
+    threshold that the anomalies themselves inflate).  The
+    q_mad_outliers idea lifted from value space to the TIME dimension,
+    composing the q_rolling_bands smoother with a robust gate.
+
+    Determinism: daily sums are decimal-exact; the centered mean
+    averages the SAME window rows in frame order on both engines and
+    rounds at 4dp, as does the MAD quantile (shared interpolation).
+
+    Scale: one day-keyed aggregate, then windows over the
+    DATE-BOUNDED spine (the q_cumulative_users exception) and a 1-row
+    MAD broadcast — fact rows cross the network once."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("rev")
+    )
+    w = Window.orderBy(F.asc_nulls_last("day")).rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "rev",
+        F.round(F.col("rev") - F.avg("rev").over(w), 4).alias("resid"),
+        F.round(F.avg("rev").over(w), 4).alias("expected"),
+    )
+    mad = ma.agg(
+        F.round(F.expr("percentile(abs(resid), 0.5)"), 4).alias("mad")
+    )
+    return (
+        ma.join(F.broadcast(mad))
+        .filter(F.abs(F.col("resid")) > 3 * F.col("mad"))
+        .select(
+            "day",
+            F.round("rev", 4).alias("revenue"),
+            "expected",
+            F.col("resid").alias("residual"),
+        )
+    )

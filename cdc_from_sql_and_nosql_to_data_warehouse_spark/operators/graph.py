@@ -384,3 +384,145 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("adamic_adar"), "s1", "s2")
         .limit(_LP_TOPK)
     )
+
+
+def _sql_lpa_iter(k: int) -> str:
+    """One synchronized LPA iteration as DuckDB CTE fragments:
+    l{k} from l{k-1} over the undirected adjacency `adj`."""
+    p = f"l{k - 1}"
+    return f"""
+    votes{k} AS (
+      SELECT adj.v, {p}.lbl, COUNT(*) AS cnt
+      FROM adj JOIN {p} ON {p}.v = adj.u
+      GROUP BY adj.v, {p}.lbl
+    ),
+    l{k} AS (
+      SELECT v, lbl FROM (
+        SELECT v, lbl, row_number() OVER (
+          PARTITION BY v ORDER BY cnt DESC, lbl) AS rn
+        FROM votes{k}
+      ) WHERE rn = 1
+    )"""
+
+
+_LPA_ITERS = 2
+
+
+@register(
+    "q_label_propagation",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    ),
+    pdeg AS (
+      SELECT p FROM edges GROUP BY p
+      HAVING COUNT(*) BETWEEN 2 AND 50
+    ),
+    strength AS (
+      SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
+      FROM edges a JOIN edges b ON a.p = b.p AND a.s < b.s
+      JOIN pdeg ON pdeg.p = a.p
+      GROUP BY a.s, b.s
+    ),
+    thr AS (
+      SELECT round(quantile_cont(shared, 0.9), 4) AS q90 FROM strength
+    ),
+    und AS (
+      SELECT s1, s2 FROM strength CROSS JOIN thr WHERE shared >= thr.q90
+    ),
+    adj AS (
+      SELECT s1 AS v, s2 AS u FROM und
+      UNION ALL
+      SELECT s2 AS v, s1 AS u FROM und
+    ),
+    l0 AS (SELECT DISTINCT v, v AS lbl FROM adj),
+    {",".join(_sql_lpa_iter(k) for k in range(1, _LPA_ITERS + 1))}
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+      CAST(MIN(v) AS BIGINT) AS min_member
+    FROM l{_LPA_ITERS} GROUP BY lbl
+    """,
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION by synchronized label propagation (Raghavan
+    et al. 2007, public) on the supplier co-supply graph: every node
+    starts as its own label and repeatedly adopts the most frequent
+    label among its NEIGHBORS (ties → smallest label), 2 synchronized
+    rounds.  Finds dense co-supply clusters — a different question
+    from q_er_resolve's connected components (reachability merges
+    everything touching; LPA keeps weakly-bridged clusters apart) and
+    from q_pagerank's centrality.
+
+    Determinism: the vote winner is a row_number over the total
+    (count DESC, label ASC) order — no randomized update schedule
+    (synchronized LPA is the deterministic variant; the classic
+    sequential form is order-dependent by design and can't be
+    oracle-checked).
+
+    Edges keep only the TOP-DECILE co-supply strengths (shared-part
+    count ≥ the global 90th percentile, a data-RELATIVE threshold that
+    survives scale-up — the raw co-supply graph is near-complete, on
+    which any community algorithm is vacuous).
+
+    Scale: candidate pairs come from the hub-capped shared-part join
+    (the q_link_prediction shape — per-part fanout bounded by the
+    cap); the strength threshold is one bounded aggregate + broadcast;
+    each iteration is ONE adjacency⋈labels equi-join + a
+    (node,label)-keyed aggregate + a per-node window bounded by the
+    node's degree.  Iteration count is fixed, lineage is linear (each
+    round references the previous labels once)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    edges = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    pdeg = (
+        edges.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= 50))
+        .select(F.col("p").alias("pd"))
+    )
+    a = edges.withColumnsRenamed({"s": "s1"})
+    b = edges.withColumnsRenamed({"s": "s2", "p": "pb"})
+    strength = (
+        a.join(b, (a["p"] == b["pb"]) & (F.col("s1") < F.col("s2")))
+        .join(pdeg, a["p"] == F.col("pd"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    thr = strength.agg(
+        F.round(F.expr("percentile(shared, 0.9)"), 4).alias("q90")
+    )
+    und = (
+        strength.join(F.broadcast(thr))
+        .filter(F.col("shared") >= F.col("q90"))
+        .select("s1", "s2")
+    )
+    adj = und.select(
+        F.col("s1").alias("v"), F.col("s2").alias("u")
+    ).unionAll(und.select(F.col("s2").alias("v"), F.col("s1").alias("u")))
+    labels = adj.select("v").distinct().select("v", F.col("v").alias("lbl"))
+    from pyspark.sql.window import Window as W
+
+    for _ in range(_LPA_ITERS):
+        prev = labels.withColumnsRenamed({"v": "u2", "lbl": "plbl"})
+        votes = (
+            adj.join(prev, F.col("u") == F.col("u2"))
+            .groupBy("v", "plbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = W.partitionBy("v").orderBy(F.desc("cnt"), F.asc("plbl"))
+        labels = (
+            votes.select(
+                "v",
+                F.col("plbl").alias("lbl"),
+                F.row_number().over(w).alias("rn"),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("v").cast("bigint").alias("min_member"),
+    )

@@ -1,0 +1,100 @@
+"""Round-9 batch-5 operators: property + plan pins for
+q_merge_column_lww, q_bitemporal, q_label_propagation, q_path_topk and
+q_ts_anomaly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark import plans
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import REGISTRY
+
+from conftest import SF_DIR
+
+
+def test_column_lww_resolves_per_column(spark):
+    rows = REGISTRY["q_merge_column_lww"].fn(spark, SF_DIR).collect()
+    by_key = {r.c_custkey: r for r in rows}
+    base = {
+        r.c_custkey: r
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    assert len(rows) == len(base)
+    for k, r in by_key.items():
+        in_a, in_b = k % 3 == 0, k % 2 == 0
+        if not in_a and not in_b:
+            assert r.c_name == base[k].c_name  # untouched
+        elif in_a and in_b:
+            # column-level: the name winner is whichever stream has
+            # the higher version (B wins ties via src), but the
+            # BALANCE always comes from B — a row-level LWW would
+            # have tied both columns to one stream
+            want = "A:" if (k % 7, 1) > (k % 5, 2) else "B:"
+            assert r.c_name.startswith(want), (k, r.c_name)
+            assert abs(r.acctbal - (round(base[k].c_acctbal, 2) + 10)) < 1e-9
+        elif in_a:
+            assert r.c_name.startswith("A:")
+        else:
+            assert r.c_name.startswith("B:")
+
+
+def test_bitemporal_at_most_one_version_per_key(spark):
+    rows = REGISTRY["q_bitemporal"].fn(spark, SF_DIR).collect()
+    assert rows
+    keys = [r.o_orderkey for r in rows]
+    assert len(keys) == len(set(keys)), "bitemporal invariant violated"
+    # at T = od+20.. the correction is visible wherever valid covers V
+    for r in rows:
+        assert r.version in ("v1", "v1-head", "v2")
+
+
+def test_label_propagation_partitions_nodes(spark):
+    # at sf0.001 the thresholded graph is tiny and may fully merge;
+    # the non-degeneracy claim (≥2 communities) needs sf0.01, where
+    # the q90 threshold leaves a structured graph
+    rows = REGISTRY["q_label_propagation"].fn(
+        spark, SF_DIR.replace("sf0.001", "sf0.01")
+    ).collect()
+    assert len(rows) >= 2, "thresholded graph should not be one blob"
+    # communities partition the node set: sizes sum to distinct nodes
+    assert sum(r.n_members for r in rows) >= len(rows)
+    for r in rows:
+        assert r.min_member is not None and r.n_members >= 1
+
+
+def test_path_topk_order_and_shape(spark):
+    rows = REGISTRY["q_path_topk"].fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    keys = [(-r.n_users, r.path) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert 1 <= len(r.path.split(">")) <= 3
+
+
+def test_ts_anomaly_flags_are_extreme(spark):
+    rows = REGISTRY["q_ts_anomaly"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.residual) > 0
+        assert abs(r.revenue - (r.expected + r.residual)) < 1e-3
+
+
+def test_round9_batch5_plan_shapes(spark):
+    for name in (
+        "q_merge_column_lww",
+        "q_bitemporal",
+        "q_label_propagation",
+        "q_path_topk",
+        "q_ts_anomaly",
+    ):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        text = plans.formatted_plan(df)
+        assert "CartesianProduct" not in text, (name, text)
+    # bitemporal is join-free: a union of projections + a filter
+    bt = plans.formatted_plan(
+        REGISTRY["q_bitemporal"].fn(spark, SF_DIR)
+    ).split("== Physical Plan ==")[-1]
+    assert "Join" not in bt, bt
+    # path top-10 is a TakeOrdered, never a global sort
+    pt = plans.formatted_plan(REGISTRY["q_path_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in pt, pt

@@ -46,7 +46,7 @@ def test_slope_schema_and_coverage(slope):
     #   span mask, quantile normalize)
     # + up to 4 round-9 additions (ER chain, CDC-maintained PQ index,
     #   CDC-maintained df table, cross-doc span detector)
-    assert len(slope["queries"]) in (17, 18, 21, 23, 25)
+    assert len(slope["queries"]) in (17, 18, 21, 23, 25, 31)
     for extra in (
         "q_last_touch_attribution",
         "q_linear_attribution",
