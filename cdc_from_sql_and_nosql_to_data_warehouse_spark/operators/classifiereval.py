@@ -478,12 +478,16 @@ _SQL_IPS_POLICY = "CASE (user_id % 4) " + " ".join(
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
       round(CAST(SUM(CAST(r * w AS DECIMAL(18,6))) AS DOUBLE)
             / COUNT(*), 6) AS ips,
-      round(CAST(SUM(CAST(r * w AS DECIMAL(18,6))) AS DOUBLE)
-            / CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 6) AS snips,
-      round(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE)
-            * CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE)
-            / CAST(SUM(CAST(round(w * w, 6) AS DECIMAL(28,6)))
-                   AS DOUBLE), 6) AS ess
+      CASE WHEN SUM(CAST(w AS DECIMAL(18,6))) > 0 THEN
+        round(CAST(SUM(CAST(r * w AS DECIMAL(18,6))) AS DOUBLE)
+              / CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 6)
+      END AS snips,
+      CASE WHEN SUM(CAST(w AS DECIMAL(18,6))) > 0 THEN
+        round(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE)
+              * CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE)
+              / CAST(SUM(CAST(round(w * w, 6) AS DECIMAL(28,6)))
+                     AS DOUBLE), 6)
+      END AS ess
     FROM weighted
     """,
 )
@@ -539,9 +543,11 @@ def q_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_w2 = F.sum(
         F.round(F.col("w") * F.col("w"), 6).cast("decimal(28,6)")
     ).cast("double")
+    # a policy matching NO logged action zeroes Σw: 0/0 is NULL in
+    # Spark, NaN in DuckDB — guard both ratios to NULL on both sides
     return weighted.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(sum_rw / F.count(F.lit(1)), 6).alias("ips"),
-        F.round(sum_rw / sum_w, 6).alias("snips"),
-        F.round(sum_w * sum_w / sum_w2, 6).alias("ess"),
+        F.when(sum_w > 0, F.round(sum_rw / sum_w, 6)).alias("snips"),
+        F.when(sum_w > 0, F.round(sum_w * sum_w / sum_w2, 6)).alias("ess"),
     )

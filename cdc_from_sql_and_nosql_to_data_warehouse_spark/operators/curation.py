@@ -1168,7 +1168,9 @@ _DM_BIN = 100
     ),
     mx AS (SELECT MAX(ratio) AS m FROM ratios),
     probs AS (
-      SELECT bin, cnt_a, round(ratio / mx.m, 6) AS accept_prob
+      SELECT bin, cnt_a,
+        CASE WHEN mx.m > 0 THEN round(ratio / mx.m, 6) ELSE 0.0 END
+          AS accept_prob
       FROM ratios CROSS JOIN mx
     )
     SELECT p.bin AS bin, CAST(p.cnt_a AS BIGINT) AS n_orig,
@@ -1236,10 +1238,14 @@ def q_distribution_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mx = ratios.agg(F.max("ratio").alias("m"))
+    # a reference sharing NO bin with the crawl zeroes every ratio:
+    # 0/0 is NULL in Spark, NaN in DuckDB — pin acceptance to 0
     probs = ratios.join(F.broadcast(mx)).select(
         "bin",
         "cnt_a",
-        F.round(F.col("ratio") / F.col("m"), 6).alias("accept_prob"),
+        F.when(F.col("m") > 0, F.round(F.col("ratio") / F.col("m"), 6))
+        .otherwise(0.0)
+        .alias("accept_prob"),
     )
     u = md5_unit(F.concat(F.col("doc_id").cast("string"), F.lit(":dm")))
     return (

@@ -665,11 +665,13 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority AS category,
       CAST(n_good AS BIGINT) AS n_good, CAST(n_bad AS BIGINT) AS n_bad,
-      round(ln(((n_good + 0.5) * b_tot) / ((n_bad + 0.5) * g_tot)), 6)
-        AS woe,
-      round((CAST(n_good AS DOUBLE) / g_tot - CAST(n_bad AS DOUBLE) / b_tot)
-        * round(ln(((n_good + 0.5) * b_tot) / ((n_bad + 0.5) * g_tot)), 6), 6)
-        AS iv_term
+      CASE WHEN g_tot > 0 AND b_tot > 0 THEN
+        round(ln(((n_good + 0.5) * b_tot) / ((n_bad + 0.5) * g_tot)), 6)
+      END AS woe,
+      CASE WHEN g_tot > 0 AND b_tot > 0 THEN
+        round((CAST(n_good AS DOUBLE) / g_tot - CAST(n_bad AS DOUBLE) / b_tot)
+          * round(ln(((n_good + 0.5) * b_tot) / ((n_bad + 0.5) * g_tot)), 6), 6)
+      END AS iv_term
     FROM counts CROSS JOIN tot
     """,
 )
@@ -701,25 +703,36 @@ def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(
         F.sum("n_good").alias("g_tot"), F.sum("n_bad").alias("b_tot")
     )
-    woe = F.round(
-        F.log(
-            ((F.col("n_good") + 0.5) * F.col("b_tot"))
-            / ((F.col("n_bad") + 0.5) * F.col("g_tot"))
+    # an all-good or all-bad target zeroes a total: 0/0 is NULL in
+    # Spark but NaN in DuckDB (non-ANSI division), so the degenerate
+    # case is guarded to NULL on BOTH sides (the q_tokenizer_fertility
+    # 0/0 precedent)
+    ok = (F.col("g_tot") > 0) & (F.col("b_tot") > 0)
+    woe = F.when(
+        ok,
+        F.round(
+            F.log(
+                ((F.col("n_good") + 0.5) * F.col("b_tot"))
+                / ((F.col("n_bad") + 0.5) * F.col("g_tot"))
+            ),
+            6,
         ),
-        6,
     )
     return counts.join(F.broadcast(tot)).select(
         F.col("o_orderpriority").alias("category"),
         F.col("n_good").cast("bigint").alias("n_good"),
         F.col("n_bad").cast("bigint").alias("n_bad"),
         woe.alias("woe"),
-        F.round(
-            (
-                F.col("n_good").cast("double") / F.col("g_tot")
-                - F.col("n_bad").cast("double") / F.col("b_tot")
-            )
-            * woe,
-            6,
+        F.when(
+            ok,
+            F.round(
+                (
+                    F.col("n_good").cast("double") / F.col("g_tot")
+                    - F.col("n_bad").cast("double") / F.col("b_tot")
+                )
+                * woe,
+                6,
+            ),
         ).alias("iv_term"),
     )
 

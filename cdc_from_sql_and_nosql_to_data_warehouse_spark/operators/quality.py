@@ -384,16 +384,18 @@ _TCLOSE_T = 0.2
     )
     SELECT grid.c_nationkey, grid.c_mktsegment,
       CAST(grid.n_g AS BIGINT) AS group_size,
-      round(CAST(SUM(abs(CAST(grid.cum_g AS DECIMAL(38,0)) * tot.n_total
-                         - CAST(grid.cum_all AS DECIMAL(38,0)) * grid.n_g))
-                 AS DOUBLE)
-            / (CAST(grid.n_g AS DOUBLE) * tot.n_total * (tot.m - 1)), 6)
-        AS emd,
-      round(CAST(SUM(abs(CAST(grid.cum_g AS DECIMAL(38,0)) * tot.n_total
-                         - CAST(grid.cum_all AS DECIMAL(38,0)) * grid.n_g))
-                 AS DOUBLE)
-            / (CAST(grid.n_g AS DOUBLE) * tot.n_total * (tot.m - 1)), 6)
-        <= {_TCLOSE_T} AS meets_t
+      CASE WHEN tot.m > 1 THEN
+        round(CAST(SUM(abs(CAST(grid.cum_g AS DECIMAL(38,0)) * tot.n_total
+                           - CAST(grid.cum_all AS DECIMAL(38,0)) * grid.n_g))
+                   AS DOUBLE)
+              / (CAST(grid.n_g AS DOUBLE) * tot.n_total * (tot.m - 1)), 6)
+      ELSE 0.0 END AS emd,
+      CASE WHEN tot.m > 1 THEN
+        round(CAST(SUM(abs(CAST(grid.cum_g AS DECIMAL(38,0)) * tot.n_total
+                           - CAST(grid.cum_all AS DECIMAL(38,0)) * grid.n_g))
+                   AS DOUBLE)
+              / (CAST(grid.n_g AS DOUBLE) * tot.n_total * (tot.m - 1)), 6)
+      ELSE 0.0 END <= {_TCLOSE_T} AS meets_t
     FROM grid CROSS JOIN tot
     GROUP BY grid.c_nationkey, grid.c_mktsegment, grid.n_g,
              tot.n_total, tot.m
@@ -499,16 +501,11 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             "c_mktsegment",
             F.col("n_g").cast("bigint").alias("group_size"),
-            F.round(
-                F.col("emd_num").cast("double")
-                / (
-                    F.col("n_g").cast("double")
-                    * F.col("n_total")
-                    * (F.col("m") - 1)
-                ),
-                6,
-            ).alias("emd"),
-            (
+            # m = 1 (single sensitive band) makes the closed form
+            # 0/0; a one-band distribution is trivially t-close, so
+            # BOTH engines pin it to 0 (0/0 is NULL-vs-NaN otherwise)
+            F.when(
+                F.col("m") > 1,
                 F.round(
                     F.col("emd_num").cast("double")
                     / (
@@ -517,7 +514,23 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * (F.col("m") - 1)
                     ),
                     6,
-                )
+                ),
+            )
+            .otherwise(0.0)
+            .alias("emd"),
+            (
+                F.when(
+                    F.col("m") > 1,
+                    F.round(
+                        F.col("emd_num").cast("double")
+                        / (
+                            F.col("n_g").cast("double")
+                            * F.col("n_total")
+                            * (F.col("m") - 1)
+                        ),
+                        6,
+                    ),
+                ).otherwise(0.0)
                 <= _TCLOSE_T
             ).alias("meets_t"),
         )
