@@ -837,3 +837,70 @@ def parts_supplier_count(
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("ps_suppkey")).alias("supplier_cnt"))
     )
+
+
+def excess_stock_suppliers(
+    partsupp: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_1",
+    type_prefix: str = "PROMO",
+    year: str = "1996",
+) -> DataFrame:
+    """TPC-H Q20 plan shape (potential part promotion): suppliers in
+    one nation holding EXCESS STOCK — availqty above half of what they
+    actually shipped of that part in one year — for parts of one type
+    family.  The textbook form is a doubly-nested correlated scalar
+    subquery (per (part, supplier): 0.5·SUM of that pair's shipments);
+    the Spark-first form DECORRELATES it into one keyed aggregate
+    joined back, the same rewrite Catalyst itself cannot always reach
+    through IN-chains (tests pin the equivalence against the
+    correlated DuckDB oracle).
+
+    Substitutions on the testdata schema: p_name LIKE 'forest%' →
+    p_type prefix; s_address is absent, s_name carries the output.
+
+    100 TB plan: the year filter pushes to the lineitem scan; shipped
+    quantities aggregate ONCE on (l_partkey, l_suppkey) — never a
+    per-row rescan; the part-type filter reaches partsupp as a
+    semi-join; supplier⋈nation is a broadcast (nation domain-bounded).
+    A (part, supplier) pair with NO shipments is excluded, exactly as
+    the correlated form's NULL comparison does."""
+    nat = nation.filter(F.col("n_name") == nation_name).select("n_nationkey")
+    parts = part.filter(F.col("p_type").startswith(type_prefix)).select(
+        "p_partkey"
+    )
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01 00:00:00").cast("timestamp"))
+            & (
+                F.col("l_shipdate")
+                < F.lit(f"{int(year) + 1}-01-01 00:00:00").cast("timestamp")
+            )
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    excess = (
+        partsupp.join(
+            parts, F.col("ps_partkey") == F.col("p_partkey"), "left_semi"
+        )
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty").cast("double") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )

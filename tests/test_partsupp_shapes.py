@@ -182,3 +182,60 @@ def test_important_stock_plan_broadcasts_threshold(spark, ps_path):
     )
     txt = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in txt or "BroadcastExchange" in txt, txt
+
+
+def test_excess_stock_suppliers_matches_correlated_oracle(spark, ps_path):
+    """Q20: the decorrelated Spark plan must equal the TEXTBOOK
+    correlated-scalar-subquery form run by DuckDB."""
+    nation_name = _populated_nation()
+    got = tpch_shapes.excess_stock_suppliers(
+        spark.read.parquet(ps_path),
+        load_table(spark, SF_DIR, "part"),
+        load_table(spark, SF_DIR, "supplier"),
+        load_table(spark, SF_DIR, "lineitem"),
+        load_table(spark, SF_DIR, "nation"),
+        nation_name=nation_name,
+        type_prefix="PROMO",
+        year="1996",
+    ).collect()
+    con = duckdb.connect()
+    for t in ("part", "supplier", "nation", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    con.execute(f"CREATE VIEW partsupp AS SELECT * FROM '{ps_path}'")
+    want = con.execute(
+        f"""
+        SELECT s_suppkey, s_name FROM supplier JOIN nation
+          ON s_nationkey = n_nationkey
+        WHERE n_name = '{nation_name}'
+          AND s_suppkey IN (
+            SELECT ps_suppkey FROM partsupp
+            WHERE ps_partkey IN (
+              SELECT p_partkey FROM part WHERE p_type LIKE 'PROMO%')
+            AND CAST(ps_availqty AS DOUBLE) > (
+              SELECT 0.5 * SUM(l_quantity) FROM lineitem
+              WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'))
+        ORDER BY s_name
+        """
+    ).fetchall()
+    assert [(r.s_suppkey, r.s_name) for r in got] == want
+    assert want, "fixture must exercise the shape with real rows"
+
+
+def test_excess_stock_plan_decorrelates(spark, ps_path):
+    # ONE lineitem scan (the keyed aggregate), never a per-pair rescan,
+    # and no cartesian anywhere
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark import plans
+
+    df = tpch_shapes.excess_stock_suppliers(
+        spark.read.parquet(ps_path),
+        load_table(spark, SF_DIR, "part"),
+        load_table(spark, SF_DIR, "supplier"),
+        load_table(spark, SF_DIR, "lineitem"),
+        load_table(spark, SF_DIR, "nation"),
+    )
+    text = plans.formatted_plan(df)
+    assert "CartesianProduct" not in text
+    phys = text.split("== Physical Plan ==")[-1]
+    assert phys.count("lineitem.parquet") <= 2, phys
