@@ -746,6 +746,32 @@ _CMS_WIDTH = 256
 _CMS_PROBE_MAX = 20
 
 
+def _cms_bucket(depth: Column, key: Column) -> Column:
+    """The CMS bucket hash: engine-portable md5-prefix int of
+    "depth:key" mod width (one definition — the oracle fragment and
+    the streaming twin must match it bit for bit)."""
+    h = F.concat(depth.cast("string"), F.lit(":"), key.cast("string"))
+    return md5_prefix_int(h) % _CMS_WIDTH
+
+
+def cms_cells(df: DataFrame, key: str) -> DataFrame:
+    """Build the depth×width CMS grid over ``df[key]`` — ONE hash
+    aggregate whose map-side partials are themselves CMS grids (the
+    merge operator is cell-wise sum).  Shared by q_count_min_sketch
+    and the streaming maintenance twin
+    (tests/test_stream_cms_round9.py), so the stream-equals-batch pin
+    exercises THIS builder, not a copy."""
+    depths = F.explode(
+        F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])
+    ).alias("depth")
+    return (
+        df.select(F.col(key), depths)
+        .select("depth", _cms_bucket(F.col("depth"), F.col(key)).alias("bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 @register(
     "q_count_min_sketch",
     oracle=f"""
@@ -800,17 +826,7 @@ def q_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     depths = F.explode(
         F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])
     ).alias("depth")
-
-    def bucket(depth: Column, key: Column) -> Column:
-        h = F.concat(depth.cast("string"), F.lit(":"), key.cast("string"))
-        return md5_prefix_int(h) % _CMS_WIDTH
-
-    cells = (
-        li.select("l_partkey", depths)
-        .select("depth", bucket(F.col("depth"), F.col("l_partkey")).alias("bucket"))
-        .groupBy("depth", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    cells = cms_cells(li, "l_partkey")
     truth = (
         li.filter(F.col("l_partkey") <= _CMS_PROBE_MAX)
         .groupBy("l_partkey")
@@ -820,7 +836,7 @@ def q_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "true_cnt",
         "depth",
-        bucket(F.col("depth"), F.col("l_partkey")).alias("bucket"),
+        _cms_bucket(F.col("depth"), F.col("l_partkey")).alias("bucket"),
     )
     est = (
         probes.join(F.broadcast(cells), ["depth", "bucket"])

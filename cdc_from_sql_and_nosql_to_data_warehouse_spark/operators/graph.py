@@ -279,11 +279,12 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LP_MAX_DEG = 50
 _LP_TOPK = 20
 
-
-@register(
-    "q_link_prediction",
-    oracle=f"""
-    WITH edges AS (
+# the shared candidate-pair pipeline of q_link_prediction and
+# q_label_propagation (review r9: the two hand-copies + a hardcoded
+# cap had to stay in sync manually): distinct (part, supplier) edges,
+# hub-capped part degrees, and one row per (part, s1<s2) pair carrying
+# the part's degree.
+_SQL_CO_SUPPLY_CTES = f"""edges AS (
       SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
       WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
     ),
@@ -291,18 +292,54 @@ _LP_TOPK = 20
       SELECT p, COUNT(*) AS deg FROM edges GROUP BY p
       HAVING COUNT(*) BETWEEN 2 AND {_LP_MAX_DEG}
     ),
+    co_pairs AS (
+      SELECT a.s AS s1, b.s AS s2, pdeg.deg
+      FROM edges a
+      JOIN edges b ON a.p = b.p AND a.s < b.s
+      JOIN pdeg ON pdeg.p = a.p
+    )"""
+
+
+def _co_supply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SQL_CO_SUPPLY_CTES.co_pairs: candidate co-supply
+    pairs THROUGH hub-capped parts — (deg, s1, s2), one row per
+    (part, supplier pair).  Per-part fanout is bounded by the
+    _LP_MAX_DEG cap by construction."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    edges = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    pdeg = (
+        edges.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= _LP_MAX_DEG))
+        .withColumnsRenamed({"p": "pd"})
+    )
+    a = edges.withColumnsRenamed({"s": "s1"})
+    b = edges.withColumnsRenamed({"s": "s2", "p": "pb"})
+    return (
+        a.join(b, (a["p"] == b["pb"]) & (F.col("s1") < F.col("s2")))
+        .join(pdeg, a["p"] == F.col("pd"))
+        .select("deg", "s1", "s2")
+    )
+
+
+@register(
+    "q_link_prediction",
+    oracle=f"""
+    WITH {_SQL_CO_SUPPLY_CTES},
     sdeg AS (
       SELECT s, COUNT(*) AS sd FROM edges GROUP BY s
     ),
     pairs AS (
-      SELECT a.s AS s1, b.s AS s2,
+      SELECT s1, s2,
         CAST(COUNT(*) AS BIGINT) AS common_parts,
-        CAST(SUM(CAST(round(1.0 / ln(pdeg.deg), 6) AS DECIMAL(18,6)))
+        CAST(SUM(CAST(round(1.0 / ln(deg), 6) AS DECIMAL(18,6)))
              AS DOUBLE) AS adamic_adar
-      FROM edges a
-      JOIN edges b ON a.p = b.p AND a.s < b.s
-      JOIN pdeg ON pdeg.p = a.p
-      GROUP BY a.s, b.s
+      FROM co_pairs
+      GROUP BY s1, s2
     )
     SELECT s1, s2, common_parts, adamic_adar,
       round(CAST(common_parts AS DOUBLE)
@@ -341,18 +378,9 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
-    pdeg = (
-        edges.groupBy("p")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .filter((F.col("deg") >= 2) & (F.col("deg") <= _LP_MAX_DEG))
-    )
     sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("sd"))
-    a = edges.withColumnsRenamed({"s": "s1"})
-    b = edges.withColumnsRenamed({"s": "s2"})
     pairs = (
-        a.join(b, (a["p"] == b["p"]) & (F.col("s1") < F.col("s2")))
-        .select(a["p"].alias("p"), "s1", "s2")
-        .join(pdeg, "p")
+        _co_supply_pairs(spark, sf_dir)
         .groupBy("s1", "s2")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("common_parts"),
@@ -408,22 +436,36 @@ def _sql_lpa_iter(k: int) -> str:
 _LPA_ITERS = 2
 
 
+def _lpa_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LPA graph as a directed adjacency (v, u): co-supply pairs
+    kept only at TOP-DECILE strength (shared-part count ≥ the global
+    90th percentile — the raw graph is near-complete), emitted in both
+    directions.  Shared with tests so the node-partition invariant is
+    checked against the operator's OWN graph, not a re-derivation."""
+    strength = (
+        _co_supply_pairs(spark, sf_dir)
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    thr = strength.agg(
+        F.round(F.expr("percentile(shared, 0.9)"), 4).alias("q90")
+    )
+    und = (
+        strength.join(F.broadcast(thr))
+        .filter(F.col("shared") >= F.col("q90"))
+        .select("s1", "s2")
+    )
+    return und.select(
+        F.col("s1").alias("v"), F.col("s2").alias("u")
+    ).unionAll(und.select(F.col("s2").alias("v"), F.col("s1").alias("u")))
+
+
 @register(
     "q_label_propagation",
     oracle=f"""
-    WITH edges AS (
-      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
-      WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
-    ),
-    pdeg AS (
-      SELECT p FROM edges GROUP BY p
-      HAVING COUNT(*) BETWEEN 2 AND 50
-    ),
+    WITH {_SQL_CO_SUPPLY_CTES},
     strength AS (
-      SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
-      FROM edges a JOIN edges b ON a.p = b.p AND a.s < b.s
-      JOIN pdeg ON pdeg.p = a.p
-      GROUP BY a.s, b.s
+      SELECT s1, s2, COUNT(*) AS shared FROM co_pairs GROUP BY s1, s2
     ),
     thr AS (
       SELECT round(quantile_cont(shared, 0.9), 4) AS q90 FROM strength
@@ -471,37 +513,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (node,label)-keyed aggregate + a per-node window bounded by the
     node's degree.  Iteration count is fixed, lineage is linear (each
     round references the previous labels once)."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
-    )
-    edges = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    pdeg = (
-        edges.groupBy("p")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .filter((F.col("deg") >= 2) & (F.col("deg") <= 50))
-        .select(F.col("p").alias("pd"))
-    )
-    a = edges.withColumnsRenamed({"s": "s1"})
-    b = edges.withColumnsRenamed({"s": "s2", "p": "pb"})
-    strength = (
-        a.join(b, (a["p"] == b["pb"]) & (F.col("s1") < F.col("s2")))
-        .join(pdeg, a["p"] == F.col("pd"))
-        .groupBy("s1", "s2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    thr = strength.agg(
-        F.round(F.expr("percentile(shared, 0.9)"), 4).alias("q90")
-    )
-    und = (
-        strength.join(F.broadcast(thr))
-        .filter(F.col("shared") >= F.col("q90"))
-        .select("s1", "s2")
-    )
-    adj = und.select(
-        F.col("s1").alias("v"), F.col("s2").alias("u")
-    ).unionAll(und.select(F.col("s2").alias("v"), F.col("s1").alias("u")))
+    adj = _lpa_adjacency(spark, sf_dir)
     labels = adj.select("v").distinct().select("v", F.col("v").alias("lbl"))
     from pyspark.sql.window import Window as W
 

@@ -52,12 +52,18 @@ def test_label_propagation_partitions_nodes(spark):
     # at sf0.001 the thresholded graph is tiny and may fully merge;
     # the non-degeneracy claim (≥2 communities) needs sf0.01, where
     # the q90 threshold leaves a structured graph
-    rows = REGISTRY["q_label_propagation"].fn(
-        spark, SF_DIR.replace("sf0.001", "sf0.01")
-    ).collect()
+    sf01 = SF_DIR.replace("sf0.001", "sf0.01")
+    rows = REGISTRY["q_label_propagation"].fn(spark, sf01).collect()
     assert len(rows) >= 2, "thresholded graph should not be one blob"
-    # communities partition the node set: sizes sum to distinct nodes
-    assert sum(r.n_members for r in rows) >= len(rows)
+    # communities PARTITION the node set: sizes sum to exactly the
+    # distinct nodes of the operator's own thresholded adjacency (a
+    # node voting under two labels would double-count)
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.graph import (
+        _lpa_adjacency,
+    )
+
+    n_nodes = _lpa_adjacency(spark, sf01).select("v").distinct().count()
+    assert sum(r.n_members for r in rows) == n_nodes
     for r in rows:
         assert r.min_member is not None and r.n_members >= 1
 

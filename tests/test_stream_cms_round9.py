@@ -4,7 +4,8 @@ by construction (depth×width cells, never per-key rows) — the claim the
 batch operator's docstring makes, executed here through Structured
 Streaming: lineitem arrives in micro-batches, the grid aggregates in
 complete mode, and the final grid must equal the batch grid cell for
-cell."""
+cell.  Both sides build through the OPERATOR'S cms_cells builder, so
+the pin breaks if the bucket hash ever drifts (review r9)."""
 
 from __future__ import annotations
 
@@ -13,33 +14,14 @@ import uuid
 import pytest
 from pyspark.sql import functions as F
 
-from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
-    md5_prefix_int,
-)
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.featureprep import (
     _CMS_DEPTH,
     _CMS_WIDTH,
+    cms_cells,
 )
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
 
 from conftest import SF_DIR
-
-
-def _cms_cells(df):
-    depths = F.explode(
-        F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])
-    ).alias("depth")
-    h = F.concat(
-        F.col("depth").cast("string"),
-        F.lit(":"),
-        F.col("l_partkey").cast("string"),
-    )
-    return (
-        df.select("l_partkey", depths)
-        .select("depth", (md5_prefix_int(h) % _CMS_WIDTH).alias("bucket"))
-        .groupBy("depth", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
 
 
 @pytest.fixture()
@@ -65,19 +47,24 @@ def test_streaming_cms_equals_batch_grid(spark, chunked_lineitem):
     )
     name = f"cms_{uuid.uuid4().hex[:8]}"
     q = (
-        _cms_cells(stream)
+        cms_cells(stream, "l_partkey")
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        assert q.awaitTermination(300), "stream did not drain in 300s"
+    finally:
+        q.stop()
     got = {
         (r.depth, r.bucket): r.cnt
         for r in spark.sql(f"SELECT * FROM {name}").collect()
     }
-    want = {(r.depth, r.bucket): r.cnt for r in _cms_cells(li).collect()}
+    want = {
+        (r.depth, r.bucket): r.cnt for r in cms_cells(li, "l_partkey").collect()
+    }
     assert got == want
     # the streaming state is the grid itself: bounded by geometry
     assert len(got) <= _CMS_DEPTH * _CMS_WIDTH
