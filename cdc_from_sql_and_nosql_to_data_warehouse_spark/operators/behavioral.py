@@ -901,3 +901,96 @@ def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(10)
     )
+
+
+# DiD design: deterministic exposure (even user ids) and a fixed
+# mid-month policy date inside the events span (2024-01-01..30).
+_DID_CUTOVER = "2024-01-16"
+
+
+@register(
+    "q_causal_did",
+    oracle=f"""
+    WITH cells AS (
+      SELECT
+        user_id % 2 = 0 AS treated,
+        ts >= TIMESTAMP '{_DID_CUTOVER}' AS post,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    means AS (
+      SELECT
+        round(MAX(CASE WHEN treated AND NOT post THEN total / n END), 6)
+          AS pre_treat,
+        round(MAX(CASE WHEN treated AND post THEN total / n END), 6)
+          AS post_treat,
+        round(MAX(CASE WHEN NOT treated AND NOT post THEN total / n END), 6)
+          AS pre_ctrl,
+        round(MAX(CASE WHEN NOT treated AND post THEN total / n END), 6)
+          AS post_ctrl
+      FROM cells
+    )
+    SELECT pre_treat, post_treat, pre_ctrl, post_ctrl,
+      round((post_treat - pre_treat) - (post_ctrl - pre_ctrl), 6) AS did
+    FROM means
+    """,
+)
+def q_causal_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES causal estimate (Card & Krueger 1994
+    tradition, public): the treatment effect of a policy landing on
+    2024-01-16 for the exposed cohort (even user ids), identified as
+    (post−pre change of the treated) minus (post−pre change of the
+    control) — the parallel-trends counterfactual that a naive
+    before/after or treated/control comparison both get wrong.
+    Completes the causal corner next to q_ab_ttest (randomized
+    comparison) and q_ips_policy_eval (off-policy reweighting).
+
+    Determinism: the four cell means are decimal-exact sums over
+    2dp-safe values divided by integer counts, rounded 6dp; the DiD
+    is arithmetic on the four rounded means.
+
+    Scale: ONE conditional hash aggregate over the scan (4 cells
+    regardless of data size) — no join, no window; the cutover
+    literal pushes into a partition-prunable predicate on a
+    date-partitioned layout."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    cells = ev.groupBy(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.col("ts") >= F.lit(_DID_CUTOVER).cast("timestamp")).alias("post"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+    )
+
+    def cell(treated: bool, post: bool) -> F.Column:
+        return F.round(
+            F.max(
+                F.when(
+                    (F.col("treated") == treated) & (F.col("post") == post),
+                    F.col("total") / F.col("n"),
+                )
+            ),
+            6,
+        )
+
+    means = cells.agg(
+        cell(True, False).alias("pre_treat"),
+        cell(True, True).alias("post_treat"),
+        cell(False, False).alias("pre_ctrl"),
+        cell(False, True).alias("post_ctrl"),
+    )
+    return means.select(
+        "pre_treat",
+        "post_treat",
+        "pre_ctrl",
+        "post_ctrl",
+        F.round(
+            (F.col("post_treat") - F.col("pre_treat"))
+            - (F.col("post_ctrl") - F.col("pre_ctrl")),
+            6,
+        ).alias("did"),
+    )

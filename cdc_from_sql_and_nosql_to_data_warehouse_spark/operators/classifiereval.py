@@ -551,3 +551,119 @@ def q_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(sum_w > 0, F.round(sum_rw / sum_w, 6)).alias("snips"),
         F.when(sum_w > 0, F.round(sum_w * sum_w / sum_w2, 6)).alias("ess"),
     )
+
+
+# split-conformal: md5-unit thirds (train / calibration / test) and a
+# 90% nominal coverage level
+_CONF_LEVEL = 0.9
+
+
+@register(
+    "q_conformal_prediction",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS y,
+        {sql_md5_unit("CAST(o_orderkey AS VARCHAR) || ':conf'")} AS u
+      FROM orders WHERE o_orderpriority IS NOT NULL
+    ),
+    model AS (
+      SELECT o_orderpriority,
+        round(CAST(SUM(CAST(y AS DECIMAL(16,2))) AS DOUBLE) / COUNT(*), 4)
+          AS pred
+      FROM o WHERE u < 0.5 GROUP BY o_orderpriority
+    ),
+    calib AS (
+      SELECT round(quantile_cont(abs(o.y - model.pred), {_CONF_LEVEL}), 4)
+          AS q_hat,
+        CAST(COUNT(*) AS BIGINT) AS n_calib
+      FROM o JOIN model USING (o_orderpriority)
+      WHERE u >= 0.5 AND u < 0.75
+    )
+    SELECT calib.n_calib, calib.q_hat,
+      round(2 * calib.q_hat, 4) AS interval_width,
+      round(CAST(SUM(CASE WHEN abs(o.y - model.pred) <= calib.q_hat
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*), 6) AS test_coverage,
+      CAST(COUNT(*) AS BIGINT) AS n_test
+    FROM o JOIN model USING (o_orderpriority) CROSS JOIN calib
+    WHERE u >= 0.75
+    GROUP BY calib.n_calib, calib.q_hat
+    """,
+)
+def q_conformal_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction intervals (Vovk et al. 2005; Lei et
+    al. 2018, public) — the distribution-free uncertainty wrapper
+    every deployed regressor needs: fit a (here: per-priority-mean)
+    model on a TRAIN split, take the 90th percentile of absolute
+    residuals on a held-out CALIBRATION split as the interval
+    half-width q̂, and measure the guaranteed ~90% coverage on a TEST
+    split.  Complements q_calibration_bins (classifier reliability)
+    and q_bootstrap_ci (estimator uncertainty) with per-PREDICTION
+    uncertainty.
+
+    Determinism: the three splits are md5-unit thirds (the house
+    rand() replacement); the model is decimal-exact means rounded 4dp;
+    q̂ uses the shared (n−1)·p quantile interpolation rounded 4dp;
+    coverage is an integer ratio rounded 6dp.
+
+    Scale: one train-split aggregate produces the |priority|-row model
+    (broadcast); calibration reduces to a 1-row q̂ (broadcast); the
+    test pass is a scan + broadcast joins + one fold.  The exact
+    calibration quantile buffers the calib split's residuals — at
+    100 TB swap to approx_percentile exactly as the
+    functions/quantiles.py knob family does."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(14,2)").cast("double").alias("y"),
+        md5_unit(
+            F.concat(F.col("o_orderkey").cast("string"), F.lit(":conf"))
+        ).alias("u"),
+    )
+    model = (
+        o.filter(F.col("u") < 0.5)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("y").cast("decimal(16,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("pred")
+        )
+    )
+    resid = F.abs(F.col("y") - F.col("pred"))
+    calib = (
+        o.filter((F.col("u") >= 0.5) & (F.col("u") < 0.75))
+        .join(F.broadcast(model), "o_orderpriority")
+        .agg(
+            F.round(
+                F.expr(f"percentile(abs(y - pred), {_CONF_LEVEL})"), 4
+            ).alias("q_hat"),
+            F.count(F.lit(1)).cast("bigint").alias("n_calib"),
+        )
+    )
+    return (
+        o.filter(F.col("u") >= 0.75)
+        .join(F.broadcast(model), "o_orderpriority")
+        .join(F.broadcast(calib))
+        .groupBy("n_calib", "q_hat")
+        .agg(
+            F.round(
+                F.sum(F.when(resid <= F.col("q_hat"), 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("test_coverage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        )
+        .select(
+            "n_calib",
+            "q_hat",
+            F.round(2 * F.col("q_hat"), 4).alias("interval_width"),
+            "test_coverage",
+            "n_test",
+        )
+    )
