@@ -650,3 +650,101 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("resid").alias("residual"),
         )
     )
+
+
+@register(
+    "q_page_hinkley",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS rev
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    lam AS (
+      SELECT round(5 * CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 4) AS lambda FROM daily
+    ),
+    dev AS (
+      SELECT day, rev,
+        round(rev - round(
+          CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / COUNT(*) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6), 6)
+          AS d
+      FROM daily
+    ),
+    ph AS (
+      SELECT day, rev,
+        SUM(d) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM dev
+    )
+    SELECT ph.day, round(ph.rev, 4) AS revenue,
+      round(ph.cum - MIN(ph.cum) OVER (ORDER BY ph.day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ph_score,
+      round(ph.cum - MIN(ph.cum) OVER (ORDER BY ph.day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        > lam.lambda AS alarm
+    FROM ph CROSS JOIN lam
+    """,
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE-HINKLEY sequential drift detection (Page 1954; the
+    standard online-drift test in stream-mining, public) on the daily
+    revenue series: the cumulative deviation from the RUNNING mean,
+    referenced to its running minimum — an upward level shift makes
+    the score climb away from the minimum and cross the alarm
+    threshold λ (here 5× the overall daily mean, data-relative so the
+    test survives scale-up).  The ONLINE complement to q_ts_anomaly's
+    retrospective MAD gate and q_cusum's fixed-mean chart: PH re-
+    estimates its mean as it goes, so slow trends don't false-alarm.
+
+    Determinism: the running mean is a frame-ordered DECIMAL sum over
+    an integer count rounded 6dp; deviations round 6dp before the
+    frame-ordered accumulation (identical float-add sequence both
+    engines, the q_cusum precedent); the score rounds at the
+    summands' own 6dp scale (a coarser round sits exactly on .5 ties
+    where the engines' rounding modes diverge — measured); λ 4dp.
+
+    Scale: one day-keyed aggregate, then three windows over the
+    DATE-BOUNDED spine (the q_cumulative_users exception) and a 1-row
+    λ broadcast."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("rev")
+    )
+    lam = daily.agg(
+        F.round(
+            5
+            * F.sum(F.col("rev").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("lambda")
+    )
+    w = Window.orderBy(F.asc_nulls_last("day")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run_mean = F.round(
+        F.sum(F.col("rev").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w),
+        6,
+    )
+    dev = daily.select(
+        "day", "rev", F.round(F.col("rev") - run_mean, 6).alias("d")
+    )
+    ph = dev.select("day", "rev", F.sum("d").over(w).alias("cum"))
+    # the score rounds at the SUMMANDS' 6dp scale: a coarser 4dp round
+    # lands exactly on .5 ties (sums of 6dp values end at the 5th
+    # decimal) where Spark's HALF_UP and DuckDB's binary-round diverge
+    # (measured: 13/2399 days off by 1e-4)
+    score = F.round(F.col("cum") - F.min("cum").over(w), 6)
+    return ph.join(F.broadcast(lam)).select(
+        "day",
+        F.round("rev", 4).alias("revenue"),
+        score.alias("ph_score"),
+        (score > F.col("lambda")).alias("alarm"),
+    )

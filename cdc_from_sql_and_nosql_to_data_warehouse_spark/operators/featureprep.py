@@ -949,3 +949,123 @@ def q_quantile_sample_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "err_p90"
         ),
     )
+
+
+@register(
+    "q_ctr_shrinkage",
+    oracle="""
+    WITH li AS (
+      SELECT part.p_brand, COUNT(*) AS n,
+        COUNT(*) FILTER (WHERE l_returnflag = 'R') AS succ
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY part.p_brand
+    ),
+    rates AS (
+      SELECT p_brand, n, succ,
+        round(CAST(succ AS DOUBLE) / n, 12) AS r
+      FROM li
+    ),
+    mom AS (
+      SELECT
+        CAST(SUM(CAST(r AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mu,
+        COUNT(*) AS k_items
+      FROM rates
+    ),
+    var_ AS (
+      SELECT mom.mu,
+        CAST(SUM(CAST(round((r - mom.mu) * (r - mom.mu), 12)
+                      AS DECIMAL(28,12))) AS DOUBLE) / mom.k_items AS v
+      FROM rates CROSS JOIN mom GROUP BY mom.mu, mom.k_items
+    ),
+    prior AS (
+      SELECT mu,
+        CASE WHEN v > 0 AND mu * (1 - mu) / v - 1 > 0
+             THEN round(mu * (1 - mu) / v - 1, 6) ELSE 1.0 END AS kk
+      FROM var_
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n, CAST(succ AS BIGINT) AS succ,
+      round(CAST(succ AS DOUBLE) / n, 6) AS raw_rate,
+      round((succ + prior.mu * prior.kk) / (n + prior.kk), 6)
+        AS shrunk_rate
+    FROM rates CROSS JOIN prior
+    """,
+)
+def q_ctr_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES rate shrinkage (beta-binomial,
+    method-of-moments — Robbins 1956 tradition, public): per-brand
+    return rates shrunk toward the cross-brand mean with a prior
+    strength K = μ(1−μ)/v − 1 ESTIMATED FROM THE DATA — unlike
+    q_target_encode's fixed smoothing constant, the shrinkage here is
+    exactly as strong as the between-brand variance justifies (noisy
+    small brands move a lot, precise big brands barely).  The CTR /
+    return-rate / conversion-rate smoothing every ranking feature
+    pipeline runs.
+
+    Determinism: rates are int/int doubles rounded 12dp before the
+    order-free DECIMAL(28,12) moment sums (12dp because squared
+    deviations live at ~1e-4 — 6dp would zero them); K rounds 6dp
+    with a positivity guard (v = 0 or underdispersion → K = 1);
+    posterior means round 6dp once.
+
+    Scale: one brand-keyed aggregate (the only data-scaled shuffle —
+    the part join is dimension-side), then everything operates on the
+    |brands|-row table with 1-row moment broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rates = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("succ"),
+        )
+        .select(
+            "p_brand",
+            "n",
+            "succ",
+            F.round(F.col("succ").cast("double") / F.col("n"), 12).alias("r"),
+        )
+    )
+    mom = rates.agg(
+        (
+            F.sum(F.col("r").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("k_items"),
+    )
+    var_ = (
+        rates.join(F.broadcast(mom))
+        .groupBy("mu", "k_items")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("r") - F.col("mu"))
+                        * (F.col("r") - F.col("mu")),
+                        12,
+                    ).cast("decimal(28,12)")
+                ).cast("double")
+                / F.col("k_items")
+            ).alias("v")
+        )
+    )
+    kk_raw = F.col("mu") * (1 - F.col("mu")) / F.col("v") - 1
+    prior = var_.select(
+        "mu",
+        F.when((F.col("v") > 0) & (kk_raw > 0), F.round(kk_raw, 6))
+        .otherwise(F.lit(1.0))
+        .alias("kk"),
+    )
+    return rates.join(F.broadcast(prior)).select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("succ").cast("bigint").alias("succ"),
+        F.round(F.col("succ").cast("double") / F.col("n"), 6).alias(
+            "raw_rate"
+        ),
+        F.round(
+            (F.col("succ") + F.col("mu") * F.col("kk"))
+            / (F.col("n") + F.col("kk")),
+            6,
+        ).alias("shrunk_rate"),
+    )

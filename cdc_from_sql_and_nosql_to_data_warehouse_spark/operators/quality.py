@@ -607,3 +607,150 @@ def q_dp_noisy_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") + noise, 6).alias("noisy_count"),
         F.lit(_DP_EPSILON).cast("double").alias("epsilon"),
     )
+
+
+_HBOS_BINS = 20
+_HBOS_TOPK = 20
+
+
+@register(
+    "q_hbos_outliers",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c.c_custkey, c.c_acctbal AS bal,
+        COALESCE(o.n_orders, 0) AS n_orders
+      FROM customer c
+      LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+      ) o ON o.o_custkey = c.c_custkey
+      WHERE c.c_acctbal IS NOT NULL
+    ),
+    ext AS (
+      SELECT MIN(bal) AS bmin, MAX(bal) AS bmax,
+        MIN(n_orders) AS cmin, MAX(n_orders) AS cmax
+      FROM cust
+    ),
+    binned AS (
+      SELECT c_custkey, bal, n_orders,
+        CASE WHEN bmax > bmin THEN LEAST(CAST(floor(
+          (bal - bmin) * {_HBOS_BINS} / (bmax - bmin)) AS BIGINT),
+          {_HBOS_BINS - 1}) ELSE 0 END AS bal_bin,
+        CASE WHEN cmax > cmin THEN LEAST(CAST(floor(
+          CAST((n_orders - cmin) * {_HBOS_BINS} AS DOUBLE)
+          / (cmax - cmin)) AS BIGINT), {_HBOS_BINS - 1}) ELSE 0 END
+          AS cnt_bin
+      FROM cust CROSS JOIN ext
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM binned),
+    bd AS (
+      SELECT bal_bin, COUNT(*) AS c FROM binned GROUP BY bal_bin
+    ),
+    cd AS (
+      SELECT cnt_bin, COUNT(*) AS c FROM binned GROUP BY cnt_bin
+    )
+    SELECT b.c_custkey, b.bal AS acctbal,
+      CAST(b.n_orders AS BIGINT) AS n_orders,
+      round(round(-ln(CAST(bd.c AS DOUBLE) / nn.n), 6)
+            + round(-ln(CAST(cd.c AS DOUBLE) / nn.n), 6), 6) AS hbos
+    FROM binned b
+    JOIN bd ON bd.bal_bin = b.bal_bin
+    JOIN cd ON cd.cnt_bin = b.cnt_bin
+    CROSS JOIN nn
+    ORDER BY hbos DESC, b.c_custkey
+    LIMIT {_HBOS_TOPK}
+    """,
+)
+def q_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM-BASED OUTLIER SCORE (HBOS, Goldstein & Dengel 2012,
+    public): per customer, the sum of negative log bin-densities over
+    two features (account balance, order count) — the linear-time
+    density-based outlier detector that complements q_mad_outliers'
+    single-feature robust gate and q_embedding_outliers' vector-space
+    distance: a customer can be unremarkable on each feature's tails
+    yet land in a jointly sparse histogram cell.  Top-20 by score.
+
+    Determinism: bin edges are one double expression over global
+    integer/2dp-exact extents — identical trees both engines; each
+    feature's −ln(density) rounds 6dp before the (fixed 2-term) sum;
+    ties at the top-k boundary break on the total (score, custkey)
+    key.  Single-valued features collapse to bin 0 (no 0-width
+    division).
+
+    Scale: one extents aggregate (1 row, broadcast), one 20-row
+    density table per feature (broadcast back), and a TakeOrdered
+    top-k [plan-pinned] — the fact table never shuffles; density
+    lookups are map-side."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull()
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    cust = c.join(o, c["c_custkey"] == o["o_custkey"], "left").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+    ext = cust.agg(
+        F.min("bal").alias("bmin"),
+        F.max("bal").alias("bmax"),
+        F.min("n_orders").alias("cmin"),
+        F.max("n_orders").alias("cmax"),
+    )
+
+    def binof(x, lo, hi):
+        return F.when(
+            F.col(hi) > F.col(lo),
+            F.least(
+                F.floor(
+                    (F.col(x) - F.col(lo))
+                    * _HBOS_BINS
+                    / (F.col(hi) - F.col(lo))
+                ).cast("bigint"),
+                F.lit(_HBOS_BINS - 1),
+            ),
+        ).otherwise(F.lit(0))
+
+    binned = cust.join(F.broadcast(ext)).select(
+        "c_custkey",
+        "bal",
+        "n_orders",
+        binof("bal", "bmin", "bmax").alias("bal_bin"),
+        F.when(
+            F.col("cmax") > F.col("cmin"),
+            F.least(
+                F.floor(
+                    ((F.col("n_orders") - F.col("cmin")) * _HBOS_BINS).cast(
+                        "double"
+                    )
+                    / (F.col("cmax") - F.col("cmin"))
+                ).cast("bigint"),
+                F.lit(_HBOS_BINS - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("cnt_bin"),
+    )
+    nn = binned.agg(F.count(F.lit(1)).alias("n"))
+    bd = binned.groupBy("bal_bin").agg(F.count(F.lit(1)).alias("bc"))
+    cd = binned.groupBy("cnt_bin").agg(F.count(F.lit(1)).alias("cc"))
+    neg_ln = lambda c_, n_: F.round(-F.log(c_.cast("double") / n_), 6)
+    return (
+        binned.join(F.broadcast(bd), "bal_bin")
+        .join(F.broadcast(cd), "cnt_bin")
+        .join(F.broadcast(nn))
+        .select(
+            "c_custkey",
+            F.col("bal").alias("acctbal"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.round(
+                neg_ln(F.col("bc"), F.col("n"))
+                + neg_ln(F.col("cc"), F.col("n")),
+                6,
+            ).alias("hbos"),
+        )
+        .orderBy(F.desc("hbos"), "c_custkey")
+        .limit(_HBOS_TOPK)
+    )

@@ -1,0 +1,53 @@
+"""Round-9 batch-7 operators: property + plan pins for q_page_hinkley,
+q_hbos_outliers and q_ctr_shrinkage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark import plans
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import REGISTRY
+
+from conftest import SF_DIR
+
+
+def test_page_hinkley_score_properties(spark):
+    rows = sorted(
+        REGISTRY["q_page_hinkley"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    for r in rows:
+        assert r.ph_score >= 0  # cum minus its own running min
+    assert rows[0].ph_score == 0.0  # first point is its own minimum
+
+
+def test_hbos_scores_flag_sparse_cells(spark):
+    rows = REGISTRY["q_hbos_outliers"].fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.hbos for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.hbos > 0  # -ln(density) of non-full bins is positive
+
+
+def test_ctr_shrinkage_moves_toward_mean(spark):
+    rows = REGISTRY["q_ctr_shrinkage"].fn(spark, SF_DIR).collect()
+    assert rows
+    mu = sum(r.raw_rate for r in rows) / len(rows)
+    for r in rows:
+        lo, hi = sorted((r.raw_rate, mu))
+        # posterior mean lies between the raw rate and the prior mean
+        assert lo - 1e-6 <= r.shrunk_rate <= hi + 1e-6, (r, mu)
+        # and shrinks MORE for smaller samples: |shrunk-raw| <= prior
+        # pull bound  K*|mu-raw|/(n+K) with K>0
+        assert abs(r.shrunk_rate - r.raw_rate) <= abs(mu - r.raw_rate) + 1e-6
+
+
+def test_round9_batch7_plan_shapes(spark):
+    for name in ("q_page_hinkley", "q_hbos_outliers", "q_ctr_shrinkage"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        text = plans.formatted_plan(df)
+        assert "CartesianProduct" not in text, (name, text)
+    hb = plans.formatted_plan(REGISTRY["q_hbos_outliers"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in hb, hb
