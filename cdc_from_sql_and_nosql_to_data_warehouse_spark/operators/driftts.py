@@ -748,3 +748,92 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("ph_score"),
         (score > F.col("lambda")).alias("alarm"),
     )
+
+
+# SPRT design: H0 conversion p0 vs H1 p1 around the corpus's ~0.2
+# empirical purchase rate; alpha = beta = 0.05 Wald boundaries.
+_SPRT_P0, _SPRT_P1 = 0.18, 0.22
+_SPRT_A = "2.944439"   # round(ln(0.95/0.05), 6)
+_SPRT_B = "-2.944439"  # round(ln(0.05/0.95), 6)
+
+
+@register(
+    "q_ab_sequential",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS k
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    llr AS (
+      SELECT day, n, k,
+        round(k * round(ln({_SPRT_P1} / {_SPRT_P0}), 6)
+              + (n - k) * round(ln((1 - {_SPRT_P1}) / (1 - {_SPRT_P0})), 6),
+              6) AS d
+      FROM daily
+    ),
+    cum AS (
+      SELECT day, n, k,
+        round(SUM(d) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_llr
+      FROM llr
+    )
+    SELECT day, CAST(n AS BIGINT) AS n_events, CAST(k AS BIGINT) AS n_conv,
+      cum_llr,
+      CASE WHEN cum_llr >= {_SPRT_A} THEN 'accept_h1'
+           WHEN cum_llr <= {_SPRT_B} THEN 'accept_h0'
+      END AS crossed
+    FROM cum
+    """,
+)
+def q_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL probability ratio test (Wald 1945, public) on the
+    daily conversion stream: the cumulative log-likelihood ratio of
+    H1 (p = 0.22) against H0 (p = 0.18), with the ±ln(19) boundaries
+    of α = β = 0.05 — the always-valid peeking complement to
+    q_ab_ttest's fixed-horizon test (look every day; stop the moment
+    a boundary is crossed, at a fraction of the fixed-n sample).  The
+    decision-theoretic sibling of q_page_hinkley's drift chart.
+
+    Determinism: per-day increments are integer counts times
+    6dp-rounded ln constants, rounded 6dp; the cumulative sum runs in
+    frame order (identical float adds) and the final round matches
+    the summands' 6dp scale (the q_page_hinkley lesson); boundaries
+    are exact literals.
+
+    Scale: ONE day-keyed conditional aggregate (the only data-scaled
+    shuffle), then a running sum over the DATE-BOUNDED spine."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("k"),
+    )
+    import math
+
+    w_inc = round(math.log(_SPRT_P1 / _SPRT_P0), 6)
+    l_inc = round(math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)), 6)
+    llr = daily.select(
+        "day",
+        "n",
+        "k",
+        F.round(
+            F.col("k") * F.lit(w_inc) + (F.col("n") - F.col("k")) * F.lit(l_inc),
+            6,
+        ).alias("d"),
+    )
+    w = Window.orderBy(F.asc_nulls_last("day")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = llr.select(
+        "day", "n", "k", F.round(F.sum("d").over(w), 6).alias("cum_llr")
+    )
+    a, b = float(_SPRT_A), float(_SPRT_B)
+    return cum.select(
+        "day",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("k").cast("bigint").alias("n_conv"),
+        "cum_llr",
+        F.when(F.col("cum_llr") >= a, "accept_h1")
+        .when(F.col("cum_llr") <= b, "accept_h0")
+        .alias("crossed"),
+    )

@@ -51,3 +51,19 @@ def test_round9_batch7_plan_shapes(spark):
         assert "CartesianProduct" not in text, (name, text)
     hb = plans.formatted_plan(REGISTRY["q_hbos_outliers"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in hb, hb
+
+
+def test_sprt_llr_is_cumulative_and_bounded_decision(spark):
+    rows = sorted(
+        REGISTRY["q_ab_sequential"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    for r in rows:
+        if r.crossed == "accept_h1":
+            assert r.cum_llr >= 2.944439
+        elif r.crossed == "accept_h0":
+            assert r.cum_llr <= -2.944439
+        else:
+            assert r.crossed is None
+            assert -2.944439 < r.cum_llr < 2.944439
