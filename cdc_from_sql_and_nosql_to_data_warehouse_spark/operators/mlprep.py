@@ -1149,3 +1149,184 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# 2-component 1D Gaussian mixture: 2 unrolled EM iterations on order
+# totals.  Initialization anchors at the 25th/75th percentiles with a
+# common IQR-based sigma and equal weights.
+_EM_ITERS = 2
+
+
+def _sql_em_iter(k: int) -> str:
+    """One unrolled EM iteration as DuckDB CTE fragments: params p{k}
+    from p{k-1}.  E-step responsibilities via the overflow-safe
+    log-odds form, rounded 6dp; M-step moment sums ride DECIMAL."""
+    p = f"p{k - 1}"
+    return f"""
+    e{k} AS (
+      SELECT x.x,
+        round(1.0 / (1.0 + exp(
+          ln(w2 / w1) + ln(s1 / s2)
+          + (x.x - m1) * (x.x - m1) / (2 * s1 * s1)
+          - (x.x - m2) * (x.x - m2) / (2 * s2 * s2))), 6) AS r1
+      FROM x CROSS JOIN {p}
+    ),
+    m{k} AS (
+      SELECT
+        CAST(SUM(CAST(r1 AS DECIMAL(18,6))) AS DOUBLE) AS n1,
+        CAST(SUM(CAST(round(r1 * x, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sx1,
+        CAST(SUM(CAST(round(r1 * x * x, 2) AS DECIMAL(38,2)))
+             AS DOUBLE) AS sq1,
+        CAST(SUM(CAST(1 - r1 AS DECIMAL(18,6))) AS DOUBLE) AS n2,
+        CAST(SUM(CAST(round((1 - r1) * x, 4) AS DECIMAL(28,4)))
+             AS DOUBLE) AS sx2,
+        CAST(SUM(CAST(round((1 - r1) * x * x, 2) AS DECIMAL(38,2)))
+             AS DOUBLE) AS sq2,
+        COUNT(*) AS n
+      FROM e{k}
+    ),
+    p{k} AS (
+      SELECT
+        round(sx1 / n1, 4) AS m1,
+        round(sx2 / n2, 4) AS m2,
+        round(sqrt(GREATEST(sq1 / n1 - round(sx1 / n1, 4)
+                            * round(sx1 / n1, 4), 1.0)), 4) AS s1,
+        round(sqrt(GREATEST(sq2 / n2 - round(sx2 / n2, 4)
+                            * round(sx2 / n2, 4), 1.0)), 4) AS s2,
+        round(n1 / n, 6) AS w1,
+        round(n2 / n, 6) AS w2
+      FROM m{k}
+    )"""
+
+
+@register(
+    "q_mixture_em",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS x
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    p0 AS (
+      SELECT
+        round(quantile_cont(x, 0.25), 4) AS m1,
+        round(quantile_cont(x, 0.75), 4) AS m2,
+        GREATEST(round(quantile_cont(x, 0.75)
+                       - quantile_cont(x, 0.25), 4), 1.0) AS s1,
+        GREATEST(round(quantile_cont(x, 0.75)
+                       - quantile_cont(x, 0.25), 4), 1.0) AS s2,
+        0.5 AS w1, 0.5 AS w2
+      FROM x
+    ),
+    {",".join(_sql_em_iter(k) for k in range(1, _EM_ITERS + 1))}
+    SELECT * FROM (
+      SELECT 1 AS component, w1 AS weight, m1 AS mu, s1 AS sigma
+      FROM p{_EM_ITERS}
+      UNION ALL
+      SELECT 2, w2, m2, s2 FROM p{_EM_ITERS}
+    )
+    """,
+)
+def q_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAUSSIAN MIXTURE fit by 2 unrolled EM iterations (Dempster,
+    Laird & Rubin 1977, public): a 2-component 1D mixture over order
+    totals — the soft-assignment counterpart of q_kmeans_assign's hard
+    Lloyd updates, and the generative sibling of q_equidepth_bins for
+    discovering latent value segments.
+
+    Determinism — the hardest per-row transcendental case in the
+    engine: responsibilities use the overflow-safe LOG-ODDS form
+    r₁ = 1/(1+exp(Δ)) (a huge Δ saturates through exp→inf→r=0
+    identically on both engines, never NaN), rounded 6dp BEFORE the
+    moment sums; moments ride DECIMAL (r·x at 4dp, r·x² at 2dp —
+    totals near 5e5 keep full relative precision); parameters round
+    (means/sigmas 4dp, weights 6dp) each iteration so both engines
+    enter the next E-step with identical doubles.  Initialization is
+    quartile-anchored (shared (n−1)·p interpolation), variance floors
+    at 1.
+
+    Scale: each iteration is ONE scan + one global aggregate with a
+    1-row parameter broadcast — no shuffle of fact rows, no window;
+    iteration count is fixed and the parameter lineage is cut per
+    round (localCheckpoint on 1-row frames, the q_bradley_terry
+    barrier)."""
+    x = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_totalprice")
+            .cast("decimal(14,2)")
+            .cast("double")
+            .alias("x")
+        )
+    )
+    iqr = F.round(
+        F.expr("percentile(x, 0.75)") - F.expr("percentile(x, 0.25)"), 4
+    )
+    params = x.agg(
+        F.round(F.expr("percentile(x, 0.25)"), 4).alias("m1"),
+        F.round(F.expr("percentile(x, 0.75)"), 4).alias("m2"),
+        F.greatest(iqr, F.lit(1.0)).alias("s1"),
+        F.greatest(iqr, F.lit(1.0)).alias("s2"),
+        F.lit(0.5).alias("w1"),
+        F.lit(0.5).alias("w2"),
+    ).localCheckpoint()
+    for _ in range(_EM_ITERS):
+        delta = (
+            F.log(F.col("w2") / F.col("w1"))
+            + F.log(F.col("s1") / F.col("s2"))
+            + (F.col("x") - F.col("m1"))
+            * (F.col("x") - F.col("m1"))
+            / (2 * F.col("s1") * F.col("s1"))
+            - (F.col("x") - F.col("m2"))
+            * (F.col("x") - F.col("m2"))
+            / (2 * F.col("s2") * F.col("s2"))
+        )
+        e = x.join(F.broadcast(params)).select(
+            "x",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(delta)), 6).alias("r1"),
+        )
+        r1, x_ = F.col("r1"), F.col("x")
+        m = e.agg(
+            F.sum(r1.cast("decimal(18,6)")).cast("double").alias("n1"),
+            F.sum(F.round(r1 * x_, 4).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sx1"),
+            F.sum(F.round(r1 * x_ * x_, 2).cast("decimal(38,2)"))
+            .cast("double")
+            .alias("sq1"),
+            F.sum((1 - r1).cast("decimal(18,6)")).cast("double").alias("n2"),
+            F.sum(F.round((1 - r1) * x_, 4).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sx2"),
+            F.sum(F.round((1 - r1) * x_ * x_, 2).cast("decimal(38,2)"))
+            .cast("double")
+            .alias("sq2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+        def mu(sx, n_):
+            return F.round(F.col(sx) / F.col(n_), 4)
+
+        def sig(sq, n_, sx):
+            return F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.col(sq) / F.col(n_) - mu(sx, n_) * mu(sx, n_),
+                        F.lit(1.0),
+                    )
+                ),
+                4,
+            )
+
+        params = m.select(
+            mu("sx1", "n1").alias("m1"),
+            mu("sx2", "n2").alias("m2"),
+            sig("sq1", "n1", "sx1").alias("s1"),
+            sig("sq2", "n2", "sx2").alias("s2"),
+            F.round(F.col("n1") / F.col("n"), 6).alias("w1"),
+            F.round(F.col("n2") / F.col("n"), 6).alias("w2"),
+        ).localCheckpoint()
+    return params.selectExpr(
+        "stack(2, 1, w1, m1, s1, 2, w2, m2, s2)"
+        " AS (component, weight, mu, sigma)"
+    )

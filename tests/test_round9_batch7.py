@@ -67,3 +67,23 @@ def test_sprt_llr_is_cumulative_and_bounded_decision(spark):
         else:
             assert r.crossed is None
             assert -2.944439 < r.cum_llr < 2.944439
+
+
+def test_mixture_em_moment_preservation(spark):
+    rows = {r.component: r for r in
+            REGISTRY["q_mixture_em"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {1, 2}
+    w1, w2 = rows[1].weight, rows[2].weight
+    assert abs(w1 + w2 - 1.0) < 1e-5
+    assert rows[1].sigma >= 1.0 and rows[2].sigma >= 1.0
+    # EM preserves the first moment: the mixture mean tracks the data
+    # mean (exactly for exact EM; within rounding here)
+    import pyspark.sql.functions as F
+
+    mean_x = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .agg(F.avg("o_totalprice"))
+        .first()[0]
+    )
+    mix_mean = w1 * rows[1].mu + w2 * rows[2].mu
+    assert abs(mix_mean - mean_x) / mean_x < 0.01, (mix_mean, mean_x)
