@@ -994,3 +994,76 @@ def q_causal_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did"),
     )
+
+
+_BURST_TOPK = 20
+
+
+@register(
+    "q_burstiness",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    stats AS (
+      SELECT user_id,
+        COUNT(*) AS n_days,
+        SUM(c) AS total,
+        SUM(c * c) AS sumsq
+      FROM daily GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+      CAST(total AS BIGINT) AS n_events,
+      round(CAST(n_days * sumsq - total * total AS DOUBLE)
+            / (n_days * total), 6) AS fano
+    FROM stats
+    WHERE n_days > 1
+    ORDER BY fano DESC, user_id
+    LIMIT {_BURST_TOPK}
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURSTINESS audit via the FANO FACTOR (index of dispersion,
+    var/mean of a user's daily event counts): a Poisson-like human
+    reads ≈ 1, a scripted bot that fires everything in one day reads
+    ≫ 1 — the classic abuse/automation signal a training-data or
+    product pipeline screens before trusting engagement counts.
+    Top-20 burstiest users; complements q_hbos_outliers (static
+    feature density) with a TEMPORAL dispersion lens.
+
+    Determinism: the biased-variance Fano factor
+    (n·Σc² − (Σc)²)/(n·Σc) is INTEGER arithmetic until one final
+    double division rounded 6dp; top-k ties break on the total
+    (fano, user_id) key.
+
+    Scale: one (user, day)-keyed aggregate then one user-keyed
+    aggregate (both map-side-combining), and a TakeOrdered top-k —
+    per-user state is three integers regardless of history length."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+    )
+    return (
+        stats.filter(F.col("n_days") > 1)
+        .select(
+            "user_id",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("total").cast("bigint").alias("n_events"),
+            F.round(
+                (
+                    F.col("n_days") * F.col("sumsq")
+                    - F.col("total") * F.col("total")
+                ).cast("double")
+                / (F.col("n_days") * F.col("total")),
+                6,
+            ).alias("fano"),
+        )
+        .orderBy(F.desc("fano"), "user_id")
+        .limit(_BURST_TOPK)
+    )

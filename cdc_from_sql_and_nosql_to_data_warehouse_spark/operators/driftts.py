@@ -837,3 +837,75 @@ def q_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("cum_llr") <= b, "accept_h0")
         .alias("crossed"),
     )
+
+
+_HILL_K = 200
+
+
+@register(
+    "q_tail_index",
+    oracle=f"""
+    WITH topk AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS x
+      FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT {_HILL_K + 1}
+    ),
+    xmin AS (SELECT MIN(x) AS xk FROM topk),
+    logs AS (
+      SELECT round(ln(x / xmin.xk), 6) AS lx
+      FROM topk CROSS JOIN xmin WHERE x > xmin.xk
+    )
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+      CAST(COUNT(*) AS BIGINT) AS n_used,
+      round(CAST(COUNT(*) AS DOUBLE)
+            / CAST(SUM(CAST(lx AS DECIMAL(18,6))) AS DOUBLE), 6)
+        AS hill_alpha
+    FROM logs
+    """,
+)
+def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL ESTIMATOR of the power-law tail index (Hill 1975, public):
+    α̂ = n / Σ ln(x_i / x_(k+1)) over the k = 200 largest order totals
+    — the standard heavy-tail diagnostic (α ≤ 2 means infinite
+    variance: your mean-based dashboards are lying) that belongs in
+    any distribution-profiling pass next to q_benford and
+    q_gini_concentration.  Ties with the threshold order statistic are
+    excluded (ln 0 would poison the sum) and reported via n_used.
+
+    Determinism: the top-(k+1) selection uses the total
+    (value DESC, orderkey) key; each log rounds 6dp before the
+    order-free DECIMAL sum; one final division.
+
+    Scale: TakeOrdered ships k+1 rows per partition max (the
+    q_quantile_sample_sketch shape); everything after operates on
+    ≤ k+1 rows."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0)
+    )
+    topk = (
+        o.select(
+            F.col("o_totalprice")
+            .cast("decimal(14,2)")
+            .cast("double")
+            .alias("x"),
+            "o_orderkey",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(_HILL_K + 1)
+    )
+    xmin = topk.agg(F.min("x").alias("xk"))
+    logs = (
+        topk.join(F.broadcast(xmin))
+        .filter(F.col("x") > F.col("xk"))
+        .select(F.round(F.log(F.col("x") / F.col("xk")), 6).alias("lx"))
+    )
+    return logs.agg(
+        F.lit(_HILL_K).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            / F.sum(F.col("lx").cast("decimal(18,6)")).cast("double"),
+            6,
+        ).alias("hill_alpha"),
+    )

@@ -87,3 +87,31 @@ def test_mixture_em_moment_preservation(spark):
     )
     mix_mean = w1 * rows[1].mu + w2 * rows[2].mu
     assert abs(mix_mean - mean_x) / mean_x < 0.01, (mix_mean, mean_x)
+
+
+def test_tail_index_positive_and_tie_aware(spark):
+    out = REGISTRY["q_tail_index"].fn(spark, SF_DIR).collect()[0]
+    assert out.k == 200
+    assert 0 < out.n_used <= out.k
+    assert out.hill_alpha > 0
+
+
+def test_burstiness_integer_fano_matches_variance(spark):
+    import statistics
+
+    rows = REGISTRY["q_burstiness"].fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    fanos = [r.fano for r in rows]
+    assert fanos == sorted(fanos, reverse=True)
+    # recompute one user's Fano from raw events (population variance)
+    r0 = rows[0]
+    days = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("user_id") == r0.user_id)
+        .groupBy(F.col("ts").cast("date"))
+        .count()
+        .collect()
+    )
+    cs = [d["count"] for d in days]
+    fano = statistics.pvariance(cs) / statistics.mean(cs)
+    assert abs(fano - r0.fano) < 1e-4, (fano, r0.fano)
