@@ -516,9 +516,18 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     a = counts.withColumnsRenamed({"event_type": "i", "cnt": "ca"})
-    b = counts.withColumnsRenamed({"event_type": "j", "cnt": "cb"})
+    # rename the join key too, so the self-join condition names two
+    # distinct columns and never leans on the analyzer's ambiguous
+    # self-join repair heuristic
+    b = counts.withColumnsRenamed(
+        {"user_id": "user_id_b", "event_type": "j", "cnt": "cb"}
+    )
     games = (
-        a.join(b, (a["user_id"] == b["user_id"]) & (F.col("i") < F.col("j")))
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("i") < F.col("j")),
+        )
         .groupBy("i", "j")
         .agg(
             F.count(F.when(F.col("ca") > F.col("cb"), 1)).alias("w_ij"),
@@ -815,13 +824,20 @@ def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = firsts.withColumnsRenamed(
         {"event_type": "antecedent", "fts": "a_ts", "fid": "a_id"}
     )
+    # join key renamed on one side (like the other renamed columns) so
+    # the self-join is unambiguous without analyzer repair
     b = firsts.withColumnsRenamed(
-        {"event_type": "consequent", "fts": "b_ts", "fid": "b_id"}
+        {
+            "user_id": "user_id_b",
+            "event_type": "consequent",
+            "fts": "b_ts",
+            "fid": "b_id",
+        }
     )
     pairs = (
         a.join(
             b,
-            (a["user_id"] == b["user_id"])
+            (F.col("user_id") == F.col("user_id_b"))
             & (F.col("antecedent") != F.col("consequent"))
             & (
                 (F.col("a_ts") < F.col("b_ts"))

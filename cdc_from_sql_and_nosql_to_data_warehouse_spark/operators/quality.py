@@ -484,14 +484,23 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_g").cast("decimal(38,0)") * F.col("n_total")
         - F.col("cum_all").cast("decimal(38,0)") * F.col("n_g")
     )
-    emd = F.round(
-        F.sum(term).cast("double")
-        / (
-            F.col("n_g").cast("double")
-            * F.col("n_total")
-            * (F.col("m") - 1)
-        ),
-        6,
+    # m = 1 (single sensitive band) makes the closed form 0/0; a
+    # one-band distribution is trivially t-close, so BOTH engines pin
+    # it to 0 (0/0 is NULL-vs-NaN otherwise)
+    emd = (
+        F.when(
+            F.col("m") > 1,
+            F.round(
+                F.col("emd_num").cast("double")
+                / (
+                    F.col("n_g").cast("double")
+                    * F.col("n_total")
+                    * (F.col("m") - 1)
+                ),
+                6,
+            ),
+        )
+        .otherwise(0.0)
     )
     return (
         cumulated.join(F.broadcast(tot))
@@ -501,38 +510,8 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             "c_mktsegment",
             F.col("n_g").cast("bigint").alias("group_size"),
-            # m = 1 (single sensitive band) makes the closed form
-            # 0/0; a one-band distribution is trivially t-close, so
-            # BOTH engines pin it to 0 (0/0 is NULL-vs-NaN otherwise)
-            F.when(
-                F.col("m") > 1,
-                F.round(
-                    F.col("emd_num").cast("double")
-                    / (
-                        F.col("n_g").cast("double")
-                        * F.col("n_total")
-                        * (F.col("m") - 1)
-                    ),
-                    6,
-                ),
-            )
-            .otherwise(0.0)
-            .alias("emd"),
-            (
-                F.when(
-                    F.col("m") > 1,
-                    F.round(
-                        F.col("emd_num").cast("double")
-                        / (
-                            F.col("n_g").cast("double")
-                            * F.col("n_total")
-                            * (F.col("m") - 1)
-                        ),
-                        6,
-                    ),
-                ).otherwise(0.0)
-                <= _TCLOSE_T
-            ).alias("meets_t"),
+            emd.alias("emd"),
+            (emd <= _TCLOSE_T).alias("meets_t"),
         )
     )
 

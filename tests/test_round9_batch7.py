@@ -1,5 +1,6 @@
 """Round-9 batch-7 operators: property + plan pins for q_page_hinkley,
-q_hbos_outliers and q_ctr_shrinkage."""
+q_hbos_outliers, q_ctr_shrinkage, q_ab_sequential, q_mixture_em,
+q_tail_index and q_burstiness."""
 
 from __future__ import annotations
 
