@@ -2642,6 +2642,75 @@ def q_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_class_balance pre-filter slack: keep ~25% extra plus an absolute
+# floor so the binomial tail below n_min survivors is negligible; the
+# exact survivor-count fallback makes correctness unconditional anyway.
+_BALANCE_OVERSAMPLE = 1.25
+_BALANCE_FLOOR = 64.0
+# 13 hex chars = 52 bits — exactly representable in a double
+_HASH_PREFIX_CHARS = 13
+_HASH_PREFIX_SPACE = float(16**_HASH_PREFIX_CHARS)
+
+
+def _md5_prefix_frac(col) -> "F.Column":
+    """This row's md5 position in [0,1): the numeric value of the first
+    13 hex chars of md5(col) over 16^13.  Lowercase-hex lexicographic
+    order equals numeric prefix order, so a strict threshold on this
+    fraction selects a lexicographic PREFIX of the md5 ordering."""
+    return (
+        F.conv(
+            F.substring(F.md5(col.cast("string")), 1, _HASH_PREFIX_CHARS),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(_HASH_PREFIX_SPACE)
+    )
+
+
+def _class_balance_survivors(docs: DataFrame) -> DataFrame:
+    """Bound every per-language window partition to ~n_min rows BEFORE
+    the rank: keep rows whose md5 fraction falls below the language's
+    keep-fraction (n_min/n_lang, oversampled), verify per language that
+    at least n_min rows survived (md5 is uniform, so this essentially
+    always holds), and fall back to the whole language where it did not.
+
+    Exactness: if ≥ n_min rows of a language have md5 prefix below the
+    threshold, then EVERY rank-≤ n_min row does (a row at/above the
+    threshold is lexicographically after all sub-threshold rows, so its
+    rank exceeds the sub-threshold count) — the pre-filter can never
+    drop a row the exact rank would keep.  The fallback covers the
+    remaining measure-zero case, so the operator is exact, not
+    approximate.  Returns survivors with `n_min` attached."""
+    frac = _md5_prefix_frac(F.col("doc_id"))
+    sized = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    cap = sized.agg(F.min("n_lang").alias("n_min"))
+    thresh = sized.crossJoin(F.broadcast(cap)).select(
+        "lang",
+        "n_min",
+        F.least(
+            F.lit(1.0),
+            (F.col("n_min") * _BALANCE_OVERSAMPLE + _BALANCE_FLOOR)
+            / F.col("n_lang"),
+        ).alias("keep_frac"),
+    )
+    # one conditional aggregate counts the sub-threshold rows per
+    # language with the SAME comparison the filter below uses
+    surv = (
+        docs.join(F.broadcast(thresh), "lang")
+        .groupBy("lang", "n_min", "keep_frac")
+        .agg(F.count(F.when(frac < F.col("keep_frac"), 1)).alias("n_kept"))
+        .select(
+            "lang",
+            "n_min",
+            "keep_frac",
+            (F.col("n_kept") >= F.col("n_min")).alias("prefilter_valid"),
+        )
+    )
+    return docs.join(F.broadcast(surv), "lang").filter(
+        (~F.col("prefilter_valid")) | (frac < F.col("keep_frac"))
+    )
+
+
 @register(
     "q_class_balance",
     oracle="""
@@ -2669,24 +2738,27 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     label balancing).
 
     Plan: class sizes are one |langs|-row aggregate; the cap is a
-    1-row broadcast; the per-class md5 rank is one window partitioned
-    by lang.  Per-language skew note: a dominant language makes its
-    window partition large — at 100 TB pre-filter with a sampled
-    md5-threshold first pass (keep rows below ~n_min/n_lang quantile
-    of the hash, then rank exactly), which bounds every partition to
-    ~n_min rows before the window sees it."""
+    1-row broadcast; a sampled md5-threshold pre-filter
+    (_class_balance_survivors) bounds every per-language window
+    partition to ~n_min·1.25+64 rows BEFORE the exact rank, so a
+    dominant language (60% of a 100 TB corpus) never funnels into one
+    sorting task — the rank's non-literal cap (a column, so Spark's
+    WindowGroupLimit rewrite cannot fire) only ever sees pre-bounded
+    partitions.  Three scans of documents, each a broadcast-joined
+    map-side filter; the only shuffles are |langs|-row aggregates and
+    the bounded window exchange."""
     docs = load_table(spark, sf_dir, "documents")
-    cap = F.broadcast(
-        docs.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.min("n").alias("n_min"))
-    )
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
     return (
-        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
-        .crossJoin(cap)
+        _class_balance_survivors(docs)
+        .select(
+            "doc_id",
+            "lang",
+            "n_min",
+            F.row_number().over(w).alias("rn"),
+        )
         .filter(F.col("rn") <= F.col("n_min"))
         .select("doc_id", "lang")
     )
