@@ -46,6 +46,8 @@ def test_slope_schema_and_coverage(slope):
     #   span mask, quantile normalize)
     # + up to 4 round-9 additions (ER chain, CDC-maintained PQ index,
     #   CDC-maintained df table, cross-doc span detector)
+    # (round 10 adds no 10× queries — the six r9 north-star shapes were
+    # already in the 10× list; they join the x100 block instead)
     assert len(slope["queries"]) in (17, 18, 21, 23, 25, 31)
     for extra in (
         "q_last_touch_attribution",
@@ -91,16 +93,27 @@ def test_slope_x100_two_decade_block(slope):
         pytest.skip("SCALE_SLOPE.json predates the x100 block")
     x = slope["x100"]
     assert x["criteria"] == {"ratio_max": 120.0, "skew_max": 4.0}
-    # 10 heaviest headliners; +4 round-9 shapes once regenerated
-    # (VERDICT r8 next-4: er_resolve, impression_click_join,
-    # time_decay_attribution, span_corruption)
-    assert len(x["queries"]) in (10, 14)
-    if len(x["queries"]) == 14:
+    # 10 heaviest headliners; +4 round-9 shapes (VERDICT r8 next-4);
+    # +6 round-10 additions (VERDICT r9 next-2: the r9 north-star
+    # shapes — both CDC-maintained indexes, cross-doc spans, link
+    # prediction, Bradley-Terry, CMS)
+    assert len(x["queries"]) in (10, 14, 20)
+    if len(x["queries"]) >= 14:
         for extra in (
             "q_er_resolve",
             "q_impression_click_join",
             "q_time_decay_attribution",
             "q_span_corruption",
+        ):
+            assert extra in x["queries"], extra
+    if len(x["queries"]) == 20:
+        for extra in (
+            "q_sim_index_incremental",
+            "q_text_index_incremental",
+            "q_dedup_cross_spans",
+            "q_link_prediction",
+            "q_bradley_terry",
+            "q_count_min_sketch",
         ):
             assert extra in x["queries"], extra
     for name, q in x["queries"].items():
@@ -237,3 +250,97 @@ def test_stream_bench_session_mode(stream):
     assert x["session"]["input_rows"] == x["feed_rows"]
     assert x["wall_ratio_vs_1x"]["session"] <= 12.0
     assert x["state_rows_ratio_session"] <= 3.0, x["state_rows_ratio_session"]
+
+
+def test_slope_index_maintenance_block(slope):
+    """Round-10 fixed-delta/variable-base table (VERDICT r9 next-2):
+    the CDC-maintained indexes' delta work must stay ~flat while the
+    base corpus grows 100×, and maintenance must beat the full rebuild
+    at the top decade."""
+    if "index_maintenance" not in slope:
+        pytest.skip("SCALE_SLOPE.json predates the index_maintenance block")
+    m = slope["index_maintenance"]
+    assert set(m["tables"]) == {"ann_pq", "text_df"}
+    for idx, tbl in m["tables"].items():
+        assert set(tbl) == {"1x", "10x", "100x"}, idx
+        base_prev = 0
+        for leg in ("1x", "10x", "100x"):
+            row = tbl[leg]
+            # the delta is FIXED across legs; the base grows
+            assert row["delta_rows"] == tbl["1x"]["delta_rows"], (idx, leg)
+            assert row["base_rows"] >= base_prev, (idx, leg)
+            base_prev = row["base_rows"]
+            for f in ("t_delta_work_sec", "t_maintain_sec", "t_rebuild_sec"):
+                assert row[f] > 0, (idx, leg, f)
+        v = m["verdicts"][idx]
+        assert v["delta_flat_ratio_100x_vs_1x"] <= m["criteria"][
+            "delta_flat_max"
+        ], (idx, v)
+        assert v["maintain_over_rebuild_100x"] <= m["criteria"][
+            "maintain_win_max"
+        ], (idx, v)
+        assert v["pass"] is True, idx
+    assert m["pass"] is True
+
+
+def test_stream_bench_index_maintain(stream):
+    """Round-10 streaming maintained-index evidence (VERDICT r9
+    next-4): vector CDC feed → frozen-codebook re-encode → bucket-
+    incremental merge; per-batch cost must not grow with the
+    accumulated index (steady twin), and the 10× feed must stay
+    near-linear in wall."""
+    if "index_maintain" not in stream:
+        import pytest
+
+        pytest.skip("stream_bench.json predates the index_maintain block")
+    one = stream["index_maintain"]
+    x = stream["x10"]
+    ten, steady = x["index_maintain"], x["index_maintain_steady"]
+    assert one["input_rows"] == stream["vector_feed_rows"]
+    assert ten["input_rows"] == x["vector_feed_rows"]
+    assert steady["input_rows"] == x["vector_feed_rows"]
+    for blk in (one, ten, steady):
+        assert 0 < blk["index_rows"] < blk["input_rows"]
+        assert blk["micro_batches"] >= 2
+        assert blk["batch_ms_median"] > 0
+    # same feed, same merge → same final index regardless of batching
+    assert ten["index_rows"] == steady["index_rows"]
+    assert x["wall_ratio_index_maintain"] <= 12.0
+    # the maintenance claim: batch cost tracks the delta, not the
+    # accumulated index — the steady run's second-half batches may not
+    # balloon as the index grows underneath
+    assert steady["batch_ms_growth_2nd_half_vs_1st"] <= 3.0, steady
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    path = os.path.join(ROOT, "curation_pipeline.json")
+    if not os.path.exists(path):
+        pytest.skip(
+            "curation_pipeline.json not generated (run tools/curation_pipeline.py)"
+        )
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_curation_pipeline_artifact(pipeline):
+    """Round-10 staged-pipeline evidence (VERDICT r9 next-5): five
+    WAP-gated materialized stages, rows monotone non-increasing through
+    the filters, and the staged output equal to the single-plan
+    composite."""
+    stages = pipeline["stages"]
+    order = ["dedup", "decontaminate", "quality", "dist_match", "pack"]
+    assert list(stages) == order
+    for name in order:
+        s = stages[name]
+        assert s["version"] >= 1
+        assert s["wall_sec"] > 0
+        assert s["rows_in"] > 0 and s["rows_out"] > 0
+    # every filter stage shrinks (or keeps) the corpus; chaining is
+    # consistent: stage k's rows_in is stage k-1's rows_out
+    for prev, cur in zip(order[:-1], order[1:]):
+        assert stages[cur]["rows_in"] == stages[prev]["rows_out"]
+    for name in order[:-1]:  # pack regroups, the others only filter
+        assert stages[name]["rows_out"] <= stages[name]["rows_in"]
+    assert pipeline["staged_equals_composite"] is True
+    assert pipeline["pack_bins"] == stages["pack"]["rows_out"]

@@ -90,8 +90,28 @@ def main() -> None:
     spark = get_spark("replay")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # Spark-WRITTEN parquet (the sf1 blowup) marks timestamps
+    # isAdjustedToUTC=true, which DuckDB reads as TIMESTAMPTZ — its
+    # isoformat then carries "+00:00" while Spark's session-zone
+    # collect is naive, so every timestamp-outputting query would
+    # hash-mismatch on the suffix alone.  Normalize at the view: cast
+    # any TIMESTAMPTZ column to naive TIMESTAMP under a UTC session
+    # zone (value-preserving; a no-op on the driver-generated NTZ
+    # testdata).
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+        cols = con.execute(
+            f"DESCRIBE SELECT * FROM '{args.sf}/{t}.parquet'"
+        ).fetchall()
+        sel = ", ".join(
+            f'CAST("{c}" AS TIMESTAMP) AS "{c}"'
+            if typ == "TIMESTAMP WITH TIME ZONE"
+            else f'"{c}"'
+            for c, typ, *_ in cols
+        )
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT {sel} FROM '{args.sf}/{t}.parquet'"
+        )
 
     if args.names:
         names = args.names

@@ -180,6 +180,17 @@ X100_QUERIES = [
     "q_impression_click_join",
     "q_time_decay_attribution",
     "q_span_corruption",
+    # round-10 (VERDICT r9 next-2): the round-9 north-star shapes,
+    # previously 10×-only.  The two CDC-maintained indexes additionally
+    # get the fixed-delta/variable-base table below — their REAL claim
+    # is delta-proportional maintenance, which a same-fraction-delta
+    # ratio cannot show directly.
+    "q_sim_index_incremental",
+    "q_text_index_incremental",
+    "q_dedup_cross_spans",
+    "q_link_prediction",
+    "q_bradley_terry",
+    "q_count_min_sketch",
 ]
 
 
@@ -290,6 +301,237 @@ def timed_run(spark: SparkSession, name: str, sf_dir: str, runs: int = 2):
     return best, skews
 
 
+# ---- fixed-delta / variable-base maintenance table (VERDICT r9
+# next-2): the CDC-maintained indexes' claim is DELTA-proportional
+# maintenance, which q_sim_index_incremental's registry form cannot
+# show directly (its synthesized delta is a fixed FRACTION of the
+# corpus, so its wall grows with the corpus by construction).  Here the
+# delta is FROZEN (always derived from sf0.01) while the base corpus
+# grows 1× → 10× → 100×; three timed walls per base:
+#
+#   * t_delta_work  — re-encode/tokenize the fixed delta against the
+#     frozen codebook / vocabulary: the |delta|-proportional claim —
+#     must stay ~flat across two decades of base growth;
+#   * t_maintain    — delta work PLUS the merge against the STORED
+#     index table (parquet, built untimed): grows only with the stored
+#     index scan (8-byte codes / vocab terms), never a corpus re-pass;
+#   * t_rebuild     — re-encode/re-tokenize the whole post-delta
+#     corpus (what maintenance avoids): linear in the base.
+#
+# Pass = delta work flat (≤ DELTA_FLAT_MAX across 100× base growth)
+# and maintenance beating rebuild at the top decade
+# (t_maintain ≤ MAINT_WIN_MAX · t_rebuild at 100×).
+DELTA_FLAT_MAX = 5.0  # sub-second walls on a noisy host; flat ≈ ≤5×
+MAINT_WIN_MAX = 0.5
+
+
+def _timed(fn, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+        gc.collect()
+    return round(best, 3)
+
+
+def _noop(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def measure_index_maintenance(spark: SparkSession) -> dict:
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (
+        mlprep,
+        textops,
+    )
+
+    fixed = X100_BASE_DIR  # the delta ALWAYS derives from sf0.01
+    bases = {"1x": X100_BASE_DIR, "10x": BASE_DIR, "100x": BLOWUP_DIR}
+    out: dict[str, dict] = {"ann_pq": {}, "text_df": {}}
+
+    # ---------- ANN / PQ: frozen codebook (trained once on the fixed
+    # corpus — maintenance never retrains), fixed delta + gone keys
+    emb_f = spark.read.parquet(f"{fixed}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cb = mlprep._pq_codebook(emb_f)
+    mod = F.col("vec_id") % mlprep._DELTA_MOD
+    delta_vecs = (
+        emb_f.filter(mod == 5)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: (-x).cast("float")).alias(
+                "embedding"
+            ),
+        )
+        .unionByName(
+            emb_f.filter(mod == 7).select(
+                (F.col("vec_id") + mlprep._INS_SHIFT).alias("vec_id"),
+                F.reverse("embedding").alias("embedding"),
+            )
+        )
+        .localCheckpoint()
+    )
+    gone = emb_f.filter(mod.isin(3, 5)).select("vec_id").localCheckpoint()
+    n_delta = delta_vecs.count()
+
+    def codes(encoded: DataFrame) -> DataFrame:
+        return encoded.select(
+            "vec_id", F.col("s").cast("bigint").alias("subspace"), "code"
+        )
+
+    for label, d in bases.items():
+        emb = spark.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        store = os.path.join(BLOWUP_DIR, f"_maint_codes_{label}.parquet")
+        # stored index build: untimed — at 100 TB this is storage
+        codes(mlprep._pq_encode(emb, cb)).write.mode("overwrite").parquet(
+            store
+        )
+        t_delta = _timed(lambda: _noop(codes(mlprep._pq_encode(delta_vecs, cb))))
+        t_maint = _timed(
+            lambda: _noop(
+                spark.read.parquet(store)
+                .join(gone, "vec_id", "left_anti")
+                .unionByName(codes(mlprep._pq_encode(delta_vecs, cb)))
+            )
+        )
+        t_rebuild = _timed(
+            lambda: _noop(
+                codes(
+                    mlprep._pq_encode(
+                        emb.join(gone, "vec_id", "left_anti").unionByName(
+                            delta_vecs
+                        ),
+                        cb,
+                    )
+                )
+            )
+        )
+        out["ann_pq"][label] = {
+            "base_rows": emb.count(),
+            "delta_rows": n_delta,
+            "t_delta_work_sec": t_delta,
+            "t_maintain_sec": t_maint,
+            "t_rebuild_sec": t_rebuild,
+        }
+        print(
+            f"maint ann_pq {label}: delta={t_delta}s maintain={t_maint}s "
+            f"rebuild={t_rebuild}s",
+            flush=True,
+        )
+
+    # ---------- text df table: fixed delta docs; pre-images arrive
+    # with the CDC feed (modeled by an untimed checkpoint — a real feed
+    # carries before-images, it never re-scans the corpus for them)
+    docs_f = spark.read.parquet(f"{fixed}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dmod = F.col("doc_id") % textops._TIDX_MOD
+    leaving = docs_f.filter(dmod.isin(4, 6)).localCheckpoint()
+    arriving = (
+        docs_f.filter(dmod == 6)
+        .select(
+            "doc_id", F.concat("text", F.lit(" qqupdated")).alias("text")
+        )
+        .unionByName(
+            docs_f.filter(dmod == 8).select(
+                (F.col("doc_id") + textops._TIDX_SHIFT).alias("doc_id"),
+                F.concat(F.lit("zzfresh "), F.col("text")).alias("text"),
+            )
+        )
+        .localCheckpoint()
+    )
+    n_tdelta = leaving.count() + arriving.count()
+
+    def doc_terms(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            F.explode(F.array_distinct(textops.X.tokens("text"))).alias(
+                "term"
+            ),
+        )
+
+    def signed_delta() -> DataFrame:
+        signed = (
+            doc_terms(leaving)
+            .withColumn("d", F.lit(-1))
+            .unionByName(doc_terms(arriving).withColumn("d", F.lit(1)))
+        )
+        return signed.groupBy("term").agg(F.sum("d").alias("delta"))
+
+    for label, d in bases.items():
+        docs = spark.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        store = os.path.join(BLOWUP_DIR, f"_maint_df_{label}.parquet")
+        doc_terms(docs).groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")
+        ).write.mode("overwrite").parquet(store)
+        t_delta = _timed(lambda: _noop(signed_delta()))
+
+        def maintain() -> None:
+            merged = (
+                spark.read.parquet(store)
+                .join(signed_delta(), "term", "full_outer")
+                .select(
+                    "term",
+                    (
+                        F.coalesce(F.col("df"), F.lit(0))
+                        + F.coalesce(F.col("delta"), F.lit(0))
+                    ).alias("df"),
+                )
+                .filter(F.col("df") > 0)
+            )
+            _noop(merged)
+
+        t_maint = _timed(maintain)
+        t_rebuild = _timed(
+            lambda: _noop(
+                doc_terms(docs).groupBy("term").agg(
+                    F.count(F.lit(1)).alias("df")
+                )
+            )
+        )
+        out["text_df"][label] = {
+            "base_rows": docs.count(),
+            "delta_rows": n_tdelta,
+            "t_delta_work_sec": t_delta,
+            "t_maintain_sec": t_maint,
+            "t_rebuild_sec": t_rebuild,
+        }
+        print(
+            f"maint text_df {label}: delta={t_delta}s maintain={t_maint}s "
+            f"rebuild={t_rebuild}s",
+            flush=True,
+        )
+
+    verdicts = {}
+    for idx, tbl in out.items():
+        flat = round(
+            tbl["100x"]["t_delta_work_sec"] / tbl["1x"]["t_delta_work_sec"], 2
+        )
+        win = round(
+            tbl["100x"]["t_maintain_sec"] / tbl["100x"]["t_rebuild_sec"], 3
+        )
+        verdicts[idx] = {
+            "delta_flat_ratio_100x_vs_1x": flat,
+            "maintain_over_rebuild_100x": win,
+            "pass": flat <= DELTA_FLAT_MAX and win <= MAINT_WIN_MAX,
+        }
+    return {
+        "fixed_delta_from": fixed,
+        "criteria": {
+            "delta_flat_max": DELTA_FLAT_MAX,
+            "maintain_win_max": MAINT_WIN_MAX,
+        },
+        "tables": out,
+        "verdicts": verdicts,
+        "pass": all(v["pass"] for v in verdicts.values()),
+    }
+
+
 def main() -> None:
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
@@ -364,6 +606,9 @@ def main() -> None:
             flush=True,
         )
 
+    print("measuring fixed-delta index maintenance ...", flush=True)
+    maint = measure_index_maintenance(spark)
+
     doc = {
         "base_dir": BASE_DIR,
         "replicas": REPLICAS,
@@ -383,6 +628,7 @@ def main() -> None:
                 for r in x100.values()
             ),
         },
+        "index_maintenance": maint,
     }
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

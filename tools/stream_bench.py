@@ -399,6 +399,95 @@ def run_join_mode(
     return _run_stateful(spark, joined, work, tag, "pairs_emitted")
 
 
+N_VEC_FILES = 40
+VEC_ROWS_PER_FILE = 750  # 30k vector events at 1× (64-dim payloads)
+N_VEC_KEYS = 2500  # ~12 versions per key, like the trade feed
+
+
+def write_vector_feed(drop_dir: str, scale: int = 1) -> int:
+    """Embedding CDC feed for the maintained-ANN-index path: INSERT /
+    MODIFY / ~1% REMOVE events whose newImage carries a 64-dim vector.
+    Deterministic (seeded by seq) so runs are comparable; scale=S
+    multiplies files AND keys (the index grows with the feed)."""
+    os.makedirs(drop_dir, exist_ok=True)
+    n_keys = N_VEC_KEYS * scale
+    seq = 0
+    for f_idx in range(N_VEC_FILES * scale):
+        path = os.path.join(drop_dir, f"{f_idx:06d}__vectors.json")
+        with open(path, "w") as f:
+            for r in range(VEC_ROWS_PER_FILE):
+                seq += 1
+                k = (f_idx * 7919 + r) % n_keys
+                if seq % 97 == 0:
+                    ev = {
+                        "eventName": "REMOVE",
+                        "seq": seq,
+                        "newImage": None,
+                        "removedId": f"v{k}",
+                    }
+                else:
+                    vec = [
+                        round(((seq * 31 + j * 17) % 997) / 499.0 - 1.0, 3)
+                        for j in range(64)
+                    ]
+                    ev = {
+                        "eventName": "INSERT" if seq % 3 else "MODIFY",
+                        "seq": seq,
+                        "newImage": {"vec_id": f"v{k}", "embedding": vec},
+                        "removedId": None,
+                    }
+                f.write(json.dumps(ev, separators=(",", ":")) + "\n")
+    return seq
+
+
+def run_index_maintain(
+    spark, cb_lit, drop_dir: str, work: str, tag: str, files_per_trigger: int
+) -> dict:
+    """B36′/C3 streaming ANN-index maintenance (VERDICT r9 next-4):
+    vector change events → frozen-codebook re-encode (pure projection,
+    operators.mlprep.pq_encode_expr baked as a literal — no state, no
+    join) → bucket-incremental versioned merge keyed on vec_id.  The
+    claim under test: per-micro-batch cost tracks the BATCH (delta)
+    size, not the accumulated index size — batch_ms_growth compares
+    the second-half median batch latency against the first half while
+    the index grows underneath; "state" here is the maintained table
+    itself (index_rows), not a state store."""
+    ckpt = os.path.join(work, f"ckpt_{tag}")
+    out = os.path.join(work, f"out_{tag}")
+    stream = cdc.encode_vector_changes(
+        cdc.read_vector_change_stream(
+            spark, drop_dir, max_files_per_trigger=files_per_trigger
+        ),
+        cb_lit,
+    )
+    t0 = time.perf_counter()
+    q = cdc.start_merge_stream(
+        stream, out, ckpt, key="vec_id",
+        errors_dir=os.path.join(work, f"err_{tag}"),
+    )
+    _await_or_die(q, 1800, tag)
+    wall = time.perf_counter() - t0
+    rows, durs = batch_stats(q)
+    half = len(durs) // 2
+    growth = (
+        round(
+            statistics.median(durs[half:]) / statistics.median(durs[:half]), 2
+        )
+        if half >= 1
+        else 1.0
+    )
+    return {
+        "input_rows": rows,
+        "index_rows": cdc.read_merge_table(spark, out).count(),
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(rows / wall, 1),
+        "micro_batches": len(durs),
+        "batch_ms_median": round(statistics.median(durs), 1),
+        "batch_ms_p95": round(sorted(durs)[math.ceil(len(durs) * 0.95) - 1], 1),
+        "batch_ms_growth_2nd_half_vs_1st": growth,
+    }
+
+
 def main() -> None:
     work = "/tmp/spark_graft_stream_bench"
     shutil.rmtree(work, ignore_errors=True)
@@ -479,6 +568,40 @@ def main() -> None:
         spark, ev10_join, work10, tag="join10_steady",
         files_per_trigger=FILES_PER_TRIGGER,
     )
+    # ---- maintained ANN index (VERDICT r9 next-4): codebook trained
+    # once on sf0.01 embeddings and FROZEN as an expression literal
+    # (maintenance never retrains); 1× and 10× feeds at the same batch
+    # count, plus a steady-batch twin (same batch size, 10× more
+    # batches) proving per-batch cost stays flat while the index grows
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.mlprep import (
+        _pq_codebook,
+        pq_codebook_literal,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import (
+        load_table,
+    )
+
+    cb_lit = pq_codebook_literal(
+        _pq_codebook(
+            load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+                "vec_id", "embedding"
+            )
+        )
+    )
+    vec_drop = os.path.join(work, "vec_drop")
+    vec_total = write_vector_feed(vec_drop)
+    index_maintain = run_index_maintain(
+        spark, cb_lit, vec_drop, work, "idx", N_VEC_FILES // 10
+    )
+    vec_drop10 = os.path.join(work10, "vec_drop")
+    vec_total10 = write_vector_feed(vec_drop10, scale=scale)
+    index_maintain10 = run_index_maintain(
+        spark, cb_lit, vec_drop10, work10, "idx10", N_VEC_FILES * scale // 10
+    )
+    index_maintain10_steady = run_index_maintain(
+        spark, cb_lit, vec_drop10, work10, "idx10_steady", N_VEC_FILES // 10
+    )
+
     # provider comparison at real state size (~150-200k rows) on the
     # densified 10× feed — hdfs-backed first, then RocksDB
     big_hdfs = run_bigstate_mode(
@@ -523,6 +646,8 @@ def main() -> None:
         "merge_minus_append_batch_ms": round(
             merge["batch_ms_median"] - append["batch_ms_median"], 1
         ),
+        "vector_feed_rows": vec_total,
+        "index_maintain": index_maintain,
         "x10": {
             "feed_rows": total10,
             "n_keys": N_KEYS * scale,
@@ -553,6 +678,12 @@ def main() -> None:
             "join_steady": join10_steady,
             "state_rows_ratio_join_steady": round(
                 join10_steady["max_state_rows"] / max(join["max_state_rows"], 1), 2
+            ),
+            "vector_feed_rows": vec_total10,
+            "index_maintain": index_maintain10,
+            "index_maintain_steady": index_maintain10_steady,
+            "wall_ratio_index_maintain": round(
+                index_maintain10["wall_sec"] / index_maintain["wall_sec"], 2
             ),
             "bigstate_hdfs": big_hdfs,
             "bigstate_rocksdb": big_rocks,
