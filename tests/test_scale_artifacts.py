@@ -276,9 +276,12 @@ def test_slope_index_maintenance_block(slope):
         assert v["delta_flat_ratio_100x_vs_1x"] <= m["criteria"][
             "delta_flat_max"
         ], (idx, v)
-        assert v["maintain_over_rebuild_100x"] <= m["criteria"][
-            "maintain_win_max"
-        ], (idx, v)
+        # the 100 TB claim is the TREND: rebuild grows with the base,
+        # maintenance does not, so maintain/rebuild falls every decade
+        # and maintenance wins outright at the top one
+        wins = v["maintain_over_rebuild_by_leg"]
+        assert wins[0] > wins[1] > wins[2], (idx, wins)
+        assert wins[-1] < m["criteria"]["maintain_win_max"], (idx, wins)
         assert v["pass"] is True, idx
     assert m["pass"] is True
 
