@@ -667,3 +667,106 @@ def q_conformal_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_test",
         )
     )
+
+
+@register(
+    "q_cuped",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+        CAST(COUNT(*) FILTER (WHERE ts <  TIMESTAMP '2024-01-16')
+             AS BIGINT) AS x,
+        CAST(COUNT(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16')
+             AS BIGINT) AS y
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    theta AS (
+      SELECT
+        round(
+          (CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE)
+           - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / COUNT(*))
+          / (CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE)
+             - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) / COUNT(*)),
+          6) AS th,
+        round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean_x_all
+      FROM per_user
+    )
+    SELECT user_id % 2 = 0 AS variant_a,
+      CAST(COUNT(*) AS BIGINT) AS n_users,
+      round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean_pre,
+      round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS mean_post,
+      round(
+        round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6)
+        - th * (round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) - mean_x_all),
+        6) AS mean_adjusted,
+      th AS theta
+    FROM per_user CROSS JOIN theta
+    GROUP BY user_id % 2 = 0, th, mean_x_all
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (public: Deng, Xu, Kohavi & Walker,
+    WSDM'13 — Controlled-experiment Using Pre-Experiment Data): adjust
+    each A/B variant's post-period metric with the pre-period
+    covariate, Y' = Y − θ·(X − E[X]), θ = cov(X,Y)/var(X) fitted on
+    ALL users — the standard trick that cuts experiment runtimes by
+    the covariate's R².  Pre-period = activity before 2024-01-16 (the
+    feed's midpoint), post-period after; variant = user parity (the
+    deterministic assignment stand-in); metric = event COUNT.
+
+    Determinism: X and Y are integers, so Σx, Σy, Σxy, Σx² are exact
+    (DECIMAL(38,0) cross-products — warehouse-scale counts overflow
+    int64 when squared); θ and every mean is ONE double expression
+    over those exact sums, 6dp-rounded.  The adjusted mean uses
+    linearity — mean(Y') = mean(Y) − θ·(mean(X|variant) − mean(X)) —
+    so no per-row float is ever summed.
+
+    Scale: one user-keyed count aggregate (the only data-scaled
+    shuffle), a 1-row θ reduce broadcast back, one |variants|-row
+    aggregate.  A naive per-row Y−θ(X−μ) materialization would be an
+    extra full pass; the linearity form never touches fact rows
+    twice."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.count_if(F.col("ts") < cut).alias("x"),
+        F.count_if(F.col("ts") >= cut).alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    theta = per_user.agg(
+        F.round(
+            (F.sum(F.col("x").cast(d38) * F.col("y")).cast("double")
+             - sx * sy / n)
+            / (F.sum(F.col("x").cast(d38) * F.col("x")).cast("double")
+               - sx * sx / n),
+            6,
+        ).alias("th"),
+        F.round(sx / n, 6).alias("mean_x_all"),
+    )
+    mean_pre = F.round(sx / n, 6)
+    mean_post = F.round(sy / n, 6)
+    return (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy(
+            (F.col("user_id") % 2 == 0).alias("variant_a"), "th", "mean_x_all"
+        )
+        .agg(
+            n.cast("bigint").alias("n_users"),
+            mean_pre.alias("mean_pre"),
+            mean_post.alias("mean_post"),
+            F.round(
+                mean_post - F.first("th") * (mean_pre - F.first("mean_x_all")),
+                6,
+            ).alias("mean_adjusted"),
+        )
+        .select(
+            "variant_a", "n_users", "mean_pre", "mean_post",
+            "mean_adjusted", F.col("th").alias("theta"),
+        )
+    )

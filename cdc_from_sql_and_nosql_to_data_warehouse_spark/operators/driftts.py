@@ -13,6 +13,7 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import vectors as 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.exact import dec
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import (
     assign_dense_ids,
+    running_total,
 )
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
     SQL_TOKS_EXPR,
@@ -908,4 +909,128 @@ def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("lx").cast("decimal(18,6)")).cast("double"),
             6,
         ).alias("hill_alpha"),
+    )
+
+
+@register(
+    "q_mann_whitney",
+    oracle="""
+    WITH pool AS (
+      SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+        c_mktsegment = 'BUILDING' AS is_a
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        AND o_totalprice IS NOT NULL
+    ),
+    g AS (
+      SELECT v,
+        CAST(COUNT(*) FILTER (WHERE is_a) AS BIGINT) AS c_a,
+        CAST(COUNT(*) FILTER (WHERE NOT is_a) AS BIGINT) AS c_b
+      FROM pool GROUP BY v
+    ),
+    r AS (
+      SELECT c_a, c_b, c_a + c_b AS c,
+        SUM(c_a + c_b) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - (c_a + c_b) AS p
+      FROM g
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(c_a) AS BIGINT) AS n_a,
+        CAST(SUM(c_b) AS BIGINT) AS n_b,
+        CAST(SUM(CAST(c_a AS DECIMAL(38,0)) * (2*p + c + 1))
+             AS DECIMAL(38,0)) AS r2_a,
+        CAST(SUM(CAST(c AS DECIMAL(38,0)) * c * c - c)
+             AS DECIMAL(38,0)) AS ties
+      FROM r
+    ),
+    u AS (
+      SELECT n_a, n_b,
+        r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS u2_a,
+        ties, n_a + n_b AS n
+      FROM s
+    )
+    SELECT n_a, n_b,
+      CAST(u2_a AS DOUBLE) / 2.0 AS u_a,
+      round(
+        (CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+        / (2.0 * sqrt(
+            (CAST(n_a AS DOUBLE) * n_b / 12.0)
+            * ((n + 1) - CAST(ties AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1))))),
+        6) AS z_score
+    FROM u
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test: do BUILDING
+    and MACHINERY customers draw order totals from the same
+    distribution?  The nonparametric mean-shift sibling of q_ks_test's
+    CDF-gap test and q_t_test's parametric form — the workhorse
+    significance test when metric distributions are heavy-tailed
+    (revenue, latency), which is exactly when the t-test misleads.
+
+    Exactness (the doubled-average-rank trick, q_retrieval_auc
+    precedent): group the pool by DISTINCT 2-dp value, take the
+    exclusive prefix count p per value, and the A-side rank sum is
+    2R_A = Σ c_a·(2p + c + 1) — INTEGER throughout, so ties contribute
+    their average rank with no float in sight; 2U_A = 2R_A − n_a(n_a+1).
+    The tie-corrected normal approximation
+    z = (U − n_a·n_b/2)/σ, σ² = (n_a n_b/12)·((n+1) − Σ(c³−c)/(n(n−1)))
+    is two fixed double expressions rounded at 6dp.  DECIMAL(38,0)
+    accumulators: c_a·p products pass int64 at warehouse scale.
+
+    Scale: one hash aggregate to the distinct-value frame (bounded by
+    the price domain, not row count), ONE parallel prefix sum via
+    ``functions.ids.running_total`` (range-partition + per-partition
+    cumsum + driver prefix of per-partition totals — no single-task
+    global window), a 1-row reduce.  The rank-based test family is
+    usually written with a global ORDER BY rank() — the one window
+    shape that cannot scale; this decomposition is how it ships at
+    100 TB."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        # NULL placement in ordered prefix sums diverges across engines
+        F.col("o_totalprice").isNotNull()
+    )
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    pool = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        dec("o_totalprice").alias("v"),
+        (F.col("c_mktsegment") == "BUILDING").alias("is_a"),
+    )
+    g = pool.groupBy("v").agg(
+        F.count_if(F.col("is_a")).alias("c_a"),
+        F.count_if(~F.col("is_a")).alias("c_b"),
+    )
+    r = running_total(
+        g.withColumn("c", F.col("c_a") + F.col("c_b")), ["v"], "c",
+        total_col="cum",
+    ).withColumn("p", F.col("cum") - F.col("c"))
+    d38 = "decimal(38,0)"
+    s = r.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("c_a").cast(d38)
+            * (2 * F.col("p") + F.col("c") + 1)
+        ).cast(d38).alias("r2_a"),
+        F.sum(
+            F.col("c").cast(d38) * F.col("c") * F.col("c") - F.col("c")
+        ).cast(d38).alias("ties"),
+    )
+    u2 = F.col("r2_a") - F.col("n_a").cast(d38) * (F.col("n_a") + 1)
+    n = F.col("n_a") + F.col("n_b")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sigma2 = (na * nb / 12.0) * (
+        (n + 1) - F.col("ties").cast("double") / (n.cast("double") * (n - 1))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        (u2.cast("double") / 2.0).alias("u_a"),
+        F.round(
+            (u2.cast("double") - na * nb) / (2.0 * F.sqrt(sigma2)), 6
+        ).alias("z_score"),
     )

@@ -1069,3 +1069,168 @@ def q_ctr_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("shrunk_rate"),
     )
+
+
+# Poisson(1) inverse-CDF cutoffs (cumulative e^{-1}·Σ 1/k!) — the
+# deterministic per-(row, resample) weight draw of the POISSON
+# BOOTSTRAP, the distributed bootstrap (each multinomial resample is
+# approximated by independent Poisson(1) weights, so every resample is
+# ONE pass with no coordination — the only bootstrap that scales).
+# Literal doubles so both engines compare against identical values.
+_POIS_CUM = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+    0.999998874797402,
+]
+_BOOT_B = 100
+
+
+def _sql_pois_weight(u: str) -> str:
+    out = "CASE"
+    for k, c in enumerate(_POIS_CUM):
+        out += f" WHEN {u} < {c!r} THEN {k}"
+    return out + f" ELSE {len(_POIS_CUM)} END"
+
+
+@register(
+    "q_poisson_bootstrap",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    boot AS (
+      SELECT o_orderpriority, b,
+        round(CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS m
+      FROM (
+        SELECT o_orderpriority, v, b,
+          {_sql_pois_weight(sql_md5_unit(
+              "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':boot'"))} AS w
+        FROM base CROSS JOIN (
+          SELECT unnest(generate_series(1, {_BOOT_B})) AS b
+        )
+      )
+      GROUP BY o_orderpriority, b
+      HAVING SUM(w) > 0
+    ),
+    stats AS (
+      SELECT o_orderpriority,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(m))),
+                    (a, x) -> a + x) AS s1,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(list_sort(list(m)), x -> x * x)),
+                    (a, x) -> a + x) AS s2,
+        COUNT(*) AS nb
+      FROM boot GROUP BY o_orderpriority
+    ),
+    obs AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_obs
+      FROM base GROUP BY o_orderpriority
+    )
+    SELECT obs.o_orderpriority, n_orders, mean_obs,
+      round(sqrt((s2 - s1 * s1 / nb) / (nb - 1)), 6) AS boot_se,
+      round(mean_obs - 1.96 * round(sqrt((s2 - s1*s1/nb)/(nb-1)), 6), 6)
+        AS ci_lo,
+      round(mean_obs + 1.96 * round(sqrt((s2 - s1*s1/nb)/(nb-1)), 6), 6)
+        AS ci_hi
+    FROM obs JOIN stats USING (o_orderpriority)
+    """,
+)
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON-BOOTSTRAP confidence intervals for the mean order value
+    per priority class — the distributed bootstrap (public: Kleiner et
+    al.'s scalable-bootstrap line; Poisson weights approximate the
+    multinomial resample so every resample is ONE data pass with no
+    global coordination, the standard trick in large-scale metric
+    pipelines).  B=100 resamples: each (row, b) draws a
+    deterministic Poisson(1) weight by inverse-CDF over the portable
+    md5-uniform, so the resample is reproducible across engines, runs
+    and cluster sizes (the q_split_train_eval seeding policy).
+
+    vs q_bootstrap_ci (operators/driftts.py): that one is the textbook
+    Efron multinomial resample OVER THE BOUNDED DAY-SPINE (picks join a
+    |days|-row frame — exact, but only possible because the resampled
+    series is calendar-bounded).  This operator bootstraps the RAW
+    ROWS, where the multinomial's "draw n indices per resample" cannot
+    be materialized at 100 TB — the Poisson approximation is what makes
+    row-level bootstrap a one-pass map-side computation.
+
+    Determinism: per-resample means are exact DECIMAL sums over
+    integer weights divided once as double (6dp); the bootstrap SE
+    folds the B sorted means with identical fp operations on both
+    engines (the q_embedding_centroids sorted-fold policy), so even
+    the cancellation-prone Σm² − (Σm)²/B path is bit-identical.
+    Normal-interval CI (±1.96·se) avoids cross-engine percentile
+    semantics entirely.
+
+    Scale: the fan-out is linear in B — a map-side explode feeding a
+    partial-aggregated (group, b) hash agg (≤ |groups|·B rows
+    shuffled); the per-group fold touches B doubles.  No row-level
+    state, no global sort: this is why the Poisson form (and not the
+    sort-based multinomial) is the 100 TB bootstrap."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    base = o.select(
+        "o_orderkey", "o_orderpriority", dec("o_totalprice").alias("v")
+    )
+    u = md5_unit(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("b").cast("string"),
+            F.lit(":boot"),
+        )
+    )
+    w = F.lit(len(_POIS_CUM))
+    for k in range(len(_POIS_CUM) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(w)
+    boot = (
+        base.withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))))
+        .withColumn("w", w)
+        .groupBy("o_orderpriority", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("v")).alias("sv"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "o_orderpriority",
+            F.round(
+                F.col("sv").cast("double") / F.col("sw").cast("double"), 6
+            ).alias("m"),
+        )
+    )
+    stats = boot.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_list("m")).alias("ms"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    s1 = F.aggregate("ms", F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate(
+        F.transform("ms", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    se = F.round(
+        F.sqrt((s2 - s1 * s1 / F.col("nb")) / (F.col("nb") - 1)), 6
+    )
+    obs = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum("v").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_obs"),
+    )
+    return obs.join(stats, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        "mean_obs",
+        se.alias("boot_se"),
+        F.round(F.col("mean_obs") - 1.96 * se, 6).alias("ci_lo"),
+        F.round(F.col("mean_obs") + 1.96 * se, 6).alias("ci_hi"),
+    )

@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
+    md5_prefix_int,
     md5_unit,
+    sql_md5_int,
     sql_md5_unit,
 )
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
@@ -1329,4 +1331,110 @@ def q_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     return params.selectExpr(
         "stack(2, 1, w1, m1, s1, 2, w2, m2, s2)"
         " AS (component, weight, mu, sigma)"
+    )
+
+
+_NEG_K = 2  # sampled negatives per positive interaction
+
+
+@register(
+    "q_negative_sampling",
+    oracle=f"""
+    WITH positives AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_custkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    n_items AS (SELECT COUNT(*) AS n FROM part),
+    cand AS (
+      SELECT user_id, item_id AS pos_item_id, j AS neg_slot,
+        {{h}} % n_items.n AS neg_item_id
+      FROM positives
+      CROSS JOIN (SELECT unnest(generate_series(1, {_NEG_K})) AS j)
+      CROSS JOIN n_items
+    )
+    SELECT c.user_id, c.pos_item_id, c.neg_slot, c.neg_item_id
+    FROM cand c
+    LEFT JOIN positives p
+      ON c.user_id = p.user_id AND c.neg_item_id = p.item_id
+    WHERE p.user_id IS NULL
+    """.format(
+        h=__import__(
+            "cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash",
+            fromlist=["sql_md5_int"],
+        ).sql_md5_int(
+            "CAST(user_id AS VARCHAR) || ':' || CAST(item_id AS VARCHAR)"
+            " || ':' || CAST(j AS VARCHAR) || ':neg'"
+        )
+    ),
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for implicit-feedback training
+    data (public design: word2vec / BPR / two-tower recsys pipelines):
+    for every observed (user, item) interaction — urgent-priority
+    purchases — draw K=2 candidate non-interactions by hashing
+    (user, item, slot) into the item-key space, then REJECT candidates
+    that are actually positives with one anti-join.  The portable
+    md5-derived draw is reproducible across engines, runs and cluster
+    sizes, the house rand() replacement (q_split_train_eval policy);
+    TPC-H part keys are the dense 0..n−1 domain, so hash % n is always
+    a real item.
+
+    Rejected collisions are dropped, not resampled — the unbiased
+    one-shot variant (resampling loops are driver-side poison at
+    scale; the expected loss is |user's items|/|items|, negligible for
+    sparse interaction matrices, and downstream loss functions treat
+    per-positive negative counts as variable anyway).
+
+    Scale: distinct-positives aggregate, a ×K map-side explode, one
+    hash anti-join on (user, candidate) — all linear in interactions;
+    the item count is a 1-row broadcast.  No per-user state, no
+    vocabulary table, no RNG synchronization."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull()
+    )
+    positives = (
+        li.join(o.filter(F.col("o_custkey").isNotNull()),
+                li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .distinct()
+    )
+    n_items = F.broadcast(
+        load_table(spark, sf_dir, "part").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    h = md5_prefix_int(
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"),
+            F.col("item_id").cast("string"), F.lit(":"),
+            F.col("j").cast("string"), F.lit(":neg"),
+        )
+    )
+    cand = (
+        positives.withColumn(
+            "j", F.explode(F.sequence(F.lit(1), F.lit(_NEG_K)))
+        )
+        .crossJoin(n_items)
+        .select(
+            "user_id",
+            F.col("item_id").alias("pos_item_id"),
+            F.col("j").alias("neg_slot"),
+            (h % F.col("n")).alias("neg_item_id"),
+        )
+    )
+    return cand.join(
+        positives.withColumnsRenamed(
+            {"user_id": "p_user", "item_id": "p_item"}
+        ),
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("neg_item_id") == F.col("p_item")),
+        "left_anti",
     )

@@ -21,6 +21,7 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (  # noqa: E402
     SQL_TOKS_EXPR as _SQL_TOKS,
     sql_bpe_toks_expr,
+    sql_md5_int,
     sql_toks_expr,
 )
 
@@ -1340,4 +1341,72 @@ def q_text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") > 0)
         .select("term", F.col("df").cast("bigint").alias("df"))
+    )
+
+
+@register(
+    "q_doc_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+        {sql_md5_int("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")} AS h
+      FROM (
+        SELECT doc_id, toks, unnest(generate_series(1, length(toks) - 2)) AS i
+        FROM toks WHERE length(toks) >= 3
+      )
+    ),
+    first_seen AS (
+      SELECT h, MIN(doc_id) AS first_doc FROM grams GROUP BY h
+    )
+    SELECT g.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_grams,
+      round(CAST(COUNT(*) FILTER (WHERE f.first_doc = g.doc_id) AS DOUBLE)
+            / COUNT(*), 6) AS novelty
+    FROM grams g JOIN first_seen f ON g.h = f.h
+    GROUP BY g.doc_id
+    """,
+)
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY score: the fraction of a document's
+    distinct word 3-grams whose FIRST corpus occurrence (minimum
+    doc_id — ingestion order) is this document.  The incremental-value
+    signal of data-mixture design: a crawl batch full of
+    already-seen phrasing scores near 0 and can be down-weighted
+    before training, while genuinely new text scores near 1 — the
+    per-document refinement of q_source_overlap's corpus-level overlap
+    and the soft sibling of q_dedup_cross_spans' hard duplicate spans.
+
+    Plan: one shingling pass (md5_shingle_rows — flat 60-bit gram ids
+    inside whole-stage codegen, the repo-wide dedup shape), distinct
+    per (doc, gram), one gram-keyed MIN aggregate for the first-seen
+    table, one join back on gram id, one doc-keyed count aggregate.
+    Docs under 3 tokens vanish at the explode (both engines' length
+    guard).
+
+    Scale: everything is hash-partition-friendly — two aggregates and
+    a self-equi-join on the gram id; the hot-gram key (a boilerplate
+    phrase in millions of docs) is bounded on the BUILD side by the
+    first-seen table (one row per distinct gram), so the join fans out
+    only to the gram's actual occurrences, never quadratically."""
+    docs = load_table(spark, sf_dir, "documents")
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import (
+        md5_shingle_rows,
+    )
+
+    grams = md5_shingle_rows(docs, 3).dropDuplicates(["id", "h"])
+    first_seen = grams.groupBy("h").agg(F.min("id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "h")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.round(
+                F.count_if(F.col("first_doc") == F.col("id")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
     )
