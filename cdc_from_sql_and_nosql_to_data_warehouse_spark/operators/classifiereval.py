@@ -770,3 +770,49 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_adjusted", F.col("th").alias("theta"),
         )
     )
+
+
+@register(
+    "q_ab_srm",
+    oracle="""
+    WITH counts AS (
+      SELECT
+        CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_a,
+        CAST(COUNT(*) FILTER (WHERE user_id % 2 <> 0) AS BIGINT) AS n_b
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+    )
+    SELECT n_a, n_b,
+      round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+        AS chi2,
+      CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) > 3.841
+        AS srm_detected
+    FROM counts
+    """,
+)
+def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH guardrail (public: Kohavi et al.,
+    "Trustworthy Online Controlled Experiments" — the first check every
+    experimentation platform runs): does the realized unit split match
+    the designed 50/50?  For two cells the Pearson χ² collapses to
+    (n_a−n_b)²/n, compared against the 1-df α=0.05 critical value
+    3.841; a flagged experiment's metrics (q_cuped, q_ab_sequential)
+    are untrustworthy regardless of their p-values.
+
+    Exactness: pure integers until one final division (6dp).  Scale:
+    one distinct-user aggregate — map-side partials, a 1-row result."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    users = ev.select("user_id").distinct()
+    counts = users.agg(
+        F.count_if(F.col("user_id") % 2 == 0).cast("bigint").alias("n_a"),
+        F.count_if(F.col("user_id") % 2 != 0).cast("bigint").alias("n_b"),
+    )
+    diff2 = (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    chi2 = diff2.cast("double") / (F.col("n_a") + F.col("n_b"))
+    return counts.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )

@@ -1034,3 +1034,87 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             (u2.cast("double") - na * nb) / (2.0 * F.sqrt(sigma2)), 6
         ).alias("z_score"),
     )
+
+
+@register(
+    "q_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(16,2))
+          AS rev
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    joined AS (
+      SELECT a.day, a.rev AS actual, f.rev AS forecast,
+        round(abs(CAST(a.rev - f.rev AS DOUBLE)) / CAST(a.rev AS DOUBLE),
+              6) AS ape,
+        round(CAST(a.rev - f.rev AS DOUBLE) / CAST(a.rev AS DOUBLE), 6)
+          AS pe
+      FROM daily a JOIN daily f ON a.day = f.day + INTERVAL 7 DAY
+      WHERE a.rev > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+      round(CAST(SUM(CAST(ape AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        AS mape,
+      round(CAST(SUM(CAST(pe AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        AS bias
+    FROM joined
+    """,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING-ORIGIN forecast backtest for the seasonal-naive baseline
+    (forecast(d) = revenue(d−7), the week-ago carry-forward every
+    forecasting system must beat — public: Hyndman & Athanasopoulos,
+    "Forecasting: Principles and Practice"): every day is scored
+    against the forecast made from its own past, so the evaluation
+    never leaks the future — the time-series analogue of
+    q_group_split_no_leakage.  Reports MAPE (accuracy) and signed bias
+    (systematic over/under-forecast), the backtest pair a demand
+    planner reads before trusting any fancier model.
+
+    Exactness: daily revenues are exact decimal sums; each APE/PE is
+    ONE double division rounded at 6dp; the means sum the ROUNDED
+    per-day terms as DECIMAL(18,6) (order-free — the q_retrieval_ndcg
+    round-then-sum policy) with one final division.
+
+    Scale: one day-keyed aggregate is the only data-scaled work;
+    everything after rides the calendar-bounded spine (a self-join on
+    day = day+7 over |days| rows)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(dec("o_totalprice", 14, 2)).cast("decimal(16,2)").alias("rev")
+    )
+    f = daily.withColumnsRenamed({"day": "f_day", "rev": "forecast"})
+    joined = (
+        daily.join(f, F.col("day") == F.date_add(F.col("f_day"), 7))
+        .filter(F.col("rev") > 0)
+        .select(
+            F.round(
+                F.abs((F.col("rev") - F.col("forecast")).cast("double"))
+                / F.col("rev").cast("double"),
+                6,
+            ).alias("ape"),
+            F.round(
+                (F.col("rev") - F.col("forecast")).cast("double")
+                / F.col("rev").cast("double"),
+                6,
+            ).alias("pe"),
+        )
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(
+            F.sum(F.col("ape").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mape"),
+        F.round(
+            F.sum(F.col("pe").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bias"),
+    )

@@ -1438,3 +1438,142 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("neg_item_id") == F.col("p_item")),
         "left_anti",
     )
+
+
+_CF_MAX_DEGREE = 30  # hub cap: users above this contribute no pairs
+_CF_TOPK = 5
+
+
+@register(
+    "q_item_cf",
+    oracle=f"""
+    WITH inter AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    norms AS (
+      SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM inter GROUP BY item_id
+    ),
+    capped AS (
+      SELECT user_id, item_id FROM (
+        SELECT user_id, item_id,
+          COUNT(*) OVER (PARTITION BY user_id) AS deg
+        FROM inter
+      ) WHERE deg <= {_CF_MAX_DEGREE}
+    ),
+    pairs AS (
+      SELECT a.item_id AS i, b.item_id AS j,
+        CAST(COUNT(*) AS BIGINT) AS c
+      FROM capped a JOIN capped b
+        ON a.user_id = b.user_id AND a.item_id < b.item_id
+      GROUP BY a.item_id, b.item_id
+    ),
+    sym AS (
+      SELECT i, j, c FROM pairs
+      UNION ALL
+      SELECT j AS i, i AS j, c FROM pairs
+    ),
+    scored AS (
+      SELECT sym.i, sym.j,
+        round(CAST(sym.c AS DOUBLE)
+              / sqrt(CAST(ni.n_users AS DOUBLE) * nj.n_users), 6) AS cosine
+      FROM sym
+      JOIN norms ni ON sym.i = ni.item_id
+      JOIN norms nj ON sym.j = nj.item_id
+    )
+    SELECT i AS item_id, j AS neighbor_id, cosine, rn AS rank
+    FROM (
+      SELECT i, j, cosine,
+        row_number() OVER (PARTITION BY i ORDER BY cosine DESC, j) AS rn
+      FROM scored
+    ) WHERE rn <= {_CF_TOPK}
+    """,
+)
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITEM-ITEM collaborative filtering (public design: Sarwar et
+    al.'01 / Amazon item-to-item): top-5 neighbors per item by cosine
+    over the binary user-item matrix — cos(i,j) = |U_i ∩ U_j| /
+    √(|U_i|·|U_j|), co-occurrence counted through the user self-join.
+    The similarity backbone of "customers also bought" and of
+    co-purchase-based item embeddings.
+
+    Hub cap (the q_link_prediction precedent): users with more than 30
+    distinct items contribute NO pairs — a single crawler/bot account
+    otherwise fans out |items|² pairs (and adds co-occurrence noise the
+    CF literature deliberately down-weights anyway).  Degree capping
+    keeps the pair explosion bounded by Σ min(d_u, 30)² ≈ linear in
+    users.  Norms still count ALL users (capping affects evidence
+    generation, not item popularity).
+
+    Plan: distinct-interactions aggregate → windowed degree filter →
+    self-equi-join on user_id (i<j kills the diagonal and halves the
+    work) → pair hash agg → two |items|-bounded norm joins → literal
+    top-k rank, which Spark rewrites to WindowGroupLimit (k-row heaps
+    before the exchange, plan-pinned in tests/test_round10_ops.py).
+    Every float is one 6dp-rounded division of exact integers."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull()
+    )
+    inter = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .distinct()
+    )
+    norms = inter.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    deg_w = Window.partitionBy("user_id")
+    capped = (
+        inter.withColumn("deg", F.count(F.lit(1)).over(deg_w))
+        .filter(F.col("deg") <= _CF_MAX_DEGREE)
+        .drop("deg")
+    )
+    b = capped.withColumnsRenamed({"user_id": "user_id_b", "item_id": "j"})
+    pairs = (
+        capped.join(
+            b,
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("item_id") < F.col("j")),
+        )
+        .groupBy(F.col("item_id").alias("i"), "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("c")
+        )
+    )
+    ni = norms.withColumnsRenamed({"item_id": "ni_item", "n_users": "n_i"})
+    nj = norms.withColumnsRenamed({"item_id": "nj_item", "n_users": "n_j"})
+    scored = (
+        sym.join(ni, F.col("i") == F.col("ni_item"))
+        .join(nj, F.col("j") == F.col("nj_item"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("c").cast("double")
+                / F.sqrt(F.col("n_i").cast("double") * F.col("n_j")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("cosine"), F.asc("j"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CF_TOPK)
+        .select(
+            F.col("i").alias("item_id"),
+            F.col("j").alias("neighbor_id"),
+            "cosine",
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )

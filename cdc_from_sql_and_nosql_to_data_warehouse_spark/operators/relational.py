@@ -67,8 +67,8 @@ _SQL_CHARGE = f"{_SQL_DISC_PRICE} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DEC
     SELECT l_returnflag, l_linestatus,
       {sql_dsum('l_quantity')} AS sum_qty,
       {sql_dsum('l_extendedprice')} AS sum_base_price,
-      CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM({_SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+      CAST(round(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS sum_disc_price,
+      CAST(round(SUM({_SQL_CHARGE}), 2) AS DOUBLE) AS sum_charge,
       {sql_davg('l_quantity')} AS avg_qty,
       {sql_davg('l_extendedprice')} AS avg_price,
       {sql_davg('l_discount', '3,2')} AS avg_disc,
@@ -81,7 +81,13 @@ _SQL_CHARGE = f"{_SQL_DISC_PRICE} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DEC
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship pricing-summary (TPC-H Q1 shape, SURVEY.md §7.1): scan →
     pushed filter → hash agg with partial aggregation → exact decimal
-    sums.  One shuffle total; no UDFs; fully codegen'd."""
+    sums.  One shuffle total; no UDFs; fully codegen'd.
+
+    The 4/6-decimal product sums round to CENTS (exact decimal scale
+    reduction) before the double cast: at sf1 the 6-decimal charge
+    sum's unscaled value crosses 2^53, where Spark's and DuckDB's
+    decimal→double conversions differ by one ulp (measured, round 10) —
+    at 2dp the unscaled value stays exactly convertible to ~$9·10^13."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
@@ -89,8 +95,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
-            F.sum(_charge()).cast("double").alias("sum_charge"),
+            F.round(F.sum(_disc_price()), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_charge()), 2).cast("double").alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount", 3, 2).alias("avg_disc"),

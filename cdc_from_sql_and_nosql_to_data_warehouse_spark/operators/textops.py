@@ -1410,3 +1410,90 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+_PREFIX_LEN = 8  # tokens hashed as the shared-prefix unit
+
+
+@register(
+    "q_prefix_cache_hit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents
+      WHERE source IS NOT NULL
+    ),
+    pre AS (
+      SELECT doc_id, source,
+        {sql_md5_int(
+            "array_to_string(list_slice(toks, 1, " + str(_PREFIX_LEN) + "), ' ')"
+        )} AS h
+      FROM toks WHERE length(toks) >= {_PREFIX_LEN}
+    ),
+    firsts AS (SELECT h, MIN(doc_id) AS first_doc FROM pre GROUP BY h)
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) FILTER (WHERE f.first_doc <> p.doc_id) AS BIGINT)
+        AS n_prefix_hits,
+      round(CAST(COUNT(*) FILTER (WHERE f.first_doc <> p.doc_id) AS DOUBLE)
+            / COUNT(*), 6) AS hit_frac
+    FROM pre p JOIN firsts f ON p.h = f.h
+    GROUP BY source
+    """,
+)
+def q_prefix_cache_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-SHARING estimator for KV-cache planning (public design:
+    prefix caching in vLLM/SGLang-class LLM serving, and dedup of
+    templated corpora): per source, the fraction of documents whose
+    first 8 tokens already appeared as an earlier document's prefix
+    (ingestion order = doc_id).  A high hit fraction means templated /
+    boilerplate-heavy content — cheap to serve with a shared-prefix
+    cache, and a dedup-before-train candidate; the PREFIX-anchored
+    sibling of q_doc_novelty's whole-document gram novelty.
+
+    Plan: one tokenize pass → 60-bit md5 prefix id (a codegen'd scalar
+    projection, no arrays survive the scan) → one prefix-keyed MIN
+    aggregate → one join back → one source-keyed count aggregate.
+    Docs shorter than the prefix drop on both engines (length guard).
+    Scale: two hash aggregates and an equi-join on the prefix id; the
+    hot templated-prefix key is bounded on the build side by the
+    firsts table (one row per distinct prefix)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    toks = X.tokens("text")
+    pre = (
+        docs.select("doc_id", "source", toks.alias("toks"))
+        .filter(F.size("toks") >= _PREFIX_LEN)
+        .select(
+            "doc_id",
+            "source",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", F.slice("toks", 1, _PREFIX_LEN)
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    firsts = pre.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    hit = F.col("first_doc") != F.col("doc_id")
+    return (
+        pre.join(firsts, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_if(hit).cast("bigint").alias("n_prefix_hits"),
+            F.round(
+                F.count_if(hit).cast("double") / F.count(F.lit(1)), 6
+            ).alias("hit_frac"),
+        )
+    )

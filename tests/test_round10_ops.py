@@ -138,3 +138,56 @@ def test_doc_novelty_bounds_and_first_doc(spark):
     # the earliest scored document owns every one of its grams
     first = min(by_doc)
     assert by_doc[first].novelty == 1.0
+
+
+def test_item_cf_sound(spark):
+    rows = REGISTRY["q_item_cf"].fn(spark, SF_DIR).collect()
+    assert rows
+    per_item = defaultdict(list)
+    for r in rows:
+        assert r.item_id != r.neighbor_id
+        assert 0.0 < r.cosine <= 1.0
+        per_item[r.item_id].append((r.rank, r.cosine))
+    for item, lst in per_item.items():
+        lst.sort()
+        ranks = [rk for rk, _ in lst]
+        assert ranks == list(range(1, len(lst) + 1)), (item, ranks)
+        assert len(lst) <= 5
+        # ranking is by cosine descending
+        cosines = [c for _, c in lst]
+        assert cosines == sorted(cosines, reverse=True), (item, cosines)
+
+
+def test_item_cf_plan_uses_window_group_limit(spark):
+    # the literal top-k cap must keep the WindowGroupLimit rewrite
+    # (k-row heaps before the exchange — the contrast to the
+    # q_class_balance column-cap case, which needs the pre-filter)
+    df = REGISTRY["q_item_cf"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_prefix_cache_hit_bounds(spark):
+    rows = REGISTRY["q_prefix_cache_hit"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_prefix_hits < r.n_docs
+        assert 0.0 <= r.hit_frac < 1.0
+    # across all sources at least one first-occurrence exists
+    assert sum(r.n_docs - r.n_prefix_hits for r in rows) >= 1
+
+
+def test_ab_srm_consistency(spark):
+    r = REGISTRY["q_ab_srm"].fn(spark, SF_DIR).first()
+    assert r.n_a + r.n_b > 0
+    chi2 = (r.n_a - r.n_b) ** 2 / (r.n_a + r.n_b)
+    assert abs(r.chi2 - round(chi2, 6)) < 1e-9
+    assert r.srm_detected == (chi2 > 3.841)
+
+
+def test_forecast_backtest_sane(spark):
+    r = REGISTRY["q_forecast_backtest"].fn(spark, SF_DIR).first()
+    assert r.n_days > 0
+    assert r.mape >= 0
+    # bias is a signed mean of per-day terms each bounded by its APE
+    assert abs(r.bias) <= r.mape + 1e-9

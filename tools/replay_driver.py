@@ -100,18 +100,17 @@ def main() -> None:
     # testdata).
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
-        cols = con.execute(
-            f"DESCRIBE SELECT * FROM '{args.sf}/{t}.parquet'"
-        ).fetchall()
+        src = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(src):  # Spark-written table = a part-file dir
+            src = f"{src}/*.parquet"
+        cols = con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
         sel = ", ".join(
             f'CAST("{c}" AS TIMESTAMP) AS "{c}"'
             if typ == "TIMESTAMP WITH TIME ZONE"
             else f'"{c}"'
             for c, typ, *_ in cols
         )
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT {sel} FROM '{args.sf}/{t}.parquet'"
-        )
+        con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM '{src}'")
 
     if args.names:
         names = args.names
