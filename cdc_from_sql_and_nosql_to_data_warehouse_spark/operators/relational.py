@@ -2688,7 +2688,14 @@ def _class_balance_survivors(docs: DataFrame) -> DataFrame:
     remaining measure-zero case, so the operator is exact, not
     approximate.  Returns survivors with `n_min` attached."""
     frac = _md5_prefix_frac(F.col("doc_id"))
-    sized = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    # |langs|-row frame consumed by TWO branches (threshold + cap) —
+    # checkpoint so the docs scan behind it runs once, not per branch
+    # (post-aggregate, small relative to input: the house rule)
+    sized = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_lang"))
+        .localCheckpoint(eager=False)
+    )
     cap = sized.agg(F.min("n_lang").alias("n_min"))
     thresh = sized.crossJoin(F.broadcast(cap)).select(
         "lang",

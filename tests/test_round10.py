@@ -138,3 +138,14 @@ def test_no_other_nonliteral_rank_cap_window(spark):
                 offenders.append((name, col))
                 break
     assert not offenders, offenders
+
+
+def test_class_balance_scan_count_bounded(spark):
+    # the pre-filter costs extra passes: sizing, survivor-count, and
+    # the final filtered scan — each a broadcast-joined map-side pass.
+    # Pin that the plan never regresses to more than 3 scans of
+    # documents (e.g. by losing a reuse or adding a fourth pass).
+    df = REGISTRY["q_class_balance"].fn(spark, SF_DIR)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = sum(1 for line in txt.splitlines() if "FileScan" in line)
+    assert n_scans <= 3, txt
