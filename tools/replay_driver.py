@@ -84,6 +84,11 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--all-unchecked", action="store_true",
                     help="replay every never-driver-checked oracle query, not just the window")
+    ap.add_argument("--oracle-timeout", type=float, default=None,
+                    help="seconds before the DuckDB oracle is interrupted; "
+                    "the query records ORACLE-TIMEOUT (Spark rows noted) "
+                    "instead of hanging a large-SF sweep on an oracle "
+                    "whose textbook form is deliberately quadratic")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -132,7 +137,23 @@ def main() -> None:
                 print(f"{name:36s} rows-only  spark={len(srows)}  "
                       f"{time.perf_counter()-t0:5.1f}s")
                 continue
-            cur = con.execute(spec.oracle)
+            if args.oracle_timeout:
+                import threading
+
+                timer = threading.Timer(args.oracle_timeout, con.interrupt)
+                timer.start()
+                try:
+                    cur = con.execute(spec.oracle)
+                except duckdb.InterruptException:
+                    print(
+                        f"{name:36s} ORACLE-TIMEOUT spark_rows={len(srows)} "
+                        f"(oracle > {args.oracle_timeout:.0f}s at this SF)"
+                    )
+                    continue
+                finally:
+                    timer.cancel()
+            else:
+                cur = con.execute(spec.oracle)
             onames = [d[0] for d in cur.description]
             order = sorted(range(len(onames)), key=lambda i: onames[i])
             orows = ["|".join(canon(r[i]) for i in order) for r in cur.fetchall()]
