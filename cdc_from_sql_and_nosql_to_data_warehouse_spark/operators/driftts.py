@@ -47,7 +47,7 @@ _SAX_BP = 0.6745
     stats AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
         CAST(SUM(cents) AS DOUBLE) AS sx,
-        CAST(SUM(cents * cents) AS DOUBLE) AS sxx
+        CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE) AS sxx
       FROM daily
     ),
     idx AS (
@@ -668,12 +668,12 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dev AS (
       SELECT day, rev,
-        round(rev - round(
+        CAST(round(rev - round(
           CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER (ORDER BY day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
           / COUNT(*) OVER (ORDER BY day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6), 6)
-          AS d
+          AS DECIMAL(24,6)) AS d
       FROM daily
     ),
     ph AS (
@@ -683,10 +683,11 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dev
     )
     SELECT ph.day, round(ph.rev, 4) AS revenue,
-      round(ph.cum - MIN(ph.cum) OVER (ORDER BY ph.day
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ph_score,
-      round(ph.cum - MIN(ph.cum) OVER (ORDER BY ph.day
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+      CAST(ph.cum - MIN(ph.cum) OVER (ORDER BY ph.day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS ph_score,
+      CAST(ph.cum - MIN(ph.cum) OVER (ORDER BY ph.day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         > lam.lambda AS alarm
     FROM ph CROSS JOIN lam
     """,
@@ -703,11 +704,16 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates its mean as it goes, so slow trends don't false-alarm.
 
     Determinism: the running mean is a frame-ordered DECIMAL sum over
-    an integer count rounded 6dp; deviations round 6dp before the
-    frame-ordered accumulation (identical float-add sequence both
-    engines, the q_cusum precedent); the score rounds at the
-    summands' own 6dp scale (a coarser round sits exactly on .5 ties
-    where the engines' rounding modes diverge — measured); λ 4dp.
+    an integer count rounded 6dp; deviations round 6dp and are then
+    CAST BACK TO DECIMAL(24,6) — exact, since a 6dp-rounded double is
+    decimal-representable — so the cumulative sum and running minimum
+    are EXACT decimal arithmetic, never float accumulation.  (Round 9
+    kept the accumulation in doubles with an identical-add-order
+    argument; sf1 falsified it — the engines' windowed float sums
+    diverged by an ulp at 1e9 magnitude, flipping the 6dp round on
+    1207/2405 days.  Measured, round 10.)  The score is the exact
+    decimal difference cast to double — exact up to 2^53/10^6 ≈ 9e9,
+    an order above the sf1 magnitude; λ 4dp.
 
     Scale: one day-keyed aggregate, then three windows over the
     DATE-BOUNDED spine (the q_cumulative_users exception) and a 1-row
@@ -735,14 +741,13 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     dev = daily.select(
-        "day", "rev", F.round(F.col("rev") - run_mean, 6).alias("d")
+        "day",
+        "rev",
+        F.round(F.col("rev") - run_mean, 6).cast("decimal(24,6)").alias("d"),
     )
     ph = dev.select("day", "rev", F.sum("d").over(w).alias("cum"))
-    # the score rounds at the SUMMANDS' 6dp scale: a coarser 4dp round
-    # lands exactly on .5 ties (sums of 6dp values end at the 5th
-    # decimal) where Spark's HALF_UP and DuckDB's binary-round diverge
-    # (measured: 13/2399 days off by 1e-4)
-    score = F.round(F.col("cum") - F.min("cum").over(w), 6)
+    # exact decimal difference, lowered to double once (see docstring)
+    score = (F.col("cum") - F.min("cum").over(w)).cast("double")
     return ph.join(F.broadcast(lam)).select(
         "day",
         F.round("rev", 4).alias("revenue"),
