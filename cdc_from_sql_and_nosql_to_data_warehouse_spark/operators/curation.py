@@ -520,8 +520,10 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks WHERE length(toks) > 0
       )
     ),
-    w AS (SELECT h, MIN(doc_id * 2147483648 + seg_idx) AS wkey FROM segs GROUP BY h),
-    k AS (SELECT wkey // 2147483648 AS doc_id, COUNT(*) AS n_kept FROM w GROUP BY 1),
+    w AS (SELECT h, MIN(CAST(doc_id AS DECIMAL(38,0)) * 2147483648 + seg_idx)
+            AS wkey FROM segs GROUP BY h),
+    k AS (SELECT CAST(wkey // 2147483648 AS BIGINT) AS doc_id,
+            COUNT(*) AS n_kept FROM w GROUP BY 1),
     t AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id)
     SELECT t.doc_id, t.n_segs,
       COALESCE(k.n_kept, 0) AS n_kept,
@@ -588,19 +590,29 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    # pack (doc_id, seg_idx) into one bigint so attribution rides the
-    # min-aggregate without a self-join.  2^31 multiplier (not 10^6 —
-    # review-caught: a 10M-token doc would collide into its neighbor's
-    # key space) with LOUD guards: packing silently corrupting is the
-    # one failure the oracle can never catch because it mirrors the
-    # same packing.
+    # pack (doc_id, seg_idx) into one DECIMAL(38,0) so attribution
+    # rides the min-aggregate without a self-join.  2^31 multiplier
+    # (not 10^6 — review-caught: a 10M-token doc would collide into its
+    # neighbor's key space); the key is DECIMAL, not BIGINT, because
+    # warehouse-scale ids (the sf1 blowup shifts replicas by 2^32)
+    # overflow an int64 pack — the previous loud guard fired exactly
+    # there (measured, round 10).  The seg_idx guard stays LOUD:
+    # silent packing corruption is the one failure the oracle can
+    # never catch because it mirrors the same packing.
     packed = F.when(
-        (F.col("seg_idx") < F.lit(2147483648)) & (F.col("doc_id") < F.lit(4294967296)),
-        F.col("doc_id") * F.lit(2147483648) + F.col("seg_idx"),
-    ).otherwise(F.raise_error(F.lit("q_dedup_segments: packed key overflow")).cast("bigint"))
+        F.col("seg_idx") < F.lit(2147483648),
+        F.col("doc_id").cast("decimal(38,0)") * F.lit(2147483648)
+        + F.col("seg_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.lit("q_dedup_segments: packed key overflow")
+        ).cast("decimal(38,0)")
+    )
     winners = segs.groupBy("h").agg(F.min(packed).alias("wkey"))
     kept = (
-        winners.select(F.expr("wkey div 2147483648").alias("doc_id"))
+        winners.select(
+            F.expr("CAST(wkey div 2147483648 AS BIGINT)").alias("doc_id")
+        )
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )

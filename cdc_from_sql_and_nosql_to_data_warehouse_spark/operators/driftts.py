@@ -366,15 +366,17 @@ _SD_HALF = 14  # centered moving-average half-width (29-day trend window)
       FROM tr
     ),
     seas AS (
-      SELECT dow,
-        CAST(SUM(dt6) AS DOUBLE) / 1000000.0 / COUNT(*) AS seasonal
+      SELECT dow, CAST(SUM(dt6) AS BIGINT) AS s6,
+        CAST(COUNT(*) AS BIGINT) AS n6
       FROM dt WHERE trend IS NOT NULL GROUP BY dow
     )
     SELECT dt.d, CAST(dt.cents AS DOUBLE) / 100.0 AS revenue,
       round(dt.trend / 100.0, 6) AS trend,
-      round(seas.seasonal / 100.0, 6) AS seasonal,
+      round(CAST(seas.s6 AS DOUBLE) / (seas.n6 * 100000000.0), 6)
+        AS seasonal,
       CASE WHEN dt.trend IS NOT NULL THEN
-        round((CAST(dt.dt6 AS DOUBLE) / 1000000.0 - seas.seasonal) / 100.0, 6)
+        round(CAST(CAST(dt.dt6 AS DECIMAL(38,0)) * seas.n6 - seas.s6
+                   AS DOUBLE) / (seas.n6 * 100000000.0), 6)
       END AS residual
     FROM dt JOIN seas USING (dow)
     """,
@@ -430,21 +432,29 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         dt.filter(F.col("trend").isNotNull())
         .groupBy("dow")
         .agg(
-            (
-                F.sum("dt6").cast("double") / F.lit(1000000.0) / F.count(F.lit(1))
-            ).alias("seasonal")
+            F.sum("dt6").cast("bigint").alias("s6"),
+            F.count(F.lit(1)).cast("bigint").alias("n6"),
         )
     )
+    # the seasonal mean and the residual stay EXACT INTEGERS until one
+    # double division each: residual = (dt6*n - s6) / (n*10^8) — the
+    # earlier float-subtraction form (dt6/1e6 - seasonal) landed within
+    # an ulp of a 6dp rounding boundary at sf1 magnitudes and the
+    # engines' rounding flipped one day (measured, round 10)
+    denom = F.col("n6") * F.lit(100000000.0)
     return dt.join(F.broadcast(seas), "dow").select(
         "d",
         (F.col("cents").cast("double") / 100.0).alias("revenue"),
         F.round(F.col("trend") / 100.0, 6).alias("trend"),
-        F.round(F.col("seasonal") / 100.0, 6).alias("seasonal"),
+        F.round(F.col("s6").cast("double") / denom, 6).alias("seasonal"),
         F.when(
             F.col("trend").isNotNull(),
             F.round(
-                (F.col("dt6").cast("double") / 1000000.0 - F.col("seasonal"))
-                / 100.0,
+                (
+                    F.col("dt6").cast("decimal(38,0)") * F.col("n6")
+                    - F.col("s6")
+                ).cast("double")
+                / denom,
                 6,
             ),
         ).alias("residual"),

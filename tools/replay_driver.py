@@ -94,6 +94,14 @@ def main() -> None:
 
     spark = get_spark("replay")
     spark.sparkContext.setLogLevel("ERROR")
+    # at blowup SFs the tables are a handful of ~64 MB part-files; the
+    # default 128 MB split gives one task per file and a single skewed
+    # task drags a heavy query for minutes (bench.py and scale_slope
+    # split at 8 MB for the same reason)
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        os.environ.get("SPARK_GRAFT_MAXPART", "8m"),
+    )
     con = duckdb.connect()
     # Spark-WRITTEN parquet (the sf1 blowup) marks timestamps
     # isAdjustedToUTC=true, which DuckDB reads as TIMESTAMPTZ — its
