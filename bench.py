@@ -523,7 +523,14 @@ def _bench() -> None:
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    try:
+        sf = float(
+            os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1"
+        )
+    except ValueError:
+        # non-sfN layout (e.g. the 10x-of-sf0.1 blowup dir used by the
+        # round-10 sf1 sweep); the SF label is cosmetic in the artifact
+        sf = float(os.environ.get("SPARK_GRAFT_SF_LABEL", "-1"))
     spark = get_spark("bench")
     # INFO level (not ERROR): the whole point of the captured sidecar
     # log is diagnosing what the r6 tail could not — retried tasks and

@@ -683,12 +683,17 @@ def q_conformal_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     theta AS (
       SELECT
-        round(
-          (CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE)
-           - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / COUNT(*))
-          / (CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE)
-             - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) / COUNT(*)),
-          6) AS th,
+        CASE WHEN CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE)
+                  - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                    / COUNT(*) > 0 THEN
+          round(
+            (CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE)
+             - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / COUNT(*))
+            / (CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE)
+               - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                 / COUNT(*)),
+            6)
+        ELSE 0.0 END AS th,
         round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean_x_all
       FROM per_user
     )
@@ -739,14 +744,21 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     sx = F.sum("x").cast("double")
     sy = F.sum("y").cast("double")
+    # a zero pre-period variance (degenerate fixture) pins theta to 0
+    # (no adjustment) instead of an ANSI divide-by-zero
+    var_num = (
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast("double") - sx * sx / n
+    )
     theta = per_user.agg(
-        F.round(
-            (F.sum(F.col("x").cast(d38) * F.col("y")).cast("double")
-             - sx * sy / n)
-            / (F.sum(F.col("x").cast(d38) * F.col("x")).cast("double")
-               - sx * sx / n),
-            6,
-        ).alias("th"),
+        F.when(
+            var_num > 0,
+            F.round(
+                (F.sum(F.col("x").cast(d38) * F.col("y")).cast("double")
+                 - sx * sy / n)
+                / var_num,
+                6,
+            ),
+        ).otherwise(0.0).alias("th"),
         F.round(sx / n, 6).alias("mean_x_all"),
     )
     mean_pre = F.round(sx / n, 6)
@@ -782,10 +794,12 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
     )
     SELECT n_a, n_b,
-      round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
-        AS chi2,
-      CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) > 3.841
-        AS srm_detected
+      CASE WHEN n_a + n_b > 0 THEN
+        round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+      END AS chi2,
+      CASE WHEN n_a + n_b > 0 THEN
+        CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) > 3.841
+      END AS srm_detected
     FROM counts
     """,
 )
@@ -809,7 +823,9 @@ def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("user_id") % 2 != 0).cast("bigint").alias("n_b"),
     )
     diff2 = (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
-    chi2 = diff2.cast("double") / (F.col("n_a") + F.col("n_b"))
+    n = F.col("n_a") + F.col("n_b")
+    # empty experiment -> NULL verdict, not a divide-by-zero (ANSI)
+    chi2 = F.when(n > 0, diff2.cast("double") / n)
     return counts.select(
         "n_a",
         "n_b",

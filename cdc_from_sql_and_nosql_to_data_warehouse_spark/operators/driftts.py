@@ -968,13 +968,18 @@ def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_a, n_b,
       CAST(u2_a AS DOUBLE) / 2.0 AS u_a,
-      round(
-        (CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
-        / (2.0 * sqrt(
-            (CAST(n_a AS DOUBLE) * n_b / 12.0)
-            * ((n + 1) - CAST(ties AS DOUBLE)
-               / (CAST(n AS DOUBLE) * (n - 1))))),
-        6) AS z_score
+      CASE WHEN n_a > 0 AND n_b > 0 AND n > 1
+                AND (CAST(n_a AS DOUBLE) * n_b / 12.0)
+                    * ((n + 1) - CAST(ties AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (n - 1))) > 0 THEN
+        round(
+          (CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+          / (2.0 * sqrt(
+              (CAST(n_a AS DOUBLE) * n_b / 12.0)
+              * ((n + 1) - CAST(ties AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1))))),
+          6)
+      END AS z_score
     FROM u
     """,
 )
@@ -1041,12 +1046,18 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma2 = (na * nb / 12.0) * (
         (n + 1) - F.col("ties").cast("double") / (n.cast("double") * (n - 1))
     )
+    # degenerate pools (one side empty, n<=1, or every value tied ->
+    # zero variance) report NULL z instead of an ANSI divide-by-zero
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (n > 1) & (sigma2 > 0)
     return s.select(
         "n_a",
         "n_b",
         (u2.cast("double") / 2.0).alias("u_a"),
-        F.round(
-            (u2.cast("double") - na * nb) / (2.0 * F.sqrt(sigma2)), 6
+        F.when(
+            ok,
+            F.round(
+                (u2.cast("double") - na * nb) / (2.0 * F.sqrt(sigma2)), 6
+            ),
         ).alias("z_score"),
     )
 
@@ -1071,10 +1082,12 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.rev > 0
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-      round(CAST(SUM(CAST(ape AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-        AS mape,
-      round(CAST(SUM(CAST(pe AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-        AS bias
+      CASE WHEN COUNT(*) > 0 THEN
+        round(CAST(SUM(CAST(ape AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+      END AS mape,
+      CASE WHEN COUNT(*) > 0 THEN
+        round(CAST(SUM(CAST(pe AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+      END AS bias
     FROM joined
     """,
 )
@@ -1120,16 +1133,23 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pe"),
         )
     )
+    nonempty = F.count(F.lit(1)) > 0  # empty spine -> NULL, not 0/0
     return joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        F.round(
-            F.sum(F.col("ape").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
+        F.when(
+            nonempty,
+            F.round(
+                F.sum(F.col("ape").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ),
         ).alias("mape"),
-        F.round(
-            F.sum(F.col("pe").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
+        F.when(
+            nonempty,
+            F.round(
+                F.sum(F.col("pe").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ),
         ).alias("bias"),
     )

@@ -1091,6 +1091,15 @@ _POIS_CUM = [
 _BOOT_B = 100
 
 
+def _r6(col: Column) -> Column:
+    """Fixed-point HALF-UP 6dp round via floor(x*10^6 + 0.5)/10^6 — the
+    q_seasonal_decompose trick: `round()` tie behavior on DOUBLE
+    diverges between engines (measured: one bootstrap mean landed
+    exactly on a 7th-decimal 5), while floor of the identical fp
+    expression cannot."""
+    return F.floor(col * 1000000 + F.lit(0.5)) / 1000000.0
+
+
 def _sql_pois_weight(u: str) -> str:
     out = "CASE"
     for k, c in enumerate(_POIS_CUM):
@@ -1108,7 +1117,8 @@ def _sql_pois_weight(u: str) -> str:
     ),
     boot AS (
       SELECT o_orderpriority, b,
-        round(CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS m
+        floor(CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+              * 1000000 + 0.5) / 1000000.0 AS m
       FROM (
         SELECT o_orderpriority, v, b,
           {_sql_pois_weight(sql_md5_unit(
@@ -1132,16 +1142,22 @@ def _sql_pois_weight(u: str) -> str:
     ),
     obs AS (
       SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
-        round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_obs
+        floor(CAST(SUM(v) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+          / 1000000.0 AS mean_obs
       FROM base GROUP BY o_orderpriority
+    ),
+    ses AS (
+      SELECT o_orderpriority,
+        floor(sqrt((s2 - s1 * s1 / nb) / (nb - 1)) * 1000000 + 0.5)
+          / 1000000.0 AS boot_se
+      FROM stats
     )
-    SELECT obs.o_orderpriority, n_orders, mean_obs,
-      round(sqrt((s2 - s1 * s1 / nb) / (nb - 1)), 6) AS boot_se,
-      round(mean_obs - 1.96 * round(sqrt((s2 - s1*s1/nb)/(nb-1)), 6), 6)
+    SELECT obs.o_orderpriority, n_orders, mean_obs, boot_se,
+      floor((mean_obs - 1.96 * boot_se) * 1000000 + 0.5) / 1000000.0
         AS ci_lo,
-      round(mean_obs + 1.96 * round(sqrt((s2 - s1*s1/nb)/(nb-1)), 6), 6)
+      floor((mean_obs + 1.96 * boot_se) * 1000000 + 0.5) / 1000000.0
         AS ci_hi
-    FROM obs JOIN stats USING (o_orderpriority)
+    FROM obs JOIN ses USING (o_orderpriority)
     """,
 )
 def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1169,7 +1185,9 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (the q_embedding_centroids sorted-fold policy), so even
     the cancellation-prone Σm² − (Σm)²/B path is bit-identical.
     Normal-interval CI (±1.96·se) avoids cross-engine percentile
-    semantics entirely.
+    semantics entirely; every 6dp round is the fixed-point floor form
+    (_r6) because round() tie behavior on DOUBLE diverges between
+    engines (measured on the NULL-measures fixture).
 
     Scale: the fan-out is linear in B — a map-side explode feeding a
     partial-aggregated (group, b) hash agg (≤ |groups|·B rows
@@ -1204,8 +1222,8 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sw") > 0)
         .select(
             "o_orderpriority",
-            F.round(
-                F.col("sv").cast("double") / F.col("sw").cast("double"), 6
+            _r6(
+                F.col("sv").cast("double") / F.col("sw").cast("double")
             ).alias("m"),
         )
     )
@@ -1217,20 +1235,16 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = F.aggregate(
         F.transform("ms", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
     )
-    se = F.round(
-        F.sqrt((s2 - s1 * s1 / F.col("nb")) / (F.col("nb") - 1)), 6
-    )
+    se = _r6(F.sqrt((s2 - s1 * s1 / F.col("nb")) / (F.col("nb") - 1)))
     obs = base.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.round(
-            F.sum("v").cast("double") / F.count(F.lit(1)), 6
-        ).alias("mean_obs"),
+        _r6(F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_obs"),
     )
     return obs.join(stats, "o_orderpriority").select(
         "o_orderpriority",
         "n_orders",
         "mean_obs",
         se.alias("boot_se"),
-        F.round(F.col("mean_obs") - 1.96 * se, 6).alias("ci_lo"),
-        F.round(F.col("mean_obs") + 1.96 * se, 6).alias("ci_hi"),
+        _r6(F.col("mean_obs") - 1.96 * se).alias("ci_lo"),
+        _r6(F.col("mean_obs") + 1.96 * se).alias("ci_hi"),
     )

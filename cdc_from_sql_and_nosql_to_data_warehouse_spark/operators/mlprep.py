@@ -1426,7 +1426,7 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("item_id").alias("pos_item_id"),
-            F.col("j").alias("neg_slot"),
+            F.col("j").cast("bigint").alias("neg_slot"),
             (h % F.col("n")).alias("neg_item_id"),
         )
     )

@@ -2707,20 +2707,31 @@ def _class_balance_survivors(docs: DataFrame) -> DataFrame:
         ).alias("keep_frac"),
     )
     # one conditional aggregate counts the sub-threshold rows per
-    # language with the SAME comparison the filter below uses
+    # language with the SAME comparison the filter below uses.  Joins
+    # are NULL-SAFE: a NULL language is a real group (the oracle's
+    # GROUP BY/PARTITION BY keep it) and an equi-join would silently
+    # drop those rows (measured on the null-doc-meta fixture).
+    thresh_t = thresh.withColumnsRenamed({"lang": "lang_t"})
     surv = (
-        docs.join(F.broadcast(thresh), "lang")
+        docs.join(
+            F.broadcast(thresh_t),
+            F.col("lang").eqNullSafe(F.col("lang_t")),
+        )
         .groupBy("lang", "n_min", "keep_frac")
         .agg(F.count(F.when(frac < F.col("keep_frac"), 1)).alias("n_kept"))
         .select(
-            "lang",
+            F.col("lang").alias("lang_t"),
             "n_min",
             "keep_frac",
             (F.col("n_kept") >= F.col("n_min")).alias("prefilter_valid"),
         )
     )
-    return docs.join(F.broadcast(surv), "lang").filter(
-        (~F.col("prefilter_valid")) | (frac < F.col("keep_frac"))
+    return (
+        docs.join(
+            F.broadcast(surv), F.col("lang").eqNullSafe(F.col("lang_t"))
+        )
+        .filter((~F.col("prefilter_valid")) | (frac < F.col("keep_frac")))
+        .drop("lang_t")
     )
 
 
