@@ -5,6 +5,8 @@ round 7).
 
 from __future__ import annotations
 
+from decimal import Decimal as PyDecimal
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -967,7 +969,8 @@ def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT n_a, n_b,
-      CAST(u2_a AS DOUBLE) / 2.0 AS u_a,
+      CAST(CAST(u2_a AS DECIMAL(20,0)) * CAST(0.5 AS DECIMAL(2,1))
+           AS DECIMAL(21,1)) AS u_a,
       CASE WHEN n_a > 0 AND n_b > 0 AND n > 1
                 AND (CAST(n_a AS DOUBLE) * n_b / 12.0)
                     * ((n + 1) - CAST(ties AS DOUBLE)
@@ -1049,10 +1052,19 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degenerate pools (one side empty, n<=1, or every value tied ->
     # zero variance) report NULL z instead of an ANSI divide-by-zero
     ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (n > 1) & (sigma2 > 0)
+    # u_a = u2/2 exactly, emitted as DECIMAL so the engines never cast
+    # a >2^53 integer to double themselves (ADVICE r10: Spark and
+    # DuckDB decimal->double conversions diverge by one ulp past 2^53;
+    # the canonicalizer's python float(Decimal) is correctly rounded
+    # and identical on both sides).  u2 <= 2*n_a*n_b stays under 1e17
+    # even at sf100 (~1.5e7 customers/side), far inside DECIMAL(20,0).
+    u_a = (
+        u2.cast("decimal(20,0)") * F.lit(PyDecimal("0.5"))
+    ).cast("decimal(21,1)")
     return s.select(
         "n_a",
         "n_b",
-        (u2.cast("double") / 2.0).alias("u_a"),
+        u_a.alias("u_a"),
         F.when(
             ok,
             F.round(

@@ -1148,8 +1148,10 @@ def _sql_pois_weight(u: str) -> str:
     ),
     ses AS (
       SELECT o_orderpriority,
-        floor(sqrt((s2 - s1 * s1 / nb) / (nb - 1)) * 1000000 + 0.5)
-          / 1000000.0 AS boot_se
+        CASE WHEN nb > 1 THEN
+          floor(sqrt((s2 - s1 * s1 / nb) / (nb - 1)) * 1000000 + 0.5)
+            / 1000000.0
+        END AS boot_se
       FROM stats
     )
     SELECT obs.o_orderpriority, n_orders, mean_obs, boot_se,
@@ -1235,7 +1237,14 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = F.aggregate(
         F.transform("ms", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
     )
-    se = _r6(F.sqrt((s2 - s1 * s1 / F.col("nb")) / (F.col("nb") - 1)))
+    # degenerate fixture guard (ADVICE r10): a group where only one of
+    # the B resamples drew positive total weight has nb=1 and the
+    # sample-variance denominator (nb-1) is zero — report NULL SE/CI
+    # instead of an ANSI divide-by-zero (oracle mirrors the CASE)
+    se = F.when(
+        F.col("nb") > 1,
+        _r6(F.sqrt((s2 - s1 * s1 / F.col("nb")) / (F.col("nb") - 1))),
+    )
     obs = base.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         _r6(F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_obs"),

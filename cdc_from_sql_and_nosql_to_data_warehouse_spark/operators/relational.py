@@ -2738,8 +2738,11 @@ def _class_balance_survivors(docs: DataFrame) -> DataFrame:
 @register(
     "q_class_balance",
     oracle="""
-    WITH sized AS (
-      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    WITH keyed AS (
+      SELECT doc_id, lang FROM documents WHERE doc_id IS NOT NULL
+    ),
+    sized AS (
+      SELECT lang, COUNT(*) AS n FROM keyed GROUP BY lang
     ),
     cap AS (SELECT MIN(n) AS n_min FROM sized)
     SELECT doc_id, lang
@@ -2747,7 +2750,7 @@ def _class_balance_survivors(docs: DataFrame) -> DataFrame:
       SELECT doc_id, lang,
         row_number() OVER (PARTITION BY lang
                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-      FROM documents
+      FROM keyed
     ) CROSS JOIN cap
     WHERE rn <= n_min
     """,
@@ -2770,8 +2773,17 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit rewrite cannot fire) only ever sees pre-bounded
     partitions.  Three scans of documents, each a broadcast-joined
     map-side filter; the only shuffles are |langs|-row aggregates and
-    the bounded window exchange."""
-    docs = load_table(spark, sf_dir, "documents")
+    the bounded window exchange.
+
+    Key contract (ADVICE r10): doc_id must be non-NULL — it is the
+    deterministic sampling key, and a NULL key has no md5 position
+    (the pre-filter's frac is NULL so the strict `<` drops it, while
+    the exact rank would place it by the engines' DIVERGENT null
+    ordering — Spark NULLS FIRST, DuckDB NULLS LAST).  Filtered
+    explicitly in both engine and oracle."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )

@@ -148,18 +148,35 @@ def main() -> None:
             if args.oracle_timeout:
                 import threading
 
-                timer = threading.Timer(args.oracle_timeout, con.interrupt)
-                timer.start()
-                try:
-                    cur = con.execute(spec.oracle)
-                except duckdb.InterruptException:
+                # Fire/cancel race guard (ADVICE r10): the timer can call
+                # con.interrupt() in the window between con.execute()
+                # returning and timer.cancel(), leaving a PENDING interrupt
+                # that makes the NEXT query raise InterruptException
+                # instantly.  So: only record a timeout when this query's
+                # own elapsed wall actually reached the budget; a
+                # sub-budget InterruptException is the previous timer's
+                # stray interrupt — drain it by re-running once.
+                cur = None
+                for attempt in (0, 1):
+                    o0 = time.perf_counter()
+                    timer = threading.Timer(args.oracle_timeout, con.interrupt)
+                    timer.start()
+                    try:
+                        cur = con.execute(spec.oracle)
+                        break
+                    except duckdb.InterruptException:
+                        elapsed = time.perf_counter() - o0
+                        if elapsed >= args.oracle_timeout - 0.05 or attempt:
+                            cur = None
+                            break
+                    finally:
+                        timer.cancel()
+                if cur is None:
                     print(
                         f"{name:36s} ORACLE-TIMEOUT spark_rows={len(srows)} "
                         f"(oracle > {args.oracle_timeout:.0f}s at this SF)"
                     )
                     continue
-                finally:
-                    timer.cancel()
             else:
                 cur = con.execute(spec.oracle)
             onames = [d[0] for d in cur.description]
