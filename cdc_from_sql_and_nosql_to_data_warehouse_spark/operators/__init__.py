@@ -131,10 +131,10 @@ _R02_CHECKED = frozenset(
     }
 )
 
-def _driver_rows_from_disk() -> tuple[frozenset[str], frozenset[str]]:
+def _driver_rows_from_disk() -> tuple[frozenset[str], frozenset[str], dict]:
     """Absorb every CORRECTNESS_r*.json the driver has produced so far,
     so the window self-rolls at the start of each round.  Returns
-    (green, attempted):
+    (green, attempted, latest_round):
 
     - *green* — rows that passed (hash match, or the rows-only
       ``no_oracle`` outcome); these yield their window slot for good.
@@ -143,6 +143,13 @@ def _driver_rows_from_disk() -> tuple[frozenset[str], frozenset[str]]:
       it HAS consumed its round, so the parked queue behind it must
       still self-promote — computing round-doneness from greens alone
       was the round-3 priority inversion (VERDICT r3 §wrong-4).
+    - *latest_round* — per-name round number of the newest driver row,
+      feeding the round-11 freshness rotation: once every query has
+      been checked at least once (true since the r10 sf1 sweep), the
+      window's spare slots go to the LEAST-recently-checked greens
+      (oldest round first) so a B-tier query green in round 1 gets a
+      fresh row instead of never being looked at again (VERDICT r10
+      next-5).
 
     Absorption is LATEST-ROUND-WINS per query name: a query green in
     round N but red in round N+1 re-enters the window (its newest row
@@ -165,6 +172,7 @@ def _driver_rows_from_disk() -> tuple[frozenset[str], frozenset[str]]:
         return int(m.group(1)) if m else -1
 
     latest: dict[str, dict] = {}
+    latest_round: dict[str, int] = {}
     for path in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json")),
                        key=_round_of):
         try:
@@ -176,6 +184,7 @@ def _driver_rows_from_disk() -> tuple[frozenset[str], frozenset[str]]:
         for name, row in rows.items():
             if isinstance(row, dict):
                 latest[name] = row
+                latest_round[name] = _round_of(path)
 
     attempted = set(latest)
     # only GREEN (in the newest round that touched them) rows yield
@@ -185,14 +194,14 @@ def _driver_rows_from_disk() -> tuple[frozenset[str], frozenset[str]]:
         name for name, row in latest.items()
         if row.get("hash_match") or row.get("err") == "no_oracle"
     }
-    return frozenset(green), frozenset(attempted)
+    return frozenset(green), frozenset(attempted), latest_round
 
 
 def _driver_checked_from_disk() -> frozenset[str]:
     return _driver_rows_from_disk()[0]
 
 
-_DISK_GREEN, _DISK_ATTEMPTED = _driver_rows_from_disk()
+_DISK_GREEN, _DISK_ATTEMPTED, _DISK_LATEST_ROUND = _driver_rows_from_disk()
 _DRIVER_CHECKED = _R01_CHECKED | _R02_CHECKED | _DISK_GREEN
 _DRIVER_ATTEMPTED = _R01_CHECKED | _R02_CHECKED | _DISK_ATTEMPTED
 
@@ -350,14 +359,28 @@ _ROWS_ONLY_DRAIN = frozenset(
 )
 
 
-def _window_priority(spec: QuerySpec) -> int:
+def _checked_round(name: str) -> int:
+    """Round number of the newest driver row for *name*; hardcoded-set
+    fallbacks map to their round when no disk row exists (fresh clone)."""
+    if name in _DISK_LATEST_ROUND:
+        return _DISK_LATEST_ROUND[name]
+    return 2 if name in _R02_CHECKED else 1
+
+
+def _window_priority(spec: QuerySpec) -> tuple[int, int]:
     if spec.name in _DRIVER_CHECKED:
-        return 6  # green — yields its slot for good
+        # green — yields its slot to anything unverified, but among the
+        # greens the LEAST-recently-checked rotates to the front
+        # (VERDICT r10 next-5): with all 325 queries now attempted at
+        # least once, the window's spare slots refresh the stalest rows
+        # (r1/r2 greens are 9 rounds old) instead of re-checking the
+        # same newest additions forever.
+        return (6, _checked_round(spec.name))
     if spec.name in _DRIVER_ATTEMPTED:
         # attempted but NOT green: a driver failure/error.  Highest
         # priority — the fix ships this round and must be re-verified
         # before anything new consumes a slot.
-        return 0
+        return (0, 0)
     if not spec.oracle:
         # the four rows-only queries that have NEVER had a driver row
         # drain first (ahead of anything newly registered); any OTHER
@@ -366,20 +389,20 @@ def _window_priority(spec: QuerySpec) -> int:
         # displace a verifiable oracle-bearing query from the window
         # (review-caught: a blanket `return 1` put brand-new rows-only
         # registrations ahead of the very four this rule exists for)
-        return 1 if spec.name in _ROWS_ONLY_DRAIN else 5
+        return (1, 0) if spec.name in _ROWS_ONLY_DRAIN else (5, 0)
     if spec.name in _R03_QUEUE:
-        return 1
+        return (1, 0)
     if spec.name in _DEFER_REDUNDANT:
-        return 2
+        return (2, 0)
     if spec.name in _R04_QUEUE:
         # parked queue: self-promotes the moment the round-3 window
         # was ATTEMPTED (not necessarily green) — always ahead of
         # anything registered after it
-        return 3
+        return (3, 0)
     # oracle-bearing queries registered this round: strictly behind
     # the parked queue so a new addition can never push a parked
     # query out of the window
-    return 4
+    return (4, 0)
 
 
 def _reorder_registry() -> None:

@@ -119,7 +119,7 @@ def test_disk_absorption_matches_hardcoded_sets():
 def test_failed_rows_are_attempted_but_not_green():
     """The three round-3 ERR rows drive the new priority logic: they
     must be in _DRIVER_ATTEMPTED yet outside _DRIVER_CHECKED."""
-    green, attempted = ops._driver_rows_from_disk()
+    green, attempted, _ = ops._driver_rows_from_disk()
     assert green <= attempted
     failed = attempted - green
     # round-3 produced exactly these errors; later rounds may clear them
@@ -152,7 +152,7 @@ def test_window_rolls_forward_when_correctness_lands(tmp_path, monkeypatch):
     import glob as _glob
 
     monkeypatch.setattr(_glob, "glob", lambda pat: [str(p)])
-    green, attempted = ops._driver_rows_from_disk()
+    green, attempted, _ = ops._driver_rows_from_disk()
     assert fail_name not in green
     assert fail_name in attempted
     assert set(front[1:]) <= green
@@ -179,12 +179,45 @@ def test_green_then_red_reenters_window(tmp_path, monkeypatch):
 
     # deliberately unsorted order: the function must sort by round
     monkeypatch.setattr(_glob, "glob", lambda pat: [str(p2), str(p1)])
-    green, attempted = ops._driver_rows_from_disk()
+    green, attempted, _ = ops._driver_rows_from_disk()
     assert name not in green
     assert name in attempted
 
     # and the reverse: red-then-green absorbs
     p1.write_text(json.dumps(red_row))
     p2.write_text(json.dumps(green_row))
-    green, attempted = ops._driver_rows_from_disk()
+    green, attempted, _ = ops._driver_rows_from_disk()
     assert name in green
+
+
+def test_green_slots_rotate_least_recently_checked_first():
+    """Round-11 freshness rotation (VERDICT r10 next-5): with every
+    query attempted at least once, the window's green-filled slots must
+    surface the OLDEST-checked greens first — a query last green in
+    round 1 precedes one last green in round 10."""
+    order = list(ops.REGISTRY)
+    greens = [n for n in order if n in ops._DRIVER_CHECKED]
+    rounds = [ops._checked_round(n) for n in greens]
+    assert rounds == sorted(rounds), (
+        "green queries are not ordered oldest-checked-first; first "
+        "inversion at "
+        + next(
+            f"{greens[i]}(r{rounds[i]}) > {greens[i + 1]}(r{rounds[i + 1]})"
+            for i in range(len(rounds) - 1)
+            if rounds[i] > rounds[i + 1]
+        )
+    )
+
+
+def test_unverified_still_precede_all_greens_after_rotation():
+    """The rotation must only reorder WITHIN the green tier: any
+    not-yet-green oracle query (e.g. a round-11 registration) still
+    precedes every green one."""
+    order = list(ops.REGISTRY)
+    green_idx = [i for i, n in enumerate(order) if n in ops._DRIVER_CHECKED]
+    fresh_idx = [
+        i for i, n in enumerate(order)
+        if n not in ops._DRIVER_CHECKED and ops.REGISTRY[n].oracle
+    ]
+    if fresh_idx and green_idx:
+        assert max(fresh_idx) < min(green_idx)
