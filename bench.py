@@ -195,7 +195,12 @@ def _cpu_probe(nproc: int) -> dict:
 
 # --------------------- parent: tee log, grep exceptions ---------------------
 
-_LOG_PATH = os.path.join(_REPO, "bench_spark_log.txt")
+# artifact dir: default = repo root (the driver's contract); off-scale
+# runs (--sf-dir) point this elsewhere so an sf1 bench can never
+# clobber the committed sf0.1 sidecar/log (round 11)
+_OUT_DIR = os.environ.get("SPARK_BENCH_OUT_DIR", _REPO)
+_LOG_PATH = os.path.join(_OUT_DIR, "bench_spark_log.txt")
+_SIDECAR = os.path.join(_OUT_DIR, "bench_secondary.json")
 
 # Known exception classes (VERDICT r7 missing-2: the artifact must
 # carry the classification, not just a bare count).  First match wins;
@@ -306,7 +311,7 @@ def _run_attempt(attempt: int, nproc: int, have_best: bool = False) -> dict | No
             return None
         sys.exit(proc.returncode or 1)
     effs = [e for e in (probe_before["par_eff"], probe_after["par_eff"]) if e]
-    sec_path = os.path.join(_REPO, "bench_secondary.json")
+    sec_path = _SIDECAR
     try:
         with open(sec_path) as f:
             sidecar = json.load(f)
@@ -459,7 +464,7 @@ def _emit(attempts: list[dict], gate: float) -> None:
         for r in attempts
     ]
     sec["eff_gate"] = gate
-    with open(os.path.join(_REPO, "bench_secondary.json"), "w") as f:
+    with open(_SIDECAR, "w") as f:
         json.dump(sec, f)
     print(_clamped_line(obj), flush=True)
 
@@ -632,7 +637,7 @@ def _bench() -> None:
     # queries) outgrew that buffer and the driver recorded
     # "parsed": null — the final stdout line must stay comfortably
     # inside the tail window, and nothing may print after it.
-    with open(os.path.join(_REPO, "bench_secondary.json"), "w") as f:
+    with open(_SIDECAR, "w") as f:
         json.dump(
             {
                 "queries_interleaved": interleaved,
@@ -695,8 +700,33 @@ def _bench() -> None:
 def main() -> None:
     if os.environ.get("SPARK_BENCH_CHILD") == "1":
         _bench()
-    else:
-        _parent()
+        return
+    # Round-11 (VERDICT r10 next-1): explicit CLI for off-default scale
+    # factors so decade sweeps get paired engine walls for free.  Flags
+    # just set the env vars the child already honors — the driver's
+    # bare `python bench.py` invocation is unchanged.
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=None,
+                    help="testdata dir (default $SPARK_GRAFT_SF_DIR or "
+                    "/root/testdata/sf0.1); non-sfN layouts label via --sf")
+    ap.add_argument("--sf", default=None,
+                    help="SF label for non-sfN dirs (sets SPARK_GRAFT_SF_LABEL)")
+    ap.add_argument("--attempts", type=int, default=None,
+                    help="override SPARK_BENCH_ATTEMPTS")
+    ap.add_argument("--budget-sec", type=float, default=None,
+                    help="override SPARK_BENCH_BUDGET_SEC")
+    args = ap.parse_args()
+    if args.sf_dir:
+        os.environ["SPARK_GRAFT_SF_DIR"] = args.sf_dir
+    if args.sf:
+        os.environ["SPARK_GRAFT_SF_LABEL"] = args.sf
+    if args.attempts is not None:
+        os.environ["SPARK_BENCH_ATTEMPTS"] = str(args.attempts)
+    if args.budget_sec is not None:
+        os.environ["SPARK_BENCH_BUDGET_SEC"] = str(args.budget_sec)
+    _parent()
 
 
 if __name__ == "__main__":

@@ -30,6 +30,45 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+@dataclass(frozen=True)
+class SampledOracle:
+    """Bounded-slice value check for queries whose TEXTBOOK oracle is
+    deliberately quadratic (exact all-pairs truth) and infeasible at
+    blowup SFs (VERDICT r10 next-2).
+
+    ``restrict`` filters the engine's FULL output to a deterministic
+    md5-threshold key slice; ``oracle`` computes the exact DuckDB truth
+    with the SAME restriction pushed into its INPUT, where it bounds
+    the quadratic term.  Soundness: for a pair-output operator whose
+    match predicate depends only on the two endpoints' own contents
+    (set similarity / containment), the all-pairs truth over the slice
+    equals the full truth restricted to slice-endpoint pairs, so a
+    hash match over the slice is an EXACT value check of that
+    restriction — the same audit-sample argument as q_dedup_eval
+    (operators/retrievaleval.py)."""
+
+    name: str
+    restrict: Callable[[DataFrame], DataFrame]
+    oracle: str
+    note: str
+
+
+SAMPLED_ORACLES: dict[str, SampledOracle] = {}
+
+
+def register_sampled(
+    name: str,
+    restrict: Callable[[DataFrame], DataFrame],
+    oracle: str,
+    note: str,
+) -> None:
+    if name in SAMPLED_ORACLES:
+        raise ValueError(f"duplicate sampled-oracle registration: {name}")
+    SAMPLED_ORACLES[name] = SampledOracle(
+        name=name, restrict=restrict, oracle=oracle, note=note
+    )
+
+
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a (spark, sf_dir) -> DataFrame query."""
 

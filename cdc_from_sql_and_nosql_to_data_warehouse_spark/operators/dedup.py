@@ -22,7 +22,10 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash impo
     SQL_TOKS_EXPR,
     sql_md5_int,
 )
-from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (
+    register,
+    register_sampled,
+)
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
 
 
@@ -1200,6 +1203,90 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_common").cast("double") / F.col("sz_a").cast("double"), 6
         ).alias("containment"),
     )
+
+
+# ---------------------------------------------------- sampled oracles
+#
+# The two AllPairs operators above are EXACT (combinatorially complete
+# candidate generation), but their textbook oracle — the literal
+# all-pairs quadratic join — is infeasible in DuckDB past ~5k documents
+# (VERDICT r10: "oracle infeasible", not an engine defect).  The
+# sampled protocol (r10 next-2) recovers VALUE checks at blowup SFs:
+# restrict the corpus to the deterministic md5-threshold slice
+# md5(doc_id) < _SAMPLE_THR (≈1/16 of documents), run the exact
+# all-pairs oracle on the slice, and compare against the engine's FULL
+# output filtered to pairs with BOTH endpoints in the slice.  Because
+# a similarity/containment match depends only on the two endpoints'
+# own shingle sets, truth(slice) == truth|slice — the comparison is an
+# exact hash check of that restriction, the q_dedup_eval audit-sample
+# argument.  Slice size: at sf1 (~50k docs) the slice is ~3.1k docs →
+# ~5M oracle pairs, inside a DuckDB minute; two decades up the
+# threshold shrinks with 1/SF to hold the oracle bounded while the
+# slice still samples every replica.
+
+_SAMPLE_THR = "10"  # md5 hex prefix: '10'/'100...' ≈ 1/16 of key space
+
+
+def _sampled_docs_sql(thr: str = _SAMPLE_THR) -> str:
+    """_SQL_SHINGLES with the corpus restricted to the md5 slice."""
+    return _SQL_SHINGLES.replace(
+        "FROM documents",
+        "FROM documents "
+        f"WHERE md5(CAST(doc_id AS VARCHAR)) < '{thr}'",
+    )
+
+
+def _restrict_pairs(df: DataFrame, thr: str = _SAMPLE_THR) -> DataFrame:
+    """Engine-side restriction: keep pairs with BOTH endpoints in the
+    md5 slice (doc_a/doc_b are original doc_ids in both engines)."""
+    return df.filter(
+        (F.md5(F.col("doc_a").cast("string")) < thr)
+        & (F.md5(F.col("doc_b").cast("string")) < thr)
+    )
+
+
+register_sampled(
+    "q_setsim_join",
+    restrict=_restrict_pairs,
+    oracle=f"""
+    WITH {_sampled_docs_sql()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(length(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_common,
+      CAST(length(a.shingles) AS BIGINT) AS sz_a,
+      CAST(length(b.shingles) AS BIGINT) AS sz_b,
+      round(CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (length(a.shingles) + length(b.shingles)
+               - length(list_intersect(a.shingles, b.shingles))),
+            6) AS jaccard
+    FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+    WHERE 5 * length(list_intersect(a.shingles, b.shingles))
+          >= 3 * (length(a.shingles) + length(b.shingles)
+                  - length(list_intersect(a.shingles, b.shingles)))
+    """,
+    note="exact all-pairs Jaccard truth over the md5(doc_id) < "
+    f"'{_SAMPLE_THR}' slice vs the engine's full output restricted to "
+    "slice-endpoint pairs",
+)
+
+register_sampled(
+    "q_dedup_containment",
+    restrict=_restrict_pairs,
+    oracle=f"""
+    WITH {_sampled_docs_sql()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(length(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_common,
+      CAST(length(a.shingles) AS BIGINT) AS sz_a,
+      CAST(length(b.shingles) AS BIGINT) AS sz_b,
+      round(CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / length(a.shingles), 6) AS containment
+    FROM shn a JOIN shn b ON a.doc_id <> b.doc_id
+    WHERE 5 * length(list_intersect(a.shingles, b.shingles))
+          >= 4 * length(a.shingles)
+    """,
+    note="exact all-pairs containment truth over the md5(doc_id) < "
+    f"'{_SAMPLE_THR}' slice vs the engine's full output restricted to "
+    "slice-endpoint pairs",
+)
 
 
 _SPAN_K = 8  # tokens per rolling window (span granularity)

@@ -89,6 +89,14 @@ def main() -> None:
                     "the query records ORACLE-TIMEOUT (Spark rows noted) "
                     "instead of hanging a large-SF sweep on an oracle "
                     "whose textbook form is deliberately quadratic")
+    ap.add_argument("--sampled-oracle", action="store_true",
+                    help="run the SAMPLED protocol (VERDICT r10 next-2) "
+                    "for the given names (default: every query with a "
+                    "registered SampledOracle): the engine's full output "
+                    "restricted to the deterministic md5 key slice is "
+                    "hash-compared against the exact DuckDB truth computed "
+                    "over the slice — a bounded value check where the "
+                    "textbook all-pairs oracle is infeasible")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -124,6 +132,41 @@ def main() -> None:
             for c, typ, *_ in cols
         )
         con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM '{src}'")
+
+    if args.sampled_oracle:
+        names = args.names or sorted(ops.SAMPLED_ORACLES)
+        bad = []
+        for name in names:
+            samp = ops.SAMPLED_ORACLES.get(name)
+            if samp is None:
+                bad.append(name)
+                print(f"{name:36s} ERR  no SampledOracle registered")
+                continue
+            t0 = time.perf_counter()
+            try:
+                df = samp.restrict(ops.REGISTRY[name].fn(spark, args.sf))
+                cols = sorted(df.columns)
+                srows = ["|".join(canon(row[c]) for c in cols)
+                         for row in df.collect()]
+                cur = con.execute(samp.oracle)
+                onames = [d[0] for d in cur.description]
+                order = sorted(range(len(onames)), key=lambda i: onames[i])
+                orows = ["|".join(canon(r[i]) for i in order)
+                         for r in cur.fetchall()]
+                ok = (len(srows) == len(orows)
+                      and cols == sorted(onames)
+                      and value_hash(srows) == value_hash(orows))
+                status = "OK-SAMPLED" if ok else "FAIL-SAMPLED"
+                if not ok:
+                    bad.append(name)
+                print(f"{name:36s} {status} rows={len(srows)}/{len(orows)} "
+                      f"{time.perf_counter()-t0:5.1f}s")
+            except Exception as e:  # noqa: BLE001 - report and continue
+                bad.append(name)
+                print(f"{name:36s} ERR  {type(e).__name__}: {e}")
+        print(json.dumps({"checked": len(names), "failed": bad,
+                          "protocol": "sampled"}))
+        sys.exit(1 if bad else 0)
 
     if args.names:
         names = args.names

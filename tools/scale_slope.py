@@ -53,10 +53,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark import operators as ops
 
-REPLICAS = 10
+# round 11: env-parametrized so the same generator builds the sf10
+# (100-replica) probe dir without forking the tool
+REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "10"))
 STRIDE = 2**32  # above any sf0.1 key; replicas*STRIDE stays far inside int64
 BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BLOWUP_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale10x")
+# part-files per fact table: ~8 at 10x (the measured local[32] sweet
+# spot under 8 MB maxPartitionBytes); scale with the replica count so
+# the 100x dir doesn't write 8 monolithic ~2 GB files
+N_FILES = int(os.environ.get("SPARK_GRAFT_BLOWUP_FILES", str(max(8, REPLICAS))))
 
 # The 10 most expensive headline queries (VERDICT r5 plan audit) — the
 # ones whose scale story carries the most risk — plus the round-6
@@ -243,7 +249,9 @@ def build_blowup(spark: SparkSession) -> None:
             out = out.unionByName(_shifted(base, t, i))
         # a handful of ~64 MB-ish files per table: enough splits for
         # local[32] under the 8 MB bench maxPartitionBytes
-        out.repartition(8).write.mode("overwrite").parquet(f"{BLOWUP_DIR}/{t}.parquet")
+        out.repartition(N_FILES).write.mode("overwrite").parquet(
+            f"{BLOWUP_DIR}/{t}.parquet"
+        )
     with open(marker, "w") as f:
         f.write("ok")
 

@@ -30,7 +30,8 @@ ORACLE_INFEASIBLE = {
 }
 
 _LINE = re.compile(
-    r"^(q_\w+)\s+(OK|FAIL|rows-only|ERR|ORACLE-TIMEOUT)\s*(.*?)(\s+[0-9.]+s)?\s*$"
+    r"^(q_\w+)\s+(OK-SAMPLED|FAIL-SAMPLED|OK|FAIL|rows-only|ERR|ORACLE-TIMEOUT)"
+    r"\s*(.*?)(\s+[0-9.]+s)?\s*$"
 )
 
 
@@ -57,6 +58,15 @@ def main() -> None:
                     "wall_sec": float(wall.strip()[:-1]) if wall else None,
                 }
     for name, rows in ORACLE_INFEASIBLE.items():
+        # round 11: a sampled-protocol line (OK-SAMPLED) supersedes the
+        # infeasibility note — the md5-slice value check IS the blowup
+        # verification for these (tools/replay_driver.py --sampled-oracle)
+        if per.get(name, {}).get("status") in ("OK-SAMPLED", "FAIL-SAMPLED"):
+            per[name]["detail"] += (
+                "; exact full all-pairs oracle remains quadratic/infeasible "
+                "— value-checked via the md5-slice sampled protocol"
+            )
+            continue
         per[name] = {
             "status": "ORACLE-INFEASIBLE",
             "detail": f"spark_rows={rows}; exact all-pairs oracle is "
@@ -81,12 +91,18 @@ def main() -> None:
         "counts": counts,
         "n_queries": len(per),
         "failed": sorted(
-            n for n, v in per.items() if v["status"] in ("FAIL", "ERR")
+            n for n, v in per.items()
+            if v["status"] in ("FAIL", "ERR", "FAIL-SAMPLED")
         ),
         "oracle_timeouts": sorted(
             n for n, v in per.items() if v["status"] == "ORACLE-TIMEOUT"
         ),
-        "oracle_infeasible": sorted(ORACLE_INFEASIBLE),
+        "oracle_infeasible": sorted(
+            n for n, v in per.items() if v["status"] == "ORACLE-INFEASIBLE"
+        ),
+        "sampled_ok": sorted(
+            n for n, v in per.items() if v["status"] == "OK-SAMPLED"
+        ),
         "per_query": per,
         "bench": bench,
     }
