@@ -1083,3 +1083,98 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("fano"), "user_id")
         .limit(_BURST_TOPK)
     )
+
+
+# --------------------------------------------------------- cohort LTV
+
+
+@register(
+    "q_cohort_ltv",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, CAST(date_trunc('month', MIN(ts)) AS DATE) AS cohort
+      FROM events WHERE event_type = 'signup' AND user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    csize AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM signup GROUP BY cohort
+    ),
+    pur AS (
+      SELECT s.cohort,
+        (year(p.ts) * 12 + month(p.ts))
+          - (year(s.cohort) * 12 + month(s.cohort)) AS age_months,
+        CAST(p.value AS DECIMAL(12,2)) AS v
+      FROM events p JOIN signup s ON p.user_id = s.user_id
+      WHERE p.event_type = 'purchase' AND p.ts IS NOT NULL
+    ),
+    agg AS (
+      SELECT cohort, age_months, SUM(v) AS rev
+      FROM pur WHERE age_months >= 0 GROUP BY cohort, age_months
+    )
+    SELECT cohort AS cohort_month, CAST(age_months AS INT) AS age_months,
+      n_users,
+      CAST(rev AS DOUBLE) AS revenue,
+      CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age_months)
+           AS DOUBLE) AS cum_revenue,
+      round(CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age_months)
+                 AS DOUBLE) / n_users, 6) AS ltv_per_user
+    FROM agg JOIN csize USING (cohort)
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-cohort LIFETIME VALUE: users grouped by signup month,
+    purchase revenue accumulated by months-since-signup, normalized by
+    cohort size — the LTV curve next to q_retention_cohorts' activity
+    retention triangle (retention counts actives; LTV accumulates
+    money, including the non-returning users in the denominator).
+
+    Exactness: revenue sums stay DECIMAL through the cumulative
+    window (order-insensitive exact), cast to double only at emit;
+    ltv divides identical doubles by an integer cohort size with a
+    6dp guard.
+
+    Scale: one per-user MIN aggregate (map-side partials), one
+    user-keyed equi-join purchases⋈signups (both sides shuffle on the
+    high-cardinality user key — no window over raw events), then a
+    (cohort, age) hash agg; the cumulative window runs on the
+    AGGREGATED frame, whose partitions are bounded by the calendar
+    (months × months), not the data."""
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.filter((F.col("event_type") == "signup") & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.date_trunc("month", F.min("ts")).cast("date").alias("cohort"))
+    )
+    csize = signup.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    pur = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
+        .select("user_id", "ts", "value")
+        .join(signup, "user_id")
+        .select(
+            "cohort",
+            (
+                (F.year("ts") * 12 + F.month("ts"))
+                - (F.year("cohort") * 12 + F.month("cohort"))
+            ).alias("age_months"),
+            F.col("value").cast("decimal(12,2)").alias("v"),
+        )
+        .filter(F.col("age_months") >= 0)
+    )
+    agg = pur.groupBy("cohort", "age_months").agg(F.sum("v").alias("rev"))
+    w = Window.partitionBy("cohort").orderBy("age_months")
+    return (
+        agg.join(csize, "cohort")
+        .select(
+            F.col("cohort").alias("cohort_month"),
+            F.col("age_months").cast("int").alias("age_months"),
+            "n_users",
+            F.col("rev").cast("double").alias("revenue"),
+            F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+            F.round(
+                F.sum("rev").over(w).cast("double") / F.col("n_users"), 6
+            ).alias("ltv_per_user"),
+        )
+    )

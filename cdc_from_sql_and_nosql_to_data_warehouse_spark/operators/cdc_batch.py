@@ -1077,3 +1077,67 @@ def q_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_orderkey", "version", "price", "valid_from", "valid_to", "tx_from"
     )
+
+
+# ---------------------------------------------------- erasure audit
+
+_ERASE_THR = "08"  # md5 hex prefix: ~1/32 of the user key space
+
+
+@register(
+    "q_erasure_audit",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type, user_id,
+        CASE WHEN md5(CAST(user_id AS VARCHAR)) < '{_ERASE_THR}'
+          THEN 1 ELSE 0 END AS erased
+      FROM events
+    )
+    SELECT event_type,
+      CAST(SUM(erased) AS BIGINT) AS n_purged,
+      CAST(COUNT(*) - SUM(erased) AS BIGINT) AS n_retained,
+      CAST(COUNT(DISTINCT CASE WHEN erased = 1 THEN user_id END)
+           AS BIGINT) AS n_users_erased,
+      round(CAST(SUM(erased) AS DOUBLE) / COUNT(*), 6) AS pct_purged
+    FROM tagged GROUP BY event_type
+    """,
+)
+def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN erasure audit: a deterministic erasure
+    request set (users whose md5 falls in the 1/32 key slice — the
+    stand-in for a GDPR delete queue) applied against the event
+    stream, reporting purged/retained row counts, distinct users
+    erased, and purge fraction per event type — the compliance
+    readout a CDC warehouse owes its DPO after every delete batch
+    (the reference's DMS pipeline ships deletes as
+    ``processed_and_safe_to_delete`` markers; this is the audit on
+    the apply side, SURVEY §2.1 A16's retention sibling).
+
+    Exactness: all counts are integers; the NULL-user rows follow
+    3VL identically in both engines (md5(NULL) < thr is NULL → not
+    erased → retained); pct is an integer-ratio double « 2^53 with a
+    6dp guard.
+
+    Scale: ONE scan + one hash aggregate on the bounded event-type
+    domain with map-side partials; the distinct-user count shuffles
+    only (type, user) pairs that matched the erasure slice — no join
+    against a materialized request table (the md5 predicate IS the
+    broadcast)."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        "user_id",
+        F.when(F.md5(F.col("user_id").cast("string")) < _ERASE_THR, 1)
+        .otherwise(0)
+        .alias("erased"),
+    )
+    return tagged.groupBy("event_type").agg(
+        F.sum("erased").cast("bigint").alias("n_purged"),
+        (F.count(F.lit(1)) - F.sum("erased")).cast("bigint").alias("n_retained"),
+        F.countDistinct(F.when(F.col("erased") == 1, F.col("user_id")))
+        .cast("bigint")
+        .alias("n_users_erased"),
+        F.round(
+            F.sum("erased").cast("double") / F.count(F.lit(1)), 6
+        ).alias("pct_purged"),
+    )

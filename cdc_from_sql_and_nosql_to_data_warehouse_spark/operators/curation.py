@@ -1276,3 +1276,98 @@ def q_distribution_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accept_prob",
         )
     )
+
+
+# ------------------------------------------------------ code detection
+
+# code-marker symbols counted per char; keywords matched as whole
+# whitespace tokens — both exact integer features
+_CODE_SYMS = ";{}()[]=<>"
+_CODE_KWS = (
+    "def", "return", "import", "class", "function", "var", "const",
+    "if", "else", "for", "while", "elif", "lambda", "void", "int",
+)
+_CODE_SYM_RE = r"[;{}()\[\]=<>]"
+_SYM_THR_NUM, _SYM_THR_DEN = 1, 20  # is_code when 20·sym_cnt ≥ n_chars
+_KW_THR = 3
+
+
+@register(
+    "q_code_detect",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+        CAST(length(text)
+             - length(regexp_replace(text, '{_CODE_SYM_RE}', '', 'g'))
+             AS BIGINT) AS sym_cnt,
+        CAST(len(list_filter({{toks}},
+          t -> list_contains([{", ".join(repr(k) for k in _CODE_KWS)}], t)))
+          AS BIGINT) AS kw_cnt,
+        CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, sym_cnt, kw_cnt, n_chars,
+      CASE WHEN n_chars > 0
+        THEN round(CAST(sym_cnt AS DOUBLE) / n_chars, 6) END AS sym_ratio,
+      ({_SYM_THR_DEN} * sym_cnt >= {_SYM_THR_NUM} * n_chars
+       AND n_chars > 0) OR kw_cnt >= {_KW_THR} AS is_code
+    FROM feats
+    """.replace("{toks}", "regexp_split_to_array(text, ' ')"),
+)
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-vs-PROSE detection for corpus curation: per document, the
+    count of code-marker symbols (braces/brackets/operators), the
+    count of programming-keyword tokens, and the is_code verdict —
+    the filter a text-corpus pipeline runs to route source code away
+    from (or into) the prose mixture, next to q_text_langid and
+    q_text_quality in the gate chain.
+
+    Exactness: both features are exact integers; the symbol ratio is
+    an integer-ratio double with a 6dp guard and a NULL on empty
+    text; the VERDICT itself compares in exact integers
+    (20·sym ≥ chars) so the threshold boundary carries no float
+    risk.  Keyword matching is exact whole-token equality on the
+    whitespace split (deliberately conservative: 'return;' does not
+    count — the symbol feature catches that form instead).
+
+    Scale: map-only over documents — two codegen'd string
+    expressions per row, zero shuffles, the scan-speed floor."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    kw_arr = F.array(*[F.lit(k) for k in _CODE_KWS])
+    feats = docs.select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", _CODE_SYM_RE, ""))
+        )
+        .cast("bigint")
+        .alias("sym_cnt"),
+        F.size(
+            F.filter(
+                F.split(F.col("text"), " "),
+                lambda t: F.array_contains(kw_arr, t),
+            )
+        )
+        .cast("bigint")
+        .alias("kw_cnt"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return feats.select(
+        "doc_id",
+        "sym_cnt",
+        "kw_cnt",
+        "n_chars",
+        F.when(
+            F.col("n_chars") > 0,
+            F.round(F.col("sym_cnt").cast("double") / F.col("n_chars"), 6),
+        ).alias("sym_ratio"),
+        (
+            (
+                (_SYM_THR_DEN * F.col("sym_cnt") >= _SYM_THR_NUM * F.col("n_chars"))
+                & (F.col("n_chars") > 0)
+            )
+            | (F.col("kw_cnt") >= _KW_THR)
+        ).alias("is_code"),
+    )

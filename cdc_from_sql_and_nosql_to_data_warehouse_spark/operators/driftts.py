@@ -1165,3 +1165,136 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("bias"),
     )
+
+
+# ------------------------------------------------------ power analysis
+
+# round(z, 6) constants for alpha = 0.05 (two-sided) and power = 0.8 —
+# literal so both engines compute from identical doubles
+_Z_ALPHA = "1.959964"
+_Z_BETA = "0.841621"
+
+
+@register(
+    "q_power_analysis",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+        CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+          THEN 'A' ELSE 'B' END AS arm,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS outcome
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY user_id
+    ),
+    g AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+        round(avg(outcome), 6) AS mean,
+        round(var_samp(outcome), 6) AS var
+      FROM per_user GROUP BY arm
+    ),
+    j AS (
+      SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+        round(((a.n - 1) * a.var + (b.n - 1) * b.var)
+              / (a.n + b.n - 2), 6) AS var_pooled
+      FROM (SELECT * FROM g WHERE arm = 'A') a
+      CROSS JOIN (SELECT * FROM g WHERE arm = 'B') b
+      WHERE a.n >= 2 AND b.n >= 2
+    )
+    SELECT n_a, n_b, mean_a, mean_b, var_pooled,
+      round(mean_a - mean_b, 6) AS delta,
+      CASE WHEN mean_a <> mean_b THEN
+        round(2 * var_pooled * ({_Z_ALPHA} + {_Z_BETA}) * ({_Z_ALPHA} + {_Z_BETA})
+              / (round(mean_a - mean_b, 6) * round(mean_a - mean_b, 6)), 2)
+      END AS n_required_per_arm,
+      round(({_Z_ALPHA} + {_Z_BETA}) * sqrt(2 * var_pooled / n_a), 6)
+        AS mde_at_current_n
+    FROM j
+    """,
+)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPERIMENT POWER ANALYSIS (two-sample means, normal
+    approximation — the standard pre-registration readout): per-user
+    purchase outcomes split into two deterministic md5 hash arms, then
+    the required sample size per arm to detect the observed lift at
+    α = 0.05 / power = 0.8 (n = 2σ²(z_{α/2}+z_β)²/δ²) and the minimum
+    detectable effect at the CURRENT n (MDE = (z_{α/2}+z_β)·√(2σ²/n)).
+    Complements q_ab_ttest (is the observed lift significant?) and
+    q_ab_srm (is the split itself broken?) with "how long must this
+    run?".
+
+    Exactness: per-user outcomes are exact decimal sums cast to
+    identical doubles; means/variances follow the q_ab_ttest policy
+    (round at the aggregate, 6dp); every downstream step is plain
+    arithmetic on identical doubles with its own rounding guard
+    (sqrt is correctly rounded IEEE, deterministic on identical
+    inputs); n_required is emitted as a 2dp double, never a
+    float-boundary ceil; degenerate arms (n < 2) or δ = 0 yield
+    zero rows / NULL instead of an ANSI divide-by-zero.
+
+    Scale: one user-keyed aggregate (map-side partials on the
+    high-cardinality key), one 2-group aggregate, one 1×1 join —
+    two rows move at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("outcome")
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+                F.lit("A"),
+            ).otherwise(F.lit("B")),
+        )
+    )
+    g = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("outcome"), 6).alias("mean"),
+        F.round(F.var_samp("outcome"), 6).alias("var"),
+    )
+    a = g.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = g.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    zsum = F.lit(float(_Z_ALPHA)) + F.lit(float(_Z_BETA))
+    j = (
+        a.join(b)
+        .filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+        .withColumn(
+            "var_pooled",
+            F.round(
+                (
+                    (F.col("n_a") - 1) * F.col("var_a")
+                    + (F.col("n_b") - 1) * F.col("var_b")
+                )
+                / (F.col("n_a") + F.col("n_b") - 2),
+                6,
+            ),
+        )
+    )
+    delta = F.round(F.col("mean_a") - F.col("mean_b"), 6)
+    return j.select(
+        "n_a", "n_b", "mean_a", "mean_b", "var_pooled",
+        delta.alias("delta"),
+        F.when(
+            F.col("mean_a") != F.col("mean_b"),
+            F.round(2 * F.col("var_pooled") * zsum * zsum / (delta * delta), 2),
+        ).alias("n_required_per_arm"),
+        F.round(zsum * F.sqrt(2 * F.col("var_pooled") / F.col("n_a")), 6).alias(
+            "mde_at_current_n"
+        ),
+    )

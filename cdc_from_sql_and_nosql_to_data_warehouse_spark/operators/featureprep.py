@@ -1257,3 +1257,92 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("mean_obs") - 1.96 * se).alias("ci_lo"),
         _r6(F.col("mean_obs") + 1.96 * se).alias("ci_hi"),
     )
+
+
+# ------------------------------------------------- weighted quantiles
+
+
+@register(
+    "q_weighted_quantile",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_quantity > 0 AND l_returnflag IS NOT NULL
+      GROUP BY l_returnflag, round(l_extendedprice * 100)
+    ),
+    cum AS (
+      SELECT flag, cents, wt,
+        SUM(wt) OVER (PARTITION BY flag ORDER BY cents) AS cw,
+        SUM(wt) OVER (PARTITION BY flag) AS tw
+      FROM w
+    )
+    SELECT flag AS l_returnflag,
+      CAST(MIN(tw) AS BIGINT) AS total_weight,
+      CAST(MIN(CASE WHEN 2 * cw >= tw + 1 THEN cents END) AS BIGINT)
+        AS w_median_cents,
+      CAST(MIN(CASE WHEN 10 * cw >= 9 * tw THEN cents END) AS BIGINT)
+        AS w_p90_cents
+    FROM cum GROUP BY flag
+    """,
+)
+def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-WEIGHTED price quantiles per return flag: the smallest
+    price whose cumulative shipped quantity reaches 50% / 90% of the
+    group's total — the "median price a unit actually sold at", which
+    the unweighted q_percentile cannot answer when order sizes skew.
+
+    Exactness: prices are cents integers, weights are integer
+    quantities, and BOTH cut points compare in exact integer
+    arithmetic (2·cw ≥ W+1 for the lower weighted median,
+    10·cw ≥ 9·W for p90) — no float quantile interpolation, no
+    boundary ulp.
+
+    Scale: one (flag, cents) hash aggregate collapses the fact table
+    to the value domain; the cumulative weight then runs per flag via
+    ``functions.ids.running_total`` (range-partitioned parallel
+    prefix sum — a plain per-flag window would put each flag's whole
+    domain through ONE task; lineitem has 3 flags, so at 10^11 rows
+    each window partition would be a third of the distinct-price
+    domain); group totals broadcast back as a 3-row join.  The final
+    threshold pick is one more bounded aggregate."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import (
+        running_total,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & (F.col("l_quantity") > 0)
+        & F.col("l_returnflag").isNotNull()
+    )
+    w = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("flag", "cents")
+        .agg(F.sum("q").alias("wt"))
+    )
+    cum = running_total(
+        w, ["cents"], "wt", total_col="cw", group_cols=["flag"]
+    )
+    tot = w.groupBy("flag").agg(F.sum("wt").alias("tw"))
+    joined = cum.join(F.broadcast(tot), "flag")
+    return joined.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.min("tw").cast("bigint").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw") + 1, F.col("cents"))
+        )
+        .cast("bigint")
+        .alias("w_median_cents"),
+        F.min(
+            F.when(10 * F.col("cw") >= 9 * F.col("tw"), F.col("cents"))
+        )
+        .cast("bigint")
+        .alias("w_p90_cents"),
+    )

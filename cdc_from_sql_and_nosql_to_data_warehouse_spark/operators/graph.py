@@ -169,7 +169,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_triangle_count",
     oracle=f"""
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
       SELECT s_nationkey AS src, c_nationkey AS dst
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -178,7 +178,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY s_nationkey, c_nationkey
       HAVING CAST(SUM({_SQL_VOLUME}) AS DOUBLE) > 0
     ),
-    und AS (
+    und AS MATERIALIZED (
       SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
       FROM edges WHERE src <> dst
       GROUP BY LEAST(src, dst), GREATEST(src, dst)
@@ -284,15 +284,15 @@ _LP_TOPK = 20
 # cap had to stay in sync manually): distinct (part, supplier) edges,
 # hub-capped part degrees, and one row per (part, s1<s2) pair carrying
 # the part's degree.
-_SQL_CO_SUPPLY_CTES = f"""edges AS (
+_SQL_CO_SUPPLY_CTES = f"""edges AS MATERIALIZED (
       SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
       WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
     ),
-    pdeg AS (
+    pdeg AS MATERIALIZED (
       SELECT p, COUNT(*) AS deg FROM edges GROUP BY p
       HAVING COUNT(*) BETWEEN 2 AND {_LP_MAX_DEG}
     ),
-    co_pairs AS (
+    co_pairs AS MATERIALIZED (
       SELECT a.s AS s1, b.s AS s2, pdeg.deg
       FROM edges a
       JOIN edges b ON a.p = b.p AND a.s < b.s
@@ -419,12 +419,12 @@ def _sql_lpa_iter(k: int) -> str:
     l{k} from l{k-1} over the undirected adjacency `adj`."""
     p = f"l{k - 1}"
     return f"""
-    votes{k} AS (
+    votes{k} AS MATERIALIZED (
       SELECT adj.v, {p}.lbl, COUNT(*) AS cnt
       FROM adj JOIN {p} ON {p}.v = adj.u
       GROUP BY adj.v, {p}.lbl
     ),
-    l{k} AS (
+    l{k} AS MATERIALIZED (
       SELECT v, lbl FROM (
         SELECT v, lbl, row_number() OVER (
           PARTITION BY v ORDER BY cnt DESC, lbl) AS rn
@@ -464,21 +464,21 @@ def _lpa_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_label_propagation",
     oracle=f"""
     WITH {_SQL_CO_SUPPLY_CTES},
-    strength AS (
+    strength AS MATERIALIZED (
       SELECT s1, s2, COUNT(*) AS shared FROM co_pairs GROUP BY s1, s2
     ),
-    thr AS (
+    thr AS MATERIALIZED (
       SELECT round(quantile_cont(shared, 0.9), 4) AS q90 FROM strength
     ),
-    und AS (
+    und AS MATERIALIZED (
       SELECT s1, s2 FROM strength CROSS JOIN thr WHERE shared >= thr.q90
     ),
-    adj AS (
+    adj AS MATERIALIZED (
       SELECT s1 AS v, s2 AS u FROM und
       UNION ALL
       SELECT s2 AS v, s1 AS u FROM und
     ),
-    l0 AS (SELECT DISTINCT v, v AS lbl FROM adj),
+    l0 AS MATERIALIZED (SELECT DISTINCT v, v AS lbl FROM adj),
     {",".join(_sql_lpa_iter(k) for k in range(1, _LPA_ITERS + 1))}
     SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
       CAST(MIN(v) AS BIGINT) AS min_member
@@ -537,4 +537,96 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.min("v").cast("bigint").alias("min_member"),
+    )
+
+
+# ------------------------------------------------------------- HITS
+
+_HITS_TOPK = 20
+
+
+@register(
+    "q_hits",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    ),
+    pdeg AS (
+      SELECT p, COUNT(*) AS deg FROM edges GROUP BY p
+      HAVING COUNT(*) BETWEEN 2 AND {_LP_MAX_DEG}
+    ),
+    e AS (SELECT edges.p, edges.s FROM edges JOIN pdeg ON pdeg.p = edges.p),
+    a1 AS (SELECT p, COUNT(*) AS a FROM e GROUP BY p),
+    h1 AS (
+      SELECT e.s, SUM(a1.a) AS h FROM e JOIN a1 ON a1.p = e.p GROUP BY e.s
+    ),
+    a2 AS (
+      SELECT e.p, CAST(SUM(h1.h) AS BIGINT) AS authority
+      FROM e JOIN h1 ON h1.s = e.s GROUP BY e.p
+    )
+    SELECT CAST(p AS BIGINT) AS p_partkey, authority,
+      CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY authority DESC, p) AS rn
+      FROM a2
+    ) WHERE rn <= {_HITS_TOPK}
+    """,
+)
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, public) on the
+    hub-capped part↔supplier bipartite graph: parts are authorities,
+    suppliers are hubs; one synchronized power-iteration round each
+    way starting from the uniform vector (a₁ = degree, h₁ = Σ a₁ over
+    neighbors, a₂ = Σ h₁ over neighbors), top-20 parts by second-round
+    authority.  Skipping the per-round L2 normalization keeps every
+    score an EXACT INTEGER — normalization is a positive scalar, so
+    the ranking (the analytics deliverable) is unchanged and the
+    cross-engine check carries zero float risk.  Complements
+    q_pagerank (centrality on the directed trade graph) and
+    q_label_propagation (communities): HITS separates "supplier that
+    touches important parts" from "part held by important suppliers".
+
+    Scale: distinct (part, supplier) edges → one bounded-degree filter
+    (the q_link_prediction hub cap — per-part fanout ≤ {_LP_MAX_DEG})
+    → two equi-join + hash-aggregate rounds, each with map-side
+    partials; the final top-20 is a TakeOrdered, never a global sort.
+    Reference parity: the reference's warehouse serves exactly this
+    kind of iterated-aggregate ranking after CDC lands (the Lambda/DMS
+    tier at repo:source/load_s3_files_from_dynamodb_stream_to_redshift_lambda/handler.py
+    only feeds the tables; the query tier is downstream Redshift SQL,
+    SURVEY §2.2 B-family)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    edges = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    pdeg = (
+        edges.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= _LP_MAX_DEG))
+        .select("p")
+    )
+    e = edges.join(pdeg, "p").localCheckpoint(eager=False)  # consumed 2x
+    a1 = e.groupBy("p").agg(F.count(F.lit(1)).alias("a"))
+    h1 = (
+        e.join(a1, "p")
+        .groupBy("s")
+        .agg(F.sum("a").alias("h"))
+    )
+    a2 = (
+        e.join(h1, "s")
+        .groupBy("p")
+        .agg(F.sum("h").cast("bigint").alias("authority"))
+    )
+    from pyspark.sql.window import Window as W
+
+    # TakeOrdered FIRST (parallel per-partition top-20 + bounded
+    # merge), THEN the rank window over the literal-20-row frame —
+    # never a global row_number over the data-scaled part table
+    top = a2.orderBy(F.desc("authority"), F.asc("p")).limit(_HITS_TOPK)
+    w = W.orderBy(F.desc("authority"), F.asc("p"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        F.col("p").cast("bigint").alias("p_partkey"), "authority", "rank"
     )

@@ -564,3 +564,112 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------- PR curve
+
+_PR_CUTOFFS = [10, 50, 100, 500, 1000]
+
+
+@register(
+    "q_pr_curve",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_id,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lbl,
+        row_number() OVER (ORDER BY value DESC, event_id) AS rnk
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+    ),
+    ks AS (SELECT unnest([{",".join(str(k) for k in _PR_CUTOFFS)}]) AS k),
+    hits AS (
+      SELECT ks.k,
+        CAST(SUM(CASE WHEN r.rnk <= ks.k THEN r.lbl ELSE 0 END) AS BIGINT)
+          AS n_hits,
+        CAST(SUM(r.lbl) AS BIGINT) AS n_pos
+      FROM ranked r CROSS JOIN ks GROUP BY ks.k
+    )
+    SELECT k, n_hits, n_pos,
+      round(CAST(n_hits AS DOUBLE) / k, 6) AS precision_at_k,
+      CASE WHEN n_pos > 0
+        THEN round(CAST(n_hits AS DOUBLE) / n_pos, 6) END AS recall_at_k,
+      CASE WHEN n_hits > 0 THEN
+        round(2 * round(CAST(n_hits AS DOUBLE) / k, 6)
+                * round(CAST(n_hits AS DOUBLE) / n_pos, 6)
+              / (round(CAST(n_hits AS DOUBLE) / k, 6)
+                 + round(CAST(n_hits AS DOUBLE) / n_pos, 6)), 6)
+      END AS f1_at_k
+    FROM hits
+    """,
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at ranked cutoffs (the PR curve sampled at
+    k ∈ {_PR_CUTOFFS}) scoring `value` as a purchase-propensity
+    ranker — the threshold-sweep readout next to q_retrieval_auc's
+    threshold-free rank statistic and q_eval_confusion's single
+    operating point.
+
+    Exactness: hit counts are integers; precision = hits/k and
+    recall = hits/npos are integer-ratio doubles (exact division
+    inputs « 2^53, identical in both engines) rounded at 6dp; F1 is
+    computed FROM the rounded p/r (identical doubles) with its own
+    6dp guard; n_pos = 0 and n_hits = 0 yield NULL recall/F1 instead
+    of an ANSI divide-by-zero on degenerate fixtures.
+
+    Scale: the global rank comes from ``assign_dense_ids``
+    (range-partitioned parallel numbering — no single-task window
+    over the event table); the cutoff sweep is ONE conditional
+    aggregate over the ranked rows (map-side partials), so the whole
+    curve costs one scan + one bounded agg at any corpus size, never
+    a per-cutoff pass."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import (
+        assign_dense_ids,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+    base = ev.select(
+        "event_id",
+        (-F.col("value")).alias("negv"),
+        (F.col("event_type") == "purchase").cast("int").alias("lbl"),
+    )
+    # assign_dense_ids is 0-BASED (row_number − 1): rank r means r rows
+    # precede it, so "in the top k" is rnk < k, not rnk <= k
+    ranked = assign_dense_ids(base, ["negv", "event_id"], id_col="rnk")
+    aggs = [
+        F.sum(F.when(F.col("rnk") < k, F.col("lbl")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias(f"h{k}")
+        for k in _PR_CUTOFFS
+    ]
+    one = ranked.agg(*aggs, F.sum("lbl").cast("bigint").alias("n_pos"))
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("k"),
+                        F.col(f"h{k}").alias("n_hits"),
+                        F.col("n_pos").alias("n_pos"),
+                    )
+                    for k in _PR_CUTOFFS
+                ]
+            )
+        ).alias("r")
+    ).select("r.k", "r.n_hits", "r.n_pos")
+    # empty-input twin of the oracle's GROUP BY (zero groups → zero
+    # rows): the global agg always emits one row, but its sums are
+    # NULL only when events is empty
+    rows = rows.filter(F.col("n_hits").isNotNull())
+    p = F.round(F.col("n_hits").cast("double") / F.col("k"), 6)
+    r = F.round(F.col("n_hits").cast("double") / F.col("n_pos"), 6)
+    return rows.select(
+        "k",
+        "n_hits",
+        "n_pos",
+        p.alias("precision_at_k"),
+        F.when(F.col("n_pos") > 0, r).alias("recall_at_k"),
+        F.when(F.col("n_hits") > 0, F.round(2 * p * r / (p + r), 6)).alias(
+            "f1_at_k"
+        ),
+    )

@@ -635,3 +635,115 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn2") == 1)
         .select("query_id", "true_label", F.col("cand_label").alias("pred_label"), "votes")
     )
+
+
+# ------------------------------------------------------ triplet mining
+
+
+@register(
+    "q_triplet_mining",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id < 5 AND embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    cands AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+        c.vec_id AS cand_id, c.label = a.label AS is_pos,
+        {_sql_cosine('a.embedding', 'c.embedding')} AS cosine
+      FROM anchors a JOIN cands c ON c.vec_id <> a.vec_id
+    ),
+    best AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id, is_pos ORDER BY cosine DESC, cand_id) AS rn
+      FROM scored
+    )
+    SELECT p.anchor_id, p.anchor_label,
+      p.cand_id AS pos_id, p.cosine AS pos_cos,
+      n.cand_id AS neg_id, n.cosine AS neg_cos,
+      round(p.cosine - n.cosine, 6) AS margin
+    FROM (SELECT * FROM best WHERE is_pos AND rn = 1) p
+    JOIN (SELECT * FROM best WHERE NOT is_pos AND rn = 1) n
+      ON n.anchor_id = p.anchor_id
+    """,
+)
+def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-TRIPLET MINING for contrastive training (the FaceNet
+    anchor/positive/negative recipe, Schroff et al. 2015 — public):
+    for each anchor vector, the hardest positive (same label, highest
+    cosine, i.e. the most redundant same-class example) and the
+    hardest negative (different label, highest cosine — the confuser
+    that actually teaches the margin), plus the anchor's triplet
+    margin.  This is the batch-mining pass a representation-learning
+    pipeline runs over the corpus between epochs.
+
+    Exactness: cosines follow the q_sim_topk policy — per-side norms
+    precomputed once, same float ops in the same order in both
+    engines, bit-identical doubles; ranking ties break on cand_id;
+    the margin subtracts identical doubles with a 6dp guard.
+
+    Scale: the anchor set is bounded (broadcast), so scoring is a
+    map-only pass over candidates (no shuffle until the per-anchor
+    top-1), and the per-(anchor, polarity) argmax is a 10-partition
+    window over broadcast-joined rows.  For a data-scaled anchor set
+    the same plan shards anchors into bounded batches (the
+    q_sim_pq_search ADC route replaces brute force first)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    a = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("a_emb"),
+        V.norm2("embedding").alias("a_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        V.norm2("embedding").alias("c_norm"),
+    )
+    scored = c.join(
+        F.broadcast(a), F.col("cand_id") != F.col("anchor_id")
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        "cand_id",
+        (F.col("c_label") == F.col("anchor_label")).alias("is_pos"),
+        (V.dot("a_emb", "c_emb") / (F.col("a_norm") * F.col("c_norm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("anchor_id", "is_pos").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    p = best.filter(F.col("is_pos")).select(
+        "anchor_id",
+        "anchor_label",
+        F.col("cand_id").alias("pos_id"),
+        F.col("cosine").alias("pos_cos"),
+    )
+    n = best.filter(~F.col("is_pos")).select(
+        F.col("anchor_id").alias("n_anchor"),
+        F.col("cand_id").alias("neg_id"),
+        F.col("cosine").alias("neg_cos"),
+    )
+    return (
+        p.join(n, p["anchor_id"] == n["n_anchor"])
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_cos",
+            F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+        )
+    )

@@ -120,17 +120,22 @@ def stage_quality(docs: DataFrame) -> DataFrame:
     )
 
 
-def stage_dist_match(docs: DataFrame) -> DataFrame:
-    """q_distribution_match's rejection sampling, materializing the
-    surviving DOCS (the registry op reports per-bin counts): reference
-    docs all pass; crawl docs pass when the portable md5-uniform falls
-    below the bin's normalized density ratio."""
-    d = docs.filter(F.col("n_chars").isNotNull()).withColumns(
+def _dm_tagged(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.col("n_chars").isNotNull()).withColumns(
         {
             "bin": (F.col("n_chars") / _DM_BIN).cast("bigint"),
             "is_crawl": F.substring("source", 4, 10).cast("int") < 10,
         }
     )
+
+
+def dist_match_probs(docs: DataFrame) -> DataFrame:
+    """Per-bin acceptance probabilities — the dist-match POLICY.  Split
+    out (round 11) so the incremental pipeline can FREEZE the policy on
+    the base corpus: a delta-sized batch must not silently re-decide
+    previously-published docs (policy refresh is a scheduled rebuild,
+    not an ingest side effect)."""
+    d = _dm_tagged(docs)
     a = d.filter("is_crawl").groupBy("bin").agg(
         F.count(F.lit(1)).alias("cnt_a")
     )
@@ -158,12 +163,19 @@ def stage_dist_match(docs: DataFrame) -> DataFrame:
         )
     )
     mx = ratios.agg(F.max("ratio").alias("m"))
-    probs = ratios.join(F.broadcast(mx)).select(
+    return ratios.join(F.broadcast(mx)).select(
         "bin",
         F.when(F.col("m") > 0, F.round(F.col("ratio") / F.col("m"), 6))
         .otherwise(0.0)
         .alias("accept_prob"),
     )
+
+
+def apply_dist_match(docs: DataFrame, probs: DataFrame) -> DataFrame:
+    """Apply a (possibly frozen) acceptance policy: reference docs all
+    pass; crawl docs pass when the portable md5-uniform falls below the
+    bin's accept_prob.  Bins unseen by the policy accept nothing."""
+    d = _dm_tagged(docs)
     u = md5_unit(F.concat(F.col("doc_id").cast("string"), F.lit(":dm")))
     kept_crawl = (
         d.filter("is_crawl")
@@ -174,6 +186,13 @@ def stage_dist_match(docs: DataFrame) -> DataFrame:
     return d.filter(~F.col("is_crawl")).select(*out_cols).unionByName(
         kept_crawl.select(*out_cols)
     )
+
+
+def stage_dist_match(docs: DataFrame) -> DataFrame:
+    """q_distribution_match's rejection sampling, materializing the
+    surviving DOCS (the registry op reports per-bin counts): policy
+    computed from the same frame it filters (the batch form)."""
+    return apply_dist_match(docs, dist_match_probs(docs))
 
 
 def stage_pack(docs: DataFrame) -> DataFrame:
