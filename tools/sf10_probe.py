@@ -30,19 +30,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools import scale_slope as S
 from cdc_from_sql_and_nosql_to_data_warehouse_spark import operators as ops
 
-# the judge-named data-scaled top ten
+# the judge-named data-scaled top ten, CHEAPEST FIRST so a
+# wall-budget cut still leaves most of the decade table (the two
+# AllPairs queries carry superlinear candidate volume by problem
+# statement and run last)
 QUERIES = [
-    "q_setsim_join",
-    "q_dedup_containment",
-    "q_item_cf",
-    "q_er_resolve",
-    "q_dedup_minhash_md5",
-    "q_sim_pq_search",
+    "q_negative_sampling",
     "q_kmeans_assign",
     "q_bm25_search",
+    "q_dedup_minhash_md5",
     "q_dedup_segments",
-    "q_negative_sampling",
+    "q_item_cf",
+    "q_sim_pq_search",
+    "q_er_resolve",
+    "q_dedup_containment",
+    "q_setsim_join",
 ]
+
+RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "1"))
 
 
 def _stage_totals(spark, new_ids) -> dict:
@@ -69,6 +74,18 @@ def main() -> None:
     spark = S.build_session()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    # Shuffle width must SCALE WITH DATA: build_session defaults
+    # spark.sql.shuffle.partitions to the core count (right at sf0.1),
+    # but at the 100x blowup that gave ~46 reduce tasks of ~220 s
+    # MEDIAN each (measured — the first probe run burned 30+ min
+    # inside single stages).  8x the cores keeps per-task state
+    # bounded; AQE coalesces the small ones back — this is exactly the
+    # initialPartitionNum sizing a real cluster does per table volume.
+    width = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256")
+    spark.conf.set("spark.sql.shuffle.partitions", width)
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", width
+    )
     sf_dir = S.BLOWUP_DIR
     # warmup: page-cache the inputs + compile one trivial job
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -87,7 +104,7 @@ def main() -> None:
     for name in names:
         best, skews = float("inf"), []
         spill = {}
-        for _ in range(2):
+        for _ in range(RUNS):
             before = S._completed_stage_ids(spark)
             t0 = time.perf_counter()
             ops.REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
@@ -107,6 +124,10 @@ def main() -> None:
         }
         print(f"{name:26s} {best:7.2f}s skew={worst_skew} {spill}",
               flush=True)
+        with open(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SF10_PROBE.json"), "w") as f:
+            json.dump(rec, f, indent=1)
     rec["total_wall_sec"] = round(
         sum(q["wall_sec"] for q in rec["queries"].values()), 2
     )
