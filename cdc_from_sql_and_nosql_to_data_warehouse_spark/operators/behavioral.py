@@ -1178,3 +1178,128 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user"),
         )
     )
+
+
+# ----------------------------------------------------- growth accounting
+
+
+@register(
+    "q_growth_accounting",
+    oracle="""
+    WITH am AS (
+      SELECT DISTINCT user_id,
+        year(ts) * 12 + month(ts) AS m
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    firsts AS (SELECT user_id, MIN(m) AS m0 FROM am GROUP BY user_id),
+    cur AS (
+      SELECT am.user_id, am.m, firsts.m0,
+        prev.user_id IS NOT NULL AS was_prev
+      FROM am
+      JOIN firsts USING (user_id)
+      LEFT JOIN am prev
+        ON prev.user_id = am.user_id AND prev.m = am.m - 1
+    ),
+    churn AS (
+      SELECT am.m + 1 AS m, COUNT(*) AS n_churned
+      FROM am
+      LEFT JOIN am nxt ON nxt.user_id = am.user_id AND nxt.m = am.m + 1
+      WHERE nxt.user_id IS NULL
+      GROUP BY am.m + 1
+    ),
+    per AS (
+      SELECT m,
+        CAST(COUNT(*) AS BIGINT) AS n_active,
+        CAST(SUM(CASE WHEN m = m0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        CAST(SUM(CASE WHEN was_prev THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_retained,
+        CAST(SUM(CASE WHEN m > m0 AND NOT was_prev THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_resurrected
+      FROM cur GROUP BY m
+    )
+    SELECT CAST(per.m AS INT) AS month_idx,
+      n_active, n_new, n_retained, n_resurrected,
+      CAST(COALESCE(churn.n_churned, 0) AS BIGINT) AS n_churned
+    FROM per LEFT JOIN churn ON churn.m = per.m
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING (the new/retained/resurrected/churned monthly
+    decomposition every product warehouse reports): per calendar month
+    index, active users split into first-ever actives (new), active
+    last month too (retained), active before but not last month
+    (resurrected), plus the users active last month who went silent
+    (churned, attributed to the month they missed).  The identity
+    n_active = n_new + n_retained + n_resurrected holds by
+    construction; complements q_retention_cohorts (the cohort
+    triangle) and q_new_vs_returning (per-event split).
+
+    Exactness: months are integer indexes (year·12 + month of the
+    session-zone timestamp); everything else is distinct-count
+    integers — no floats anywhere.
+
+    Scale: one distinct over (user, month) — the only fact-sized
+    shuffle; first-month is a per-user MIN aggregate; the
+    previous/next-month memberships are self equi-joins on
+    (user, month±1), all keyed on the high-cardinality user —
+    no window over raw events, no calendar spine materialization."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    am = ev.select(
+        "user_id", (F.year("ts") * 12 + F.month("ts")).alias("m")
+    ).distinct()
+    firsts = am.groupBy("user_id").agg(F.min("m").alias("m0"))
+    prev = am.select(
+        F.col("user_id").alias("p_user"), (F.col("m") + 1).alias("p_m")
+    )
+    cur = (
+        am.join(firsts, "user_id")
+        .join(
+            prev,
+            (F.col("user_id") == F.col("p_user")) & (F.col("m") == F.col("p_m")),
+            "left",
+        )
+        .select(
+            "m", "m0", F.col("p_user").isNotNull().alias("was_prev")
+        )
+    )
+    nxt = am.select(
+        F.col("user_id").alias("n_user"), (F.col("m") - 1).alias("n_m")
+    )
+    churn = (
+        am.join(
+            nxt,
+            (F.col("user_id") == F.col("n_user")) & (F.col("m") == F.col("n_m")),
+            "left_anti",
+        )
+        .groupBy((F.col("m") + 1).alias("cm"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    per = cur.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("m") == F.col("m0"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("was_prev"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when((F.col("m") > F.col("m0")) & ~F.col("was_prev"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    return (
+        per.join(churn, per["m"] == churn["cm"], "left")
+        .select(
+            per["m"].cast("int").alias("month_idx"),
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0))
+            .cast("bigint")
+            .alias("n_churned"),
+        )
+    )

@@ -1141,3 +1141,76 @@ def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("erased").cast("double") / F.count(F.lit(1)), 6
         ).alias("pct_purged"),
     )
+
+
+# ------------------------------------------------- late-arrival audit
+
+
+@register(
+    "q_late_arrival_audit",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, ts, user_id,
+        MAX(ts) OVER (
+          PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+    )
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CASE WHEN ts < hwm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      CAST(MAX(CASE WHEN ts < hwm
+                THEN date_diff('second', ts, hwm) END) AS BIGINT)
+        AS max_lateness_sec,
+      round(CAST(SUM(CASE WHEN ts < hwm THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*), 6) AS late_frac
+    FROM seq GROUP BY event_type
+    """,
+)
+def q_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-ARRIVAL audit for the CDC/event feed: events whose event
+    time precedes the per-user HIGH-WATER MARK established by
+    earlier-INGESTED rows (event_id is the ingest order) — the
+    out-of-orderness report that sizes streaming watermarks
+    (streaming/windows.py) and backfill windows, per event type:
+    late-row count, worst lateness in whole seconds, late fraction.
+
+    Exactness: the high-water mark is a MAX window (no floats);
+    lateness is integer seconds (both engines difference the same
+    session-zone-normalized timestamps); the fraction is an
+    integer-ratio double with a 6dp guard.  Rows with NULL
+    user/ts/event_id are excluded identically on both sides.
+
+    Scale: ONE window partitioned by the high-cardinality user key
+    (never a global sort) + one hash agg on the bounded event-type
+    domain — the q_last_touch_attribution plan shape."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type", "ts", F.max("ts").over(w).alias("hwm")
+    )
+    late = F.when(F.col("ts") < F.col("hwm"), 1).otherwise(0)
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(late).cast("bigint").alias("n_late"),
+        F.max(
+            F.when(
+                F.col("ts") < F.col("hwm"),
+                F.unix_timestamp("hwm") - F.unix_timestamp("ts"),
+            )
+        )
+        .cast("bigint")
+        .alias("max_lateness_sec"),
+        F.round(F.sum(late).cast("double") / F.count(F.lit(1)), 6).alias(
+            "late_frac"
+        ),
+    )

@@ -733,3 +733,111 @@ def q_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("hbos"), "c_custkey")
         .limit(_HBOS_TOPK)
     )
+
+
+# -------------------------------------------------- Simpson's paradox
+
+
+@register(
+    "q_simpsons_check",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_nationkey AS nation, c.c_mktsegment AS seg,
+        CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        AND c.c_nationkey IS NOT NULL AND l.l_returnflag IS NOT NULL
+    ),
+    pooled AS (
+      SELECT
+        SUM(CASE WHEN seg = 'BUILDING' THEN ret ELSE 0 END) AS ra,
+        SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS na,
+        SUM(CASE WHEN seg = 'MACHINERY' THEN ret ELSE 0 END) AS rb,
+        SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS nb
+      FROM base
+    ),
+    strata AS (
+      SELECT nation,
+        SUM(CASE WHEN seg = 'BUILDING' THEN ret ELSE 0 END) AS ra,
+        SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS na,
+        SUM(CASE WHEN seg = 'MACHINERY' THEN ret ELSE 0 END) AS rb,
+        SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS nb
+      FROM base GROUP BY nation
+    )
+    SELECT s.nation,
+      CAST(s.na AS BIGINT) AS n_a, CAST(s.nb AS BIGINT) AS n_b,
+      CASE WHEN s.na > 0
+        THEN round(CAST(s.ra AS DOUBLE) / s.na, 6) END AS rate_a,
+      CASE WHEN s.nb > 0
+        THEN round(CAST(s.rb AS DOUBLE) / s.nb, 6) END AS rate_b,
+      (s.na > 0 AND s.nb > 0 AND p.na > 0 AND p.nb > 0
+       AND (s.ra * s.nb - s.rb * s.na) * (p.ra * p.nb - p.rb * p.na) < 0)
+        AS reverses_pooled
+    FROM strata s CROSS JOIN pooled p
+    """,
+)
+def q_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON'S-PARADOX detector: compare the return rate of two
+    customer segments POOLED vs WITHIN each nation stratum, flagging
+    strata whose direction contradicts the pooled comparison — the
+    classic aggregation trap every metrics warehouse should alarm on
+    before a pooled "segment A returns more" headline ships.
+
+    Exactness: the direction test cross-multiplies INTEGER counts
+    (ra·nb − rb·na), so the comparison — including the sign product
+    against the pooled direction — never touches a float; displayed
+    rates are integer-ratio doubles with 6dp guards and NULL on empty
+    strata.
+
+    Scale: one fact join reduced by a (nation, segment) conditional
+    aggregate (map-side partials, bounded output |nation|); the pooled
+    row is a 1-row broadcast cross join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        & F.col("c_nationkey").isNotNull()
+    )
+    base = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+        )
+    )
+    aggs = [
+        F.sum(F.when(F.col("seg") == "BUILDING", F.col("ret")).otherwise(0)).alias("ra"),
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", F.col("ret")).otherwise(0)).alias("rb"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0)).alias("nb"),
+    ]
+    pooled = base.agg(*aggs).select(
+        F.col("ra").alias("p_ra"), F.col("na").alias("p_na"),
+        F.col("rb").alias("p_rb"), F.col("nb").alias("p_nb"),
+    )
+    strata = base.groupBy("nation").agg(*aggs)
+    j = strata.join(F.broadcast(pooled))
+    return j.select(
+        "nation",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.when(F.col("na") > 0,
+               F.round(F.col("ra").cast("double") / F.col("na"), 6)).alias("rate_a"),
+        F.when(F.col("nb") > 0,
+               F.round(F.col("rb").cast("double") / F.col("nb"), 6)).alias("rate_b"),
+        (
+            (F.col("na") > 0) & (F.col("nb") > 0)
+            & (F.col("p_na") > 0) & (F.col("p_nb") > 0)
+            & (
+                (F.col("ra") * F.col("nb") - F.col("rb") * F.col("na"))
+                * (F.col("p_ra") * F.col("p_nb") - F.col("p_rb") * F.col("p_na"))
+                < 0
+            )
+        ).alias("reverses_pooled"),
+    )

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
@@ -1496,4 +1498,104 @@ def q_prefix_cache_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count_if(hit).cast("double") / F.count(F.lit(1)), 6
             ).alias("hit_frac"),
         )
+    )
+
+
+# ------------------------------------------------------- vocab growth
+
+_VG_BUCKETS = 10
+
+
+@register(
+    "q_vocab_growth",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks,
+        row_number() OVER (ORDER BY doc_id) - 1 AS rid
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    nd AS (SELECT COUNT(*) AS n FROM d),
+    b AS (
+      SELECT CAST(rid * {_VG_BUCKETS} // nd.n AS INT) AS bucket,
+        unnest(toks) AS token
+      FROM d CROSS JOIN nd
+    ),
+    occ AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM b GROUP BY bucket
+    ),
+    firsts AS (SELECT token, MIN(bucket) AS first_bucket FROM b GROUP BY token),
+    newt AS (
+      SELECT first_bucket AS bucket, CAST(COUNT(*) AS BIGINT) AS new_tokens
+      FROM firsts GROUP BY first_bucket
+    )
+    SELECT occ.bucket, occ.n_occurrences,
+      COALESCE(newt.new_tokens, 0) AS new_tokens,
+      CAST(SUM(COALESCE(newt.new_tokens, 0))
+           OVER (ORDER BY occ.bucket) AS BIGINT) AS vocab_cum,
+      CAST(SUM(occ.n_occurrences) OVER (ORDER BY occ.bucket) AS BIGINT)
+        AS tokens_cum
+    FROM occ LEFT JOIN newt ON newt.bucket = occ.bucket
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY-GROWTH curve (the Heaps'-law profile a tokenizer /
+    dedup team reads before sizing a vocabulary): the corpus in doc_id
+    order, cut into 10 equal-count document buckets; per bucket, the
+    token occurrences it contributes, the tokens FIRST SEEN there, and
+    the cumulative vocabulary / token totals.  A flattening new-token
+    curve says the corpus is saturating (more data, little new
+    language); a linear one says the domain is still open — both are
+    exact integers, no estimator.
+
+    Scale: document numbering via ``assign_dense_ids`` (parallel —
+    never a global-sort window over the corpus); token first-
+    occurrence is one (token → min bucket) hash aggregate over the
+    flat exploded rows with map-side partials; the cumulative windows
+    run on the 10-row bucket frame."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import (
+        assign_dense_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    d = assign_dense_ids(
+        docs.select("doc_id", X.tokens("text").alias("toks")),
+        ["doc_id"],
+        id_col="rid",
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    b = (
+        d.join(F.broadcast(nd))
+        .select(
+            # integer floor division (DIV), never double-divide + cast:
+            # a correctly-rounded double quotient can round UP across
+            # an integer boundary and disagree with // at huge n
+            F.expr(f"CAST((rid * {_VG_BUCKETS}) DIV n AS INT)").alias(
+                "bucket"
+            ),
+            F.explode("toks").alias("token"),
+        )
+    )
+    occ = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    newt = (
+        b.groupBy("token")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_tokens"))
+    )
+    w = Window.orderBy("bucket")
+    out = (
+        occ.join(newt, "bucket", "left")
+        .withColumn("new_tokens", F.coalesce("new_tokens", F.lit(0)))
+    )
+    return out.select(
+        "bucket",
+        "n_occurrences",
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("bigint").alias("vocab_cum"),
+        F.sum("n_occurrences").over(w).cast("bigint").alias("tokens_cum"),
     )

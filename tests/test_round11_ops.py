@@ -283,3 +283,116 @@ def test_triplet_mining_matches_numpy(spark):
         assert r.neg_id == best[False][1]
         assert abs(r.pos_cos - best[True][0]) < 1e-9
         assert r.margin == round(r.pos_cos - r.neg_cos, 6)
+
+
+# ------------------------------------------------------ q_simpsons_check
+
+
+def test_simpsons_check_sign_logic(spark):
+    rows = REGISTRY["q_simpsons_check"].fn(spark, SF_DIR).collect()
+    assert rows
+    # recompute pooled from the strata themselves and re-derive flags
+    p_ra = sum(round(r.rate_a * r.n_a) for r in rows if r.n_a)
+    p_na = sum(r.n_a for r in rows)
+    p_rb = sum(round(r.rate_b * r.n_b) for r in rows if r.n_b)
+    p_nb = sum(r.n_b for r in rows)
+    pooled_dir = p_ra * p_nb - p_rb * p_na
+    for r in rows:
+        if r.n_a and r.n_b and p_na and p_nb:
+            s_dir = round(r.rate_a * r.n_a) * r.n_b - round(r.rate_b * r.n_b) * r.n_a
+            assert r.reverses_pooled == (s_dir * pooled_dir < 0)
+        else:
+            assert not r.reverses_pooled
+
+
+# --------------------------------------------------- q_late_arrival_audit
+
+
+def test_late_arrival_matches_bruteforce(spark):
+    rows = {r.event_type: r for r in
+            REGISTRY["q_late_arrival_audit"].fn(spark, SF_DIR).collect()}
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                & F.col("event_id").isNotNull())
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    late = defaultdict(int)
+    total = defaultdict(int)
+    worst = defaultdict(int)
+    for rs in by_user.values():
+        rs.sort(key=lambda r: r.event_id)
+        hwm = None
+        for r in rs:
+            total[r.event_type] += 1
+            if hwm is not None and r.ts < hwm:
+                late[r.event_type] += 1
+                worst[r.event_type] = max(
+                    worst[r.event_type], int((hwm - r.ts).total_seconds())
+                )
+            hwm = r.ts if hwm is None else max(hwm, r.ts)
+    for et, row in rows.items():
+        assert row.n_events == total[et]
+        assert row.n_late == late[et]
+        if late[et]:
+            assert row.max_lateness_sec == worst[et]
+        assert row.late_frac == round(late[et] / total[et], 6)
+
+
+# -------------------------------------------------------- q_vocab_growth
+
+
+def test_vocab_growth_invariants(spark):
+    rows = sorted(REGISTRY["q_vocab_growth"].fn(spark, SF_DIR).collect(),
+                  key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(10))
+    assert sum(r.new_tokens for r in rows) == rows[-1].vocab_cum
+    assert sum(r.n_occurrences for r in rows) == rows[-1].tokens_cum
+    # cumulative columns are true prefix sums
+    vc = tc = 0
+    for r in rows:
+        vc += r.new_tokens
+        tc += r.n_occurrences
+        assert r.vocab_cum == vc and r.tokens_cum == tc
+    # Heaps-law sanity: the first bucket mints the most new tokens
+    assert rows[0].new_tokens == max(r.new_tokens for r in rows)
+
+
+# --------------------------------------------------- q_growth_accounting
+
+
+def test_growth_accounting_identity(spark):
+    rows = REGISTRY["q_growth_accounting"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+
+
+def test_growth_accounting_bruteforce_months(spark):
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", (F.year("ts") * 12 + F.month("ts")).alias("m"))
+        .distinct()
+        .collect()
+    )
+    months = defaultdict(set)
+    for r in ev:
+        months[r.m].add(r.user_id)
+    firsts = {}
+    for m in sorted(months):
+        for u in months[m]:
+            firsts.setdefault(u, m)
+    rows = {r.month_idx: r for r in
+            REGISTRY["q_growth_accounting"].fn(spark, SF_DIR).collect()}
+    for m, users in months.items():
+        row = rows[m]
+        prev = months.get(m - 1, set())
+        assert row.n_active == len(users)
+        assert row.n_new == sum(1 for u in users if firsts[u] == m)
+        assert row.n_retained == len(users & prev)
+        assert row.n_churned == len(prev - users)
