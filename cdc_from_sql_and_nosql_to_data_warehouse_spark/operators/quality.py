@@ -773,7 +773,8 @@ def q_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       CASE WHEN s.nb > 0
         THEN round(CAST(s.rb AS DOUBLE) / s.nb, 6) END AS rate_b,
       (s.na > 0 AND s.nb > 0 AND p.na > 0 AND p.nb > 0
-       AND (s.ra * s.nb - s.rb * s.na) * (p.ra * p.nb - p.rb * p.na) < 0)
+       AND sign(s.ra * s.nb - s.rb * s.na)
+           * sign(p.ra * p.nb - p.rb * p.na) < 0)
         AS reverses_pooled
     FROM strata s CROSS JOIN pooled p
     """,
@@ -835,8 +836,21 @@ def q_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("na") > 0) & (F.col("nb") > 0)
             & (F.col("p_na") > 0) & (F.col("p_nb") > 0)
             & (
-                (F.col("ra") * F.col("nb") - F.col("rb") * F.col("na"))
-                * (F.col("p_ra") * F.col("p_nb") - F.col("p_rb") * F.col("p_na"))
+                # compare SIGNS, never the raw product: each
+                # cross-multiplied direction term fits int64 at any
+                # realistic SF, but their PRODUCT overflows it at the
+                # 100x blowup (~(3.6e15)^2) — caught by the sf10 probe;
+                # DuckDB's int128 SUM masked it, Spark ANSI errored
+                F.signum(
+                    (F.col("ra") * F.col("nb") - F.col("rb") * F.col("na"))
+                    .cast("double")
+                )
+                * F.signum(
+                    (
+                        F.col("p_ra") * F.col("p_nb")
+                        - F.col("p_rb") * F.col("p_na")
+                    ).cast("double")
+                )
                 < 0
             )
         ).alias("reverses_pooled"),
