@@ -26,13 +26,15 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.session import tune
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H-Q1-shaped pricing summary) on sf0.001."""
-    tune(spark)
+    tune(spark, "/root/testdata/sf0.001")
     return ops.REGISTRY["q_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
 def _wrap(fn: ops.QueryFn) -> ops.QueryFn:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        tune(spark)
+        # sf_dir lets tune() size the shuffle width from input volume
+        # (a no-op at driver scale; the scale fix at sf1/sf10 blowups)
+        tune(spark, sf_dir)
         return fn(spark, sf_dir)
 
     run.__doc__ = fn.__doc__

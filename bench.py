@@ -138,6 +138,14 @@ HEADLINE = [
     "q_hybrid_rrf",
     "q_retrieval_auc",
     "q_pca_project",
+    # round-12 additions (VERDICT r11 next-3): the post-r6 heavies the
+    # sf10 probe ranked most expensive — appended at the END so every
+    # earlier prefix stays round-over-round comparable (r3 precedent)
+    "q_er_resolve",
+    "q_item_cf",
+    "q_hits",
+    "q_link_prediction",
+    "q_negative_sampling",
 ]
 
 # In-run paired calibration (VERDICT r8 next-1): the host's tenancy
@@ -196,8 +204,10 @@ def _cpu_probe(nproc: int) -> dict:
 # --------------------- parent: tee log, grep exceptions ---------------------
 
 # artifact dir: default = repo root (the driver's contract); off-scale
-# runs (--sf-dir) point this elsewhere so an sf1 bench can never
-# clobber the committed sf0.1 sidecar/log (round 11)
+# runs redirect it — either explicitly via SPARK_BENCH_OUT_DIR or
+# automatically when --sf-dir is passed without it (main() rebinds
+# these three and defaults the env var to a tmp dir, r12) — so an sf1
+# bench can never clobber the committed sf0.1 sidecar/log
 _OUT_DIR = os.environ.get("SPARK_BENCH_OUT_DIR", _REPO)
 _LOG_PATH = os.path.join(_OUT_DIR, "bench_spark_log.txt")
 _SIDECAR = os.path.join(_OUT_DIR, "bench_secondary.json")
@@ -720,6 +730,22 @@ def main() -> None:
     args = ap.parse_args()
     if args.sf_dir:
         os.environ["SPARK_GRAFT_SF_DIR"] = args.sf_dir
+        # An off-scale run must never clobber the committed sf0.1
+        # artifacts: when the caller didn't pick an out dir, default it
+        # to a tmp dir (r12, ADVICE — previously only the env var
+        # redirected, so bare `--sf-dir <sf1>` overwrote the repo-root
+        # log/sidecar).  The module-level paths were computed at import
+        # time, so rebind them for this parent too.
+        if "SPARK_BENCH_OUT_DIR" not in os.environ:
+            import tempfile
+
+            out = os.path.join(tempfile.gettempdir(), "spark_bench_offscale")
+            os.makedirs(out, exist_ok=True)
+            os.environ["SPARK_BENCH_OUT_DIR"] = out
+        global _OUT_DIR, _LOG_PATH, _SIDECAR
+        _OUT_DIR = os.environ["SPARK_BENCH_OUT_DIR"]
+        _LOG_PATH = os.path.join(_OUT_DIR, "bench_spark_log.txt")
+        _SIDECAR = os.path.join(_OUT_DIR, "bench_secondary.json")
     if args.sf:
         os.environ["SPARK_GRAFT_SF_LABEL"] = args.sf
     if args.attempts is not None:

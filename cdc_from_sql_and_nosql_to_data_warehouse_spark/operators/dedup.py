@@ -198,6 +198,11 @@ _M31 = 2147483647  # fold to < 2^31 so a*h+b stays inside 2^63
 # Shared DuckDB CTE: distinct hashed word-3-gram shingles per document,
 # short (< 3-token) documents excluded — generate_series(1, 0) is empty
 # in DuckDB, and the Spark side's _shingle_starts guard matches it.
+# COUPLING: _sampled_docs_sql() (below) rewrites the single literal
+# "FROM documents" in this string via str.replace to inject the
+# md5-slice WHERE clause for sampled oracles — if you add a WHERE here
+# or a second "FROM documents" occurrence, update _sampled_docs_sql in
+# the same change or the sampled SQL silently goes wrong.
 _SQL_SHINGLES = f"""
     sh AS (
       SELECT doc_id,
@@ -1228,7 +1233,16 @@ _SAMPLE_THR = "10"  # md5 hex prefix: '10'/'100...' ≈ 1/16 of key space
 
 
 def _sampled_docs_sql(thr: str = _SAMPLE_THR) -> str:
-    """_SQL_SHINGLES with the corpus restricted to the md5 slice."""
+    """_SQL_SHINGLES with the corpus restricted to the md5 slice.
+
+    Patches the single "FROM documents" literal in _SQL_SHINGLES (see
+    the COUPLING note at its definition); asserts the occurrence count
+    so a future edit there breaks loudly instead of producing a
+    silently wrong sampled oracle."""
+    assert _SQL_SHINGLES.count("FROM documents") == 1, (
+        "_SQL_SHINGLES changed shape; update _sampled_docs_sql's "
+        "replace-site (see COUPLING note at _SQL_SHINGLES)"
+    )
     return _SQL_SHINGLES.replace(
         "FROM documents",
         "FROM documents "
@@ -1461,27 +1475,44 @@ _LINKAGE_W = {"nation": 22, "segment": 16, "acctbal": 19, "name": 31}
 # suffix-3 key has a FIXED domain (≤1000 digit blocks on this data),
 # so block populations grow linearly with the corpus and pair volume
 # quadratically — at the 100× blowup that was 1.1B candidate pairs and
-# a heap OOM.  Blocks larger than the cap re-block on suffix-6 (a
-# REFINEMENT: equal suffix-6 ⇒ equal suffix-3, so sub-blocks nest and
-# identical-name true duplicates are never separated).  Below the cap
+# a heap OOM.  Blocks larger than the cap re-block on suffix-6, and
+# (round 12, VERDICT r11 next-5) suffix-6 blocks STILL over the cap
+# re-block once more on suffix-9 — each step a REFINEMENT: equal
+# suffix-9 ⇒ equal suffix-6 ⇒ equal suffix-3, so sub-blocks nest and
+# identical-name true duplicates are never separated.  Below the cap
 # — every driver-checked SF through sf1 (≤150/block) — the output is
-# bit-identical to plain suffix-3 blocking; both engines carry the
-# same rule so the contract holds at every SF.
+# bit-identical to plain suffix-3 blocking; at sf10 the post-refine
+# blocks are the ~100-copy replica name groups, under the cap; both
+# engines carry the same two-level rule so the contract holds at every
+# SF.  A block that exceeds the cap even at suffix-9 (a bulk group of
+# near-identical full names) is irreducible by suffix blocking — the
+# engine raises a loud error (_guard_er_blocks) instead of silently
+# going quadratic toward an executor OOM.
 _ER_BLOCK_CAP = 256
 
 _SQL_LINKAGE_SCORED = f"""c0 AS (
       SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
-        substr(c_name, length(c_name) - 2, 3) AS blk3
+        substr(c_name, length(c_name) - 2, 3) AS blk3,
+        substr(c_name, length(c_name) - 5, 6) AS blk6,
+        substr(c_name, length(c_name) - 8, 9) AS blk9
       FROM customer
     ),
     bsz AS (SELECT blk3, COUNT(*) AS n FROM c0 GROUP BY blk3),
+    bsz6 AS MATERIALIZED (
+      SELECT c0.blk6, COUNT(*) AS n6
+      FROM c0 JOIN bsz ON bsz.blk3 = c0.blk3
+      WHERE bsz.n > {_ER_BLOCK_CAP}
+      GROUP BY c0.blk6
+    ),
     c AS (
       SELECT c0.c_custkey, c0.c_name, c0.c_nationkey, c0.c_mktsegment,
         c0.c_acctbal,
         CASE WHEN bsz.n > {_ER_BLOCK_CAP}
-          THEN substr(c0.c_name, length(c0.c_name) - 5, 6)
+          THEN CASE WHEN bsz6.n6 > {_ER_BLOCK_CAP}
+                 THEN c0.blk9 ELSE c0.blk6 END
           ELSE c0.blk3 END AS blk
       FROM c0 JOIN bsz ON bsz.blk3 = c0.blk3
+        LEFT JOIN bsz6 ON bsz6.blk6 = c0.blk6
     ),
     scored AS (
       SELECT a.c_custkey AS a, b.c_custkey AS b,
@@ -1495,13 +1526,44 @@ _SQL_LINKAGE_SCORED = f"""c0 AS (
     )"""
 
 
+def _guard_er_blocks(c: DataFrame) -> None:
+    """Loud scale guard (r12, VERDICT r11 next-5): if any FINAL block
+    still exceeds the cap after both refinement levels, candidate
+    generation within it is irreducibly quadratic by suffix blocking —
+    fail with a clear error instead of letting the pair join crawl
+    toward an executor OOM.  Cost: one tiny aggregate over the blocked
+    key column (column-pruned scan; block-size table is bounded by the
+    refined key domain), run once per query build — the same eager
+    pre-pass precedent as assign_dense_ids' partition counts."""
+    hot = (
+        c.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > _ER_BLOCK_CAP)
+        .orderBy(F.desc("n"))
+        .limit(3)
+        .collect()
+    )
+    if hot:
+        worst = ", ".join(f"{r['blk']!r}:{r['n']}" for r in hot)
+        raise RuntimeError(
+            f"ER blocking: {len(hot)}+ post-refinement blocks exceed "
+            f"_ER_BLOCK_CAP={_ER_BLOCK_CAP} (worst {worst}); a bulk group "
+            "of identical name suffixes is irreducible by suffix blocking "
+            "— shard these records by another attribute (nation/segment) "
+            "or raise the cap knowingly before the pair join goes "
+            "quadratic within the block."
+        )
+
+
 def _linkage_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of ``_SQL_LINKAGE_SCORED``: suffix-3-blocked customer
     pairs with the integer Fellegi-Sunter agreement score, with the
-    ``_ER_BLOCK_CAP`` adaptive sub-blocking rule (oversized blocks
-    refine to suffix-6 — see the cap's comment; identical at every
-    SF whose blocks fit the cap, which includes all driver-checked
-    SFs through sf1)."""
+    ``_ER_BLOCK_CAP`` TWO-LEVEL adaptive sub-blocking rule (oversized
+    suffix-3 blocks refine to suffix-6; still-oversized suffix-6
+    blocks refine to suffix-9 — see the cap's comment; identical at
+    every SF whose blocks fit the cap, which includes all
+    driver-checked SFs through sf1) and the loud over-cap guard
+    (_guard_er_blocks)."""
     c0 = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
@@ -1509,22 +1571,38 @@ def _linkage_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "c_acctbal",
         F.substring(F.col("c_name"), -3, 3).alias("blk3"),
+        F.substring(F.col("c_name"), -6, 6).alias("blk6"),
+        F.substring(F.col("c_name"), -9, 9).alias("blk9"),
     )
-    # block-size table: bounded by the suffix-3 key domain, not the
-    # data — but left unhinted so AQE picks the join strategy
+    # block-size tables: bounded by the suffix key domains, not the
+    # data — but left unhinted so AQE picks the join strategies
     bsz = c0.groupBy("blk3").agg(F.count(F.lit(1)).alias("bn"))
-    c = c0.join(bsz, "blk3").select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        "c_mktsegment",
-        "c_acctbal",
-        F.when(
-            F.col("bn") > _ER_BLOCK_CAP, F.substring(F.col("c_name"), -6, 6)
-        )
-        .otherwise(F.col("blk3"))
-        .alias("blk"),
+    bsz6 = (
+        c0.join(bsz, "blk3")
+        .filter(F.col("bn") > _ER_BLOCK_CAP)
+        .groupBy("blk6")
+        .agg(F.count(F.lit(1)).alias("bn6"))
     )
+    c = (
+        c0.join(bsz, "blk3")
+        .join(bsz6, "blk6", "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.when(
+                F.col("bn") > _ER_BLOCK_CAP,
+                F.when(F.col("bn6") > _ER_BLOCK_CAP, F.col("blk9")).otherwise(
+                    F.col("blk6")
+                ),
+            )
+            .otherwise(F.col("blk3"))
+            .alias("blk"),
+        )
+    )
+    _guard_er_blocks(c)
     a, b = c.alias("a"), c.alias("b")
     score = (
         F.when(

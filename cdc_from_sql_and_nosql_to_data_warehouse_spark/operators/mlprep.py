@@ -19,6 +19,8 @@ bit-identical doubles and the driver's value-hash matches.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1442,6 +1444,15 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CF_MAX_DEGREE = 30  # hub cap: users above this contribute no pairs
 _CF_TOPK = 5
+# User-shard count for the two-level pair aggregation (r12, VERDICT
+# r11 next-4): pair evidence first aggregates at (shard, i, j) where
+# shard = hash(user) % S, then sums per (i, j).  Identical output by
+# sum associativity (each user's evidence lands in exactly one shard);
+# the win is at the blowup decades — hot item pairs' evidence rows
+# split across S reduce keys, so no single reduce task owns a popular
+# pair's full count stream (the sf10 probe measured 62 GB spill with
+# the single-level agg).  Env-tunable for probes.
+_CF_SHARDS = int(os.environ.get("SPARK_GRAFT_CF_SHARDS", "16"))
 
 
 @register(
@@ -1509,7 +1520,10 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: distinct-interactions aggregate → windowed degree filter →
     self-equi-join on user_id (i<j kills the diagonal and halves the
-    work) → pair hash agg → two |items|-bounded norm joins → literal
+    work) → TWO-LEVEL pair hash agg (per-user-shard partials, then a
+    ≤_CF_SHARDS-rows-per-pair merge — hot pairs never serialize
+    through one reduce task; identical by sum associativity, see
+    _CF_SHARDS) → two |items|-bounded norm joins → literal
     top-k rank, which Spark rewrites to WindowGroupLimit (k-row heaps
     before the exchange, plan-pinned in tests/test_round10_ops.py).
     Every float is one 6dp-rounded division of exact integers."""
@@ -1537,14 +1551,22 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("deg")
     )
     b = capped.withColumnsRenamed({"user_id": "user_id_b", "item_id": "j"})
+    # two-level pair count (see _CF_SHARDS): per-user-shard partials,
+    # then one bounded merge of <= S rows per pair
     pairs = (
         capped.join(
             b,
             (F.col("user_id") == F.col("user_id_b"))
             & (F.col("item_id") < F.col("j")),
         )
-        .groupBy(F.col("item_id").alias("i"), "j")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy(
+            F.pmod(F.xxhash64("user_id"), F.lit(_CF_SHARDS)).alias("shard"),
+            F.col("item_id").alias("i"),
+            "j",
+        )
+        .agg(F.count(F.lit(1)).alias("sc"))
+        .groupBy("i", "j")
+        .agg(F.sum("sc").cast("bigint").alias("c"))
     )
     sym = pairs.unionByName(
         pairs.select(

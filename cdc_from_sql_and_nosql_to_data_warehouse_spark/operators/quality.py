@@ -738,6 +738,17 @@ def q_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------- Simpson's paradox
 
 
+def _xmul_sign(x: str, v: str, y: str, u: str):
+    """sign(x·v − y·u) with the cross-multiply done in decimal(19,0) so
+    a product of two large int64 counts can never overflow (exact below
+    ~1e38; DuckDB's int128 arithmetic agrees).  The double cast at the
+    end carries only the sign into signum."""
+    d = F.col(x).cast("decimal(19,0)") * F.col(v).cast("decimal(19,0)") - (
+        F.col(y).cast("decimal(19,0)") * F.col(u).cast("decimal(19,0)")
+    )
+    return F.signum(d.cast("double"))
+
+
 @register(
     "q_simpsons_check",
     oracle="""
@@ -786,9 +797,11 @@ def q_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic aggregation trap every metrics warehouse should alarm on
     before a pooled "segment A returns more" headline ships.
 
-    Exactness: the direction test cross-multiplies INTEGER counts
-    (ra·nb − rb·na), so the comparison — including the sign product
-    against the pooled direction — never touches a float; displayed
+    Exactness: the direction test cross-multiplies counts in exact
+    decimal arithmetic (ra·nb − rb·na in decimal(19,0) products,
+    overflow-free below ~1e38 — see _xmul_sign), so the comparison —
+    including the sign product against the pooled direction — never
+    rounds; displayed
     rates are integer-ratio doubles with 6dp guards and NULL on empty
     strata.
 
@@ -836,21 +849,16 @@ def q_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("na") > 0) & (F.col("nb") > 0)
             & (F.col("p_na") > 0) & (F.col("p_nb") > 0)
             & (
-                # compare SIGNS, never the raw product: each
-                # cross-multiplied direction term fits int64 at any
-                # realistic SF, but their PRODUCT overflows it at the
-                # 100x blowup (~(3.6e15)^2) — caught by the sf10 probe;
-                # DuckDB's int128 SUM masked it, Spark ANSI errored
-                F.signum(
-                    (F.col("ra") * F.col("nb") - F.col("rb") * F.col("na"))
-                    .cast("double")
-                )
-                * F.signum(
-                    (
-                        F.col("p_ra") * F.col("p_nb")
-                        - F.col("p_rb") * F.col("p_na")
-                    ).cast("double")
-                )
+                # compare SIGNS, never the raw product, and do the
+                # cross-multiply in decimal: two int64 counts multiplied
+                # in int64 overflow at blowups past sf10 (caught by the
+                # sf10 probe; DuckDB's int128 masks what Spark ANSI
+                # errors on).  decimal(19,0)x(19,0) holds any product of
+                # counts below ~1e38 exactly, so the sign is exact at
+                # any scale; the final double cast only carries the sign
+                # into signum (r12, ADVICE).
+                _xmul_sign("ra", "nb", "rb", "na")
+                * _xmul_sign("p_ra", "p_nb", "p_rb", "p_na")
                 < 0
             )
         ).alias("reverses_pooled"),

@@ -16,9 +16,71 @@ import os
 
 from pyspark.sql import SparkSession
 
-# One partition per core locally; AQE coalesces small shuffles back down
-# and splits skewed ones, so this is a ceiling, not a schedule.
-_DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# ---------------- data-aware shuffle width (r12, VERDICT r11 next-1)
+#
+# The sf10 probe's single biggest finding: core-count shuffle width is
+# right at sf0.1 but gives ~220 s-median reduce tasks at the 1000x
+# blowup — the width must scale with input volume, exactly what a real
+# cluster does via coalescePartitions.initialPartitionNum.  The sizing
+# rule (recorded in SCALE.md):
+#
+#   width = clamp(cores, ceil(input_bytes / 64 MB), 4096)
+#
+# 64 MB of on-disk parquet per reduce partition ≈ 150-250 MB in-flight
+# after decompression — bounded per-task state at any SF; at sf0.1
+# (~100 MB) the rule floors to the core count (today's behavior, so the
+# driver bench is untouched), at the sf10 blowup (~18 GB) it lands at
+# ~280, matching the probe's empirically good hand-set 256.  AQE
+# coalescing remains the shrink path for queries that reduce early.
+_TARGET_SHUFFLE_BYTES = 64 << 20
+_MAX_SHUFFLE_WIDTH = 4096
+_DIR_BYTES_CACHE: dict[str, int] = {}
+
+
+def _input_bytes(sf_dir: str) -> int:
+    """Total on-disk bytes of data files under ``sf_dir`` (cached —
+    tune() runs once per query call)."""
+    got = _DIR_BYTES_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    total = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            if f.endswith((".parquet", ".csv", ".json", ".ndjson", ".orc")):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:  # pragma: no cover - racing deletion
+                    pass
+    _DIR_BYTES_CACHE[sf_dir] = total
+    return total
+
+
+def shuffle_width_for(sf_dir: str | None, cores: int | None = None) -> int:
+    """The data-aware shuffle width for a dataset directory.
+
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` overrides (probe/driver escape
+    hatch); unknown or missing dirs fall back to the core count.
+    """
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env:
+        return int(env)
+    cores = int(cores or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if not sf_dir or not os.path.isdir(sf_dir):
+        return cores
+    need = -(-_input_bytes(sf_dir) // _TARGET_SHUFFLE_BYTES)  # ceil div
+    return max(cores, min(_MAX_SHUFFLE_WIDTH, need))
+
+
+def size_shuffle(spark: SparkSession, sf_dir: str | None) -> int:
+    """Apply the sizing rule to a live session (runtime-settable confs:
+    the pre-AQE shuffle width and AQE's initialPartitionNum; AQE then
+    coalesces down per-stage)."""
+    width = shuffle_width_for(sf_dir, spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(width)
+    )
+    return width
 
 
 def get_spark(app_name: str = "cdc_warehouse_spark") -> SparkSession:
@@ -30,7 +92,16 @@ def get_spark(app_name: str = "cdc_warehouse_spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", _DEFAULT_SHUFFLE_PARTITIONS)
+        # data-aware when SPARK_GRAFT_SF_DIR is set (bench/replay export
+        # it); floors to the core count at driver scale (r12)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_width_for(os.environ.get("SPARK_GRAFT_SF_DIR"), cpus)),
+        )
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(shuffle_width_for(os.environ.get("SPARK_GRAFT_SF_DIR"), cpus)),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -39,7 +110,7 @@ def get_spark(app_name: str = "cdc_warehouse_spark") -> SparkSession:
     return builder.getOrCreate()
 
 
-def tune(spark: SparkSession) -> SparkSession:
+def tune(spark: SparkSession, sf_dir: str | None = None) -> SparkSession:
     """Apply runtime-settable engine conf to an externally built session.
 
     The driver calls ``entry(spark)`` / ``queries()`` with its own session;
@@ -49,7 +120,13 @@ def tune(spark: SparkSession) -> SparkSession:
     permissive casts are reproduced locally via try_cast in
     functions/normalize.py, so the operators are correct under either
     ansi setting and the driver's session keeps its own default.
+
+    When the caller knows the dataset directory (``__spark_entry__._wrap``
+    passes it per query; otherwise ``SPARK_GRAFT_SF_DIR`` is consulted),
+    the shuffle width is sized from input volume (r12, see the sizing
+    rule above) — a no-op at driver scale, the scale fix at sf10+.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    size_shuffle(spark, sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR"))
     return spark

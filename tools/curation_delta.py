@@ -134,11 +134,11 @@ def main() -> None:
 
     # ---------------- maintained state (one-time, base-proportional)
     t0 = time.perf_counter()
+    # every base fingerprint ever seen; dedup survivors are a strict
+    # subset of base, so one distinct over base covers both (r12, ADVICE)
     fp_index = (
-        stage_dedup(base)  # base survivors' identity...
-        .select(X.fingerprint("text").alias("fp"))
-        .unionByName(base.select(X.fingerprint("text").alias("fp")))
-        .distinct()  # ...plus every base fingerprint ever seen
+        base.select(X.fingerprint("text").alias("fp"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
     eval_grams = (

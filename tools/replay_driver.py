@@ -97,6 +97,10 @@ def main() -> None:
                     "hash-compared against the exact DuckDB truth computed "
                     "over the slice — a bounded value check where the "
                     "textbook all-pairs oracle is infeasible")
+    ap.add_argument("--json-out", default=None,
+                    help="write per-query verdict records to this JSON file "
+                    "(r12: lets sweep tools merge value verdicts into probe "
+                    "artifacts without scraping stdout)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -110,7 +114,24 @@ def main() -> None:
         "spark.sql.files.maxPartitionBytes",
         os.environ.get("SPARK_GRAFT_MAXPART", "8m"),
     )
+    # data-aware shuffle width for off-default SFs (r12: engine rule,
+    # floors to cores at driver scale)
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.session import size_shuffle
+
+    size_shuffle(spark, args.sf)
     con = duckdb.connect()
+    # large-SF sweeps bound the oracle's parallelism/spill so a
+    # quadratic textbook oracle can't monopolize the host (r12; unset =
+    # DuckDB defaults, the driver-scale behavior)
+    if os.environ.get("SPARK_GRAFT_DUCKDB_THREADS"):
+        con.execute(
+            f"SET threads={int(os.environ['SPARK_GRAFT_DUCKDB_THREADS'])}"
+        )
+    if os.environ.get("SPARK_GRAFT_DUCKDB_TEMP"):
+        os.makedirs(os.environ["SPARK_GRAFT_DUCKDB_TEMP"], exist_ok=True)
+        con.execute(
+            f"SET temp_directory='{os.environ['SPARK_GRAFT_DUCKDB_TEMP']}'"
+        )
     # Spark-WRITTEN parquet (the sf1 blowup) marks timestamps
     # isAdjustedToUTC=true, which DuckDB reads as TIMESTAMPTZ — its
     # isoformat then carries "+00:00" while Spark's session-zone
@@ -133,6 +154,13 @@ def main() -> None:
         )
         con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM '{src}'")
 
+    recs: dict[str, dict] = {}
+
+    def _flush_recs() -> None:
+        if args.json_out:
+            with open(args.json_out, "w") as fh:
+                json.dump(recs, fh, indent=1, sort_keys=True)
+
     if args.sampled_oracle:
         names = args.names or sorted(ops.SAMPLED_ORACLES)
         bad = []
@@ -140,6 +168,8 @@ def main() -> None:
             samp = ops.SAMPLED_ORACLES.get(name)
             if samp is None:
                 bad.append(name)
+                recs[name] = {"status": "ERR",
+                              "error": "no SampledOracle registered"}
                 print(f"{name:36s} ERR  no SampledOracle registered")
                 continue
             t0 = time.perf_counter()
@@ -159,11 +189,17 @@ def main() -> None:
                 status = "OK-SAMPLED" if ok else "FAIL-SAMPLED"
                 if not ok:
                     bad.append(name)
+                recs[name] = {"status": status, "rows": len(srows),
+                              "oracle_rows": len(orows),
+                              "wall_sec": round(time.perf_counter() - t0, 2)}
                 print(f"{name:36s} {status} rows={len(srows)}/{len(orows)} "
                       f"{time.perf_counter()-t0:5.1f}s")
             except Exception as e:  # noqa: BLE001 - report and continue
                 bad.append(name)
+                recs[name] = {"status": "ERR",
+                              "error": f"{type(e).__name__}: {e}"[:300]}
                 print(f"{name:36s} ERR  {type(e).__name__}: {e}")
+        _flush_recs()
         print(json.dumps({"checked": len(names), "failed": bad,
                           "protocol": "sampled"}))
         sys.exit(1 if bad else 0)
@@ -185,6 +221,8 @@ def main() -> None:
             cols = sorted(df.columns)
             srows = ["|".join(canon(row[c]) for c in cols) for row in df.collect()]
             if not spec.oracle:
+                recs[name] = {"status": "rows-only", "rows": len(srows),
+                              "wall_sec": round(time.perf_counter() - t0, 2)}
                 print(f"{name:36s} rows-only  spark={len(srows)}  "
                       f"{time.perf_counter()-t0:5.1f}s")
                 continue
@@ -215,6 +253,9 @@ def main() -> None:
                     finally:
                         timer.cancel()
                 if cur is None:
+                    recs[name] = {"status": "ORACLE-TIMEOUT",
+                                  "rows": len(srows),
+                                  "timeout_sec": args.oracle_timeout}
                     print(
                         f"{name:36s} ORACLE-TIMEOUT spark_rows={len(srows)} "
                         f"(oracle > {args.oracle_timeout:.0f}s at this SF)"
@@ -231,11 +272,18 @@ def main() -> None:
             status = "OK " if (ok_rows and ok_schema and ok_hash) else "FAIL"
             if status == "FAIL":
                 bad.append(name)
+            recs[name] = {"status": status.strip(), "rows": len(srows),
+                          "oracle_rows": len(orows), "schema": ok_schema,
+                          "hash": ok_hash,
+                          "wall_sec": round(time.perf_counter() - t0, 2)}
             print(f"{name:36s} {status} rows={len(srows)}/{len(orows)} "
                   f"schema={ok_schema} hash={ok_hash}  {time.perf_counter()-t0:5.1f}s")
         except Exception as e:  # noqa: BLE001 - report and continue
             bad.append(name)
+            recs[name] = {"status": "ERR",
+                          "error": f"{type(e).__name__}: {e}"[:300]}
             print(f"{name:36s} ERR  {type(e).__name__}: {e}")
+    _flush_recs()
     print(json.dumps({"checked": len(names), "failed": bad}))
     if bad:
         sys.exit(1)

@@ -74,19 +74,17 @@ def main() -> None:
     spark = S.build_session()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
-    # Shuffle width must SCALE WITH DATA: build_session defaults
-    # spark.sql.shuffle.partitions to the core count (right at sf0.1),
-    # but at the 100x blowup that gave ~46 reduce tasks of ~220 s
-    # MEDIAN each (measured — the first probe run burned 30+ min
-    # inside single stages).  8x the cores keeps per-task state
-    # bounded; AQE coalesces the small ones back — this is exactly the
-    # initialPartitionNum sizing a real cluster does per table volume.
-    width = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256")
-    spark.conf.set("spark.sql.shuffle.partitions", width)
-    spark.conf.set(
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", width
-    )
+    # Shuffle width must SCALE WITH DATA (this probe's r11 finding:
+    # core-count width gave ~220 s-median reduce tasks here).  r12
+    # moved the sizing INTO the engine — session.size_shuffle derives
+    # width from input volume (bytes/64MB, floor=cores, cap 4096;
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS still overrides) — so the probe
+    # now exercises the same path any engine caller gets.
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.session import size_shuffle
+
     sf_dir = S.BLOWUP_DIR
+    width = size_shuffle(spark, sf_dir)
+    print(f"shuffle width (engine-sized): {width}", flush=True)
     # warmup: page-cache the inputs + compile one trivial job
     spark.range(1000).selectExpr("sum(id)").collect()
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
