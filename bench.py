@@ -424,9 +424,12 @@ def _emit(attempts: list[dict], gate: float) -> None:
         pass
     obj = dict(best["obj"])
     probe_before, probe_after = best["probe_before"], best["probe_after"]
+    # Line-budget note (r12): with 51 headliners the final line must
+    # shed ~150 chars to stay inside the driver's ~2000-char tail.
+    # The on-line probe keeps the judgment fields (efficiencies,
+    # best_of, clean); raw single-thread ms live in the sidecar's
+    # cpu_probe_before/after as always.
     obj["probe"] = {
-        "st0_ms": probe_before["single_ms"],
-        "st1_ms": probe_after["single_ms"],
         "eff0": probe_before["par_eff"],
         "eff1": probe_after["par_eff"],
         "best_of": len(attempts),
@@ -437,18 +440,26 @@ def _emit(attempts: list[dict], gate: float) -> None:
     }
     exc = best["exc"]
     obj["exc_n"] = exc["count"]
-    # self-explaining exception summary ON the artifact line: class
-    # histogram + benign verdict + first frame (truncated) — readable
-    # without SCALE.md archaeology
-    obj["exc"] = {
-        "n": exc["count"],
-        "classes": exc["classes"],
-        "benign": exc["benign"],
-        # 60 chars names the logger + message head; the full 300-char
-        # frame is in bench_secondary.json (was 80 until round 9 —
-        # trimmed for the paired array's line budget)
-        "first": (exc["first"] or "")[:60] or None,
-    }
+    # self-explaining exception summary ON the artifact line — readable
+    # without SCALE.md archaeology.  When every frame matched a KNOWN
+    # BENIGN class, the compact form (count + top class + verdict)
+    # says everything the line needs and saves ~90 chars (r12 line
+    # budget); the full histogram + first frame stay in
+    # bench_secondary.json's log_exceptions either way.  Any NOT-benign
+    # outcome keeps the full self-explaining shape on the line.
+    if exc["benign"] and exc["classes"]:
+        top_class = max(exc["classes"].items(), key=lambda kv: kv[1])[0]
+        obj["exc"] = {"n": exc["count"], "benign": True, "class": top_class}
+    else:
+        obj["exc"] = {
+            "n": exc["count"],
+            "classes": exc["classes"],
+            "benign": exc["benign"],
+            # 60 chars names the logger + message head; the full
+            # 300-char frame is in bench_secondary.json (was 80 until
+            # round 9 — trimmed for the paired array's line budget)
+            "first": (exc["first"] or "")[:60] or None,
+        }
     # ADVISORY normalization (VERDICT r6 missing-1): scale raw wall by
     # the measured parallel efficiency, i.e. "what this total would
     # read on an unshared host" ASSUMING the workload is fully
@@ -492,10 +503,10 @@ def _clamped_line(obj: dict, limit: int = 1950) -> str:
     if len(line) > limit:
         obj["queries"] = {}
         line = json.dumps(obj)
-    if len(line) > limit and "exc" in obj:
+    if len(line) > limit and obj.get("exc", {}).get("first"):
         obj["exc"]["first"] = None
         line = json.dumps(obj)
-    if len(line) > limit and "exc" in obj:
+    if len(line) > limit and obj.get("exc", {}).get("classes"):
         top = sorted(obj["exc"]["classes"].items(), key=lambda kv: -kv[1])
         clamped = dict(top[:3])
         rest = sum(n for _, n in top[3:])
@@ -503,7 +514,7 @@ def _clamped_line(obj: dict, limit: int = 1950) -> str:
             clamped["_other"] = rest
         obj["exc"]["classes"] = clamped
         line = json.dumps(obj)
-    if len(line) > limit and "exc" in obj:
+    if len(line) > limit and obj.get("exc", {}).get("classes"):
         obj["exc"]["classes"] = {}
         line = json.dumps(obj)
     if len(line) > limit and "paired" in obj:
@@ -681,7 +692,11 @@ def _bench() -> None:
         "metric": "headline_query_wall_total",
         "value": total,
         "unit": "sec",
-        "queries": timings_min,
+        # 2dp on the LINE (r12: 51 headliners need ~50 chars back to
+        # stay inside the driver tail); the sidecar's queries_min
+        # keeps the 3dp source of truth, and cross-round drift reads
+        # from the paired ints anyway
+        "queries": {n: round(v, 2) for n, v in timings_min.items()},
         "sf": sf,
         # paired calibration (r9): ints are ratio*100, aligned with the
         # "queries" key order (= HEADLINE order); noise-immune
@@ -694,14 +709,15 @@ def _bench() -> None:
     # headline set ever grows the line past the driver's tail buffer,
     # drop per-query detail rather than ship an unparseable line.
     # (The parent adds probe/exc fields — leave it headroom: its own
-    # clamp is 1950, additions measure ~340 worst.)  Raw per-query
-    # walls go first (duplicated in the sidecar as queries_min); the
-    # paired array survives longer — it is the cross-round comparator.
+    # clamp is 1950, additions measure ~210 worst after the r12
+    # slimming of probe + benign-exc.)  Raw per-query walls go first
+    # (duplicated in the sidecar as queries_min); the paired array
+    # survives longer — it is the cross-round comparator.
     line = json.dumps(obj)
-    if len(line) > 1600:
+    if len(line) > 1740:
         obj["queries"] = {}
         line = json.dumps(obj)
-    if len(line) > 1600:
+    if len(line) > 1740:
         obj["paired"] = []
         line = json.dumps(obj)
     print(line)

@@ -1214,3 +1214,87 @@ def q_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late_frac"
         ),
     )
+
+
+# TTL ladder for the purge plan (days by event class — hot telemetry
+# expires fast, money events are kept long).  Literal per-type values
+# so the frontier arithmetic is identical in both engines.
+_TTL_DAYS = {"error": 2, "click": 5, "view": 7, "signup": 10, "purchase": 14}
+_TTL_DEFAULT = 30
+
+
+@register(
+    "q_ttl_purge_plan",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, ts,
+        CASE event_type
+          {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_TTL_DAYS.items()))}
+          ELSE {_TTL_DEFAULT} END AS ttl_days
+      FROM events WHERE ts IS NOT NULL
+    ),
+    wm AS (SELECT max(ts) AS w FROM e)
+    SELECT event_type,
+      CAST(ttl_days AS BIGINT) AS ttl_days,
+      wm.w - (ttl_days * INTERVAL 1 DAY) AS frontier_ts,
+      CAST(COUNT(*) AS BIGINT) AS n_total,
+      CAST(COUNT(*) FILTER (WHERE ts < wm.w - (ttl_days * INTERVAL 1 DAY))
+        AS BIGINT) AS n_purgeable,
+      min(ts) AS oldest_ts
+    FROM e CROSS JOIN wm
+    GROUP BY event_type, ttl_days, wm.w
+    """,
+)
+def q_ttl_purge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 retention/TTL as a BATCH PURGE PLAN (the auditable twin of
+    streaming/cdc.py's TTL eviction): per event class, the retention
+    frontier (corpus watermark minus the class TTL), how many rows
+    stand behind it (purge-eligible), and the oldest surviving
+    timestamp — the accounting a storage owner reads before running
+    the actual delete, and the same computation the incremental purge
+    job re-runs per micro-batch.
+
+    The watermark is data-derived (max ts), so the plan is
+    scale-consistent: the same query at any SF compares each row to
+    the same relative frontier.  NULL-timestamp rows are excluded in
+    both engines (untimestamped rows cannot age out).
+
+    Scale: one conditional hash aggregate over the fact table keyed by
+    the bounded event-type domain, plus a 1-row watermark broadcast —
+    no window, no join against data-scaled sides; interval arithmetic
+    is integer days on microsecond timestamps (exact in both
+    engines)."""
+    ttl = F.coalesce(
+        *[
+            F.when(F.col("event_type") == k, F.lit(v))
+            for k, v in sorted(_TTL_DAYS.items())
+        ],
+        F.lit(_TTL_DEFAULT),
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", "ts", ttl.alias("ttl_days"))
+    )
+    wm = e.agg(F.max("ts").alias("w"))
+    frontier = F.timestamp_add("DAY", -F.col("ttl_days"), F.col("w"))
+    return (
+        e.join(F.broadcast(wm))
+        .withColumn("frontier_ts", frontier)
+        .groupBy("event_type", "ttl_days", "frontier_ts")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.count(F.when(F.col("ts") < F.col("frontier_ts"), 1))
+            .cast("bigint")
+            .alias("n_purgeable"),
+            F.min("ts").alias("oldest_ts"),
+        )
+        .select(
+            "event_type",
+            F.col("ttl_days").cast("bigint").alias("ttl_days"),
+            "frontier_ts",
+            "n_total",
+            "n_purgeable",
+            "oldest_ts",
+        )
+    )

@@ -1371,3 +1371,377 @@ def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("kw_cnt") >= _KW_THR)
         ).alias("is_code"),
     )
+
+
+# ---------------------------------------------------------------- r12 ops
+
+# Gopher rule bounds (Rae et al. '21 §A1.1, public design), restricted
+# to the rules computable on whitespace-tokenized text (the line-shape
+# rules — bullet/ellipsis fractions — are vacuous on single-line docs
+# and deliberately omitted).  All thresholds compare via integer
+# cross-multiplication so no gate ever touches a float boundary.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_WLEN_LO = 3  # mean word length bounds
+_GOPHER_WLEN_HI = 10
+_GOPHER_ALPHA_NUM, _GOPHER_ALPHA_DEN = 8, 10  # >= 80% words alphabetic
+_GOPHER_MIN_STOPKINDS = 2
+
+_SQL_GOPHER_SW = "[" + ",".join(f"'{w}'" for w in X.STOPWORDS_EN) + "]"
+
+
+@register(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH {_SQL_TOKS},
+    ex AS (
+      SELECT doc_id, unnest(toks) AS t FROM toks
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(length(t)) AS BIGINT) AS sum_wlen,
+        CAST(COUNT(*) FILTER (WHERE regexp_matches(t, '[a-z]'))
+          AS BIGINT) AS n_alpha,
+        CAST(COUNT(DISTINCT CASE WHEN list_contains({_SQL_GOPHER_SW}, t)
+          THEN t END) AS BIGINT) AS n_stop_kinds
+      FROM ex GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_alpha, n_stop_kinds,
+      CAST(sum_wlen AS DOUBLE) / n_words AS mean_wlen,
+      (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+        AS ok_word_count,
+      (sum_wlen >= {_GOPHER_WLEN_LO} * n_words
+       AND sum_wlen <= {_GOPHER_WLEN_HI} * n_words) AS ok_mean_wlen,
+      ({_GOPHER_ALPHA_DEN} * n_alpha >= {_GOPHER_ALPHA_NUM} * n_words)
+        AS ok_alpha_words,
+      (n_stop_kinds >= {_GOPHER_MIN_STOPKINDS}) AS ok_stopwords,
+      ((n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+       AND sum_wlen >= {_GOPHER_WLEN_LO} * n_words
+       AND sum_wlen <= {_GOPHER_WLEN_HI} * n_words
+       AND {_GOPHER_ALPHA_DEN} * n_alpha >= {_GOPHER_ALPHA_NUM} * n_words
+       AND n_stop_kinds >= {_GOPHER_MIN_STOPKINDS}) AS pass_gopher
+    FROM m
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 document-quality GATE BATTERY (Gopher/MassiveText rules,
+    public design — Rae et al. '21): per-document boolean gates for
+    word count in [50, 100k], mean word length in [3, 10], >=80%
+    alphabetic words, and >=2 distinct stopwords present, plus the
+    conjunction (`pass_gopher`) a pretraining pipeline filters on.
+    Complements q_text_quality (a composite SCORE): gates give the
+    auditable per-rule rejection reason the score hides.
+
+    Exactness: every gate compares integers (mean-word-length bounds
+    via sum_wlen <=> k*n_words cross-multiplication), so no boolean
+    ever depends on a float rounding; the one emitted double
+    (mean_wlen) is an int/int IEEE division, bit-identical across
+    engines.  Zero-token documents drop at the explode in both engines
+    (they would fail the word-count gate anyway).
+
+    Scale: one explode + one hash aggregate keyed by doc_id (map-side
+    partials; per-group state is four counters) — the q_text_repetition
+    shape, linear in corpus tokens, no window, no join."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(X.tokens("text")).alias("t")
+    )
+    m = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.length("t")).cast("bigint").alias("sum_wlen"),
+        F.count(F.when(F.col("t").rlike("[a-z]"), 1))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.countDistinct(
+            F.when(F.col("t").isin(*X.STOPWORDS_EN), F.col("t"))
+        )
+        .cast("bigint")
+        .alias("n_stop_kinds"),
+    )
+    ok_words = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    ok_wlen = (
+        F.col("sum_wlen") >= _GOPHER_WLEN_LO * F.col("n_words")
+    ) & (F.col("sum_wlen") <= _GOPHER_WLEN_HI * F.col("n_words"))
+    ok_alpha = (
+        _GOPHER_ALPHA_DEN * F.col("n_alpha")
+        >= _GOPHER_ALPHA_NUM * F.col("n_words")
+    )
+    ok_stop = F.col("n_stop_kinds") >= _GOPHER_MIN_STOPKINDS
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_alpha",
+        "n_stop_kinds",
+        (F.col("sum_wlen").cast("double") / F.col("n_words"))
+        .alias("mean_wlen"),
+        ok_words.alias("ok_word_count"),
+        ok_wlen.alias("ok_mean_wlen"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wlen & ok_alpha & ok_stop).alias("pass_gopher"),
+    )
+
+
+# Boilerplate phrase detection: a 3-gram counts as boilerplate within a
+# source when it appears in at least _BP_MIN_DF distinct documents of
+# that source; the report keeps the top _BP_TOPK per source (literal
+# rank cap -> WindowGroupLimit).
+_BP_MIN_DF = 2
+_BP_TOPK = 20
+
+
+@register(
+    "q_boilerplate_ngrams",
+    oracle=f"""
+    WITH {_SQL_TOKS},
+    tg AS (
+      SELECT doc_id, source,
+        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+      FROM (
+        SELECT d.doc_id, d.source, t.toks,
+          unnest(generate_series(1, length(t.toks) - 2)) AS i
+        FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+        WHERE length(t.toks) >= 3
+      )
+    ),
+    df AS (
+      SELECT source, gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tg GROUP BY source, gram
+    ),
+    nsrc AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT df.source, gram, df, n_docs,
+        row_number() OVER (PARTITION BY df.source
+                           ORDER BY df DESC, gram) AS rn
+      FROM df JOIN nsrc ON nsrc.source = df.source
+      WHERE df >= {_BP_MIN_DF}
+    )
+    SELECT source, gram, df, n_docs,
+      CAST(df AS DOUBLE) / n_docs AS df_share, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_BP_TOPK}
+    """,
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate PHRASE DICTIONARY per source (CCNet/RefinedWeb-style
+    hygiene, public design): word-3-grams appearing in >= 2 distinct
+    documents of the same source, ranked by document frequency — the
+    header/footer/banner dictionary a cleaning pass strips before
+    near-dup detection (complements q_dedup_segments, which REMOVES
+    repeated segments; this REPORTS what repeats and how widely).
+
+    Plan: explode 3-gram start positions to flat (source, gram, doc)
+    rows in whole-stage codegen, COUNT(DISTINCT doc_id) by (source,
+    gram) (two-phase expand + partial agg), join the |sources|-bounded
+    doc-count table, literal top-20 rank per source — Spark plans
+    WindowGroupLimit, so per-task heap state is 20 rows.  df_share
+    divides identical integers in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tg = (
+        docs.select("doc_id", "source", X.tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 2)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                " ",
+                F.element_at("toks", F.col("i")),
+                F.element_at("toks", F.col("i") + 1),
+                F.element_at("toks", F.col("i") + 2),
+            ).alias("gram"),
+        )
+    )
+    df = tg.groupBy("source", "gram").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    nsrc = docs.groupBy(F.col("source").alias("nsource")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("df"), F.asc("gram"))
+    return (
+        df.filter(F.col("df") >= _BP_MIN_DF)
+        .join(nsrc, F.col("source") == F.col("nsource"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BP_TOPK)
+        .select(
+            "source",
+            "gram",
+            "df",
+            "n_docs",
+            (F.col("df").cast("double") / F.col("n_docs")).alias("df_share"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+# Quality-weighted selection: keep a document with probability equal to
+# its quality score, decided by the deterministic md5 coin — the
+# QuRating/DsDm-style data-selection shape (public designs) with an
+# engine-independent sampler, so the kept set is bit-reproducible.
+@register(
+    "q_quality_select",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+        {sql_toks_expr()} AS toks,
+        CAST(length(text) AS BIGINT) AS n_char,
+        CAST(length(text) - length(regexp_replace(text,
+          '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS BIGINT) AS n_punct
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source, n_char, n_punct,
+        CAST(length(toks) AS BIGINT) AS n_tok,
+        CAST(length(list_filter(toks, t -> list_contains(
+          {_SQL_GOPHER_SW}, t))) AS BIGINT) AS n_sw
+      FROM t
+    ), q AS (
+      SELECT doc_id, source, n_tok,
+        (least(CAST(n_char AS DOUBLE) / 400.0, 1.0)
+         + (1.0 - least((CASE WHEN n_char = 0 THEN 0.0
+              ELSE CAST(n_punct AS DOUBLE) / n_char END) * 4.0, 1.0))
+         + least((CASE WHEN n_tok = 0 THEN 0.0
+              ELSE CAST(n_sw AS DOUBLE) / n_tok END) * 2.0, 1.0)
+        ) / 3.0 AS quality,
+        {sql_md5_unit("'qsel' || CAST(doc_id AS VARCHAR)")} AS u
+      FROM s
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_in,
+      CAST(COUNT(*) FILTER (WHERE u < quality) AS BIGINT) AS n_kept,
+      CAST(COALESCE(SUM(n_tok) FILTER (WHERE u < quality), 0) AS BIGINT)
+        AS tokens_kept
+    FROM q GROUP BY source
+    """,
+)
+def q_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-WEIGHTED data selection (QuRating / DsDm shape, public
+    designs): each document is kept with probability equal to its
+    heuristic quality score, using the deterministic md5 coin
+    (u = md5('qsel'||doc_id)/2^60 < quality) instead of an RNG — the
+    kept set replays bit-identically on any cluster and in the oracle.
+    Complements q_dataset_mixture (UNIFORM per-source caps): here the
+    keep decision is per-document and quality-proportional, the
+    "sample good data more" arm of mixture design.
+
+    Exactness: quality is q_text_quality's composite (already
+    hash-green — bit-identical ratios across engines); u and quality
+    are both deterministic doubles, so u < quality is the same boolean
+    everywhere.  The audit emits per-source kept counts/token mass
+    (bounded by |sources|); the kept ROWS are the same filter without
+    the final aggregate.
+
+    Scale: flat per-row projections (no UDF) + one aggregate keyed by
+    source; the md5 coin is whole-stage-codegen'd JVM md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = md5_unit(F.concat(F.lit("qsel"), F.col("doc_id").cast("string")))
+    g = docs.select(
+        "source",
+        F.size(X.tokens("text")).cast("bigint").alias("n_tok"),
+        (u < X.quality_score("text")).alias("kept"),
+    )
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in"),
+        F.count(F.when(F.col("kept"), 1)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.sum(F.when(F.col("kept"), F.col("n_tok"))), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
+
+
+# Post-stratification weights: estimate corpus composition from a
+# deterministic md5 sample, then weight each stratum by
+# (population share) / (sample share) — the survey-statistics
+# correction every sampled-audit pipeline needs before extrapolating
+# sample metrics to the corpus.
+_PS_THR = "4"  # md5 hex prefix < '4' ~ 1/4 of the key space
+
+
+@register(
+    "q_poststrat_weights",
+    oracle=f"""
+    WITH pop AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_pop
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(SUM(n_pop) AS BIGINT) AS n_tot FROM pop),
+    samp AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_samp
+      FROM documents
+      WHERE md5(CAST(doc_id AS VARCHAR)) < '{_PS_THR}'
+      GROUP BY source, lang
+    ),
+    stot AS (SELECT CAST(COALESCE(SUM(n_samp), 0) AS BIGINT) AS n_stot
+             FROM samp)
+    SELECT p.source, p.lang, p.n_pop, COALESCE(s.n_samp, 0) AS n_samp,
+      CASE WHEN COALESCE(s.n_samp, 0) > 0
+        THEN round((CAST(p.n_pop AS DOUBLE) / t.n_tot)
+                   / (CAST(s.n_samp AS DOUBLE) / st.n_stot), 6)
+      END AS weight
+    FROM pop p
+    LEFT JOIN samp s ON s.source = p.source AND s.lang = p.lang
+    CROSS JOIN tot t CROSS JOIN stot st
+    """,
+)
+def q_poststrat_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POST-STRATIFICATION weights over a deterministic md5 sample
+    (survey-statistics design, public): sample ~1/4 of documents by
+    md5(doc_id) threshold, count per (source, lang) stratum in both
+    population and sample, and emit weight = pop_share / sample_share —
+    the correction factor that makes sampled audit metrics (quality
+    rates, contamination rates) unbiased corpus estimates.  Strata the
+    sample missed get NULL weight (flagged for a bigger slice), never a
+    silent 0.
+
+    Exactness: the md5 slice is the repo's standard cross-engine
+    sampler; weights are one 6dp-rounded division of two int-ratio
+    doubles.  Scale: two aggregates over the corpus (one filtered
+    map-side by the md5 predicate), 1-row totals broadcast, stratum
+    table bounded by |sources|x|langs|."""
+    docs = load_table(spark, sf_dir, "documents")
+    pop = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop")
+    )
+    samp = (
+        docs.filter(F.md5(F.col("doc_id").cast("string")) < _PS_THR)
+        .groupBy(F.col("source").alias("ssource"), F.col("lang").alias("slang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_samp_raw"))
+    )
+    tot = pop.agg(F.sum("n_pop").cast("bigint").alias("n_tot"))
+    stot = samp.agg(
+        F.coalesce(F.sum("n_samp_raw"), F.lit(0)).cast("bigint").alias("n_stot")
+    )
+    return (
+        pop.join(
+            samp,
+            (F.col("source") == F.col("ssource"))
+            & (F.col("lang") == F.col("slang")),
+            "left",
+        )
+        .join(F.broadcast(tot))
+        .join(F.broadcast(stot))
+        .select(
+            "source",
+            "lang",
+            "n_pop",
+            F.coalesce(F.col("n_samp_raw"), F.lit(0))
+            .cast("bigint")
+            .alias("n_samp"),
+            F.when(
+                F.coalesce(F.col("n_samp_raw"), F.lit(0)) > 0,
+                F.round(
+                    (F.col("n_pop").cast("double") / F.col("n_tot"))
+                    / (F.col("n_samp_raw").cast("double") / F.col("n_stot")),
+                    6,
+                ),
+            ).alias("weight"),
+        )
+    )

@@ -25,11 +25,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
     md5_prefix_int,
     md5_unit,
     sql_md5_int,
     sql_md5_unit,
+    sql_toks_expr,
 )
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
@@ -1598,4 +1600,139 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
             F.col("rn").cast("bigint").alias("rank"),
         )
+    )
+
+
+# ---------------------------------------------------------------- r12
+
+
+@register(
+    "q_curriculum_interleave",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY n_chars NULLS LAST, doc_id) AS BIGINT) AS rnk
+      FROM documents
+    )
+    SELECT
+      CAST(row_number() OVER (ORDER BY rnk, source NULLS LAST, doc_id) - 1
+        AS BIGINT) AS global_pos,
+      doc_id, source, rnk
+    FROM ranked
+    """,
+)
+def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM training order with source interleaving (public
+    curriculum-learning design, Bengio et al. '09 shape): rank each
+    source's documents by difficulty (length proxy n_chars, id
+    tie-break), then emit the global epoch order that round-robins
+    sources at equal difficulty rank — easy examples first WITHOUT any
+    source monopolizing a training window, the deterministic epoch
+    schedule a trainer replays bit-identically.
+
+    Scale: the per-source rank is one shuffle keyed by source; the
+    global position uses assign_dense_ids (range-partitioned parallel
+    prefix sum — functions/ids.py) over (rnk, source, doc_id), NEVER a
+    single-task row_number over everything; the oracle's global
+    row_number is the semantic twin of that parallel plan (minus 1:
+    assign_dense_ids is 0-based)."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import (
+        assign_dense_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    # explicit NULLS LAST on both sides: Spark ASC defaults NULLS
+    # FIRST, DuckDB NULLS LAST (the round-6 window-ordering gotcha)
+    w = Window.partitionBy("source").orderBy(
+        F.asc_nulls_last("n_chars"), "doc_id"
+    )
+    ranked = docs.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    )
+    return assign_dense_ids(
+        ranked,
+        ["rnk", F.asc_nulls_last("source"), "doc_id"],
+        id_col="global_pos",
+    ).select(
+        F.col("global_pos").cast("bigint").alias("global_pos"),
+        "doc_id",
+        "source",
+        "rnk",
+    )
+
+
+# Power-of-two padding buckets a dynamic-batching loader uses; the
+# fixed ladder keeps the CASE chain integer-exact in both engines.
+_LB_LADDER = [16, 32, 64, 128, 256, 512, 1024, 4096]
+
+
+@register(
+    "q_length_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(length({sql_toks_expr()}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT n_tok,
+        CASE {' '.join(f'WHEN n_tok <= {c} THEN {c}' for c in _LB_LADDER)}
+        END AS bucket
+      FROM t WHERE n_tok >= 1 AND n_tok <= {_LB_LADDER[-1]}
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+      CAST(COUNT(*) * bucket - SUM(n_tok) AS BIGINT) AS pad_waste,
+      round(1.0 - CAST(SUM(n_tok) AS DOUBLE) / (COUNT(*) * bucket), 6)
+        AS waste_ratio
+    FROM b GROUP BY bucket
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED batching audit (dynamic-padding design every
+    sequence trainer uses, public): assign each document to the
+    smallest power-of-two token bucket on a fixed ladder and report
+    per-bucket document count, token mass, and the padding waste a
+    pad-to-bucket batcher would burn — the number that decides the
+    ladder before a single batch is built.  Documents beyond the
+    ladder (or empty) are excluded identically in both engines.
+
+    Exactness: the bucket is an integer CASE chain (no log2 float);
+    waste is pure integer arithmetic with one 6dp-rounded ratio.
+    Scale: a flat per-row projection plus one hash aggregate on a
+    bounded key domain (the 8-rung ladder) — map-side partials reduce
+    everything before the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(X.tokens("text")).cast("bigint")
+    t = docs.select(n_tok.alias("n_tok")).filter(
+        (F.col("n_tok") >= 1) & (F.col("n_tok") <= _LB_LADDER[-1])
+    )
+    expr = None
+    for c in _LB_LADDER:
+        expr = (
+            F.when(F.col("n_tok") <= c, F.lit(c))
+            if expr is None
+            else expr.when(F.col("n_tok") <= c, F.lit(c))
+        )
+    b = t.withColumn("bucket", expr.cast("bigint"))
+    agg = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+    )
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "sum_tok",
+        (F.col("n_docs") * F.col("bucket") - F.col("sum_tok"))
+        .cast("bigint")
+        .alias("pad_waste"),
+        F.round(
+            F.lit(1.0)
+            - F.col("sum_tok").cast("double")
+            / (F.col("n_docs") * F.col("bucket")),
+            6,
+        ).alias("waste_ratio"),
     )

@@ -1599,3 +1599,140 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_tokens").over(w).cast("bigint").alias("vocab_cum"),
         F.sum("n_occurrences").over(w).cast("bigint").alias("tokens_cum"),
     )
+
+
+# ---------------------------------------------------------------- r12
+
+
+@register(
+    "q_bleu_pairs",
+    oracle=f"""
+    WITH tt AS (
+      SELECT doc_id, source, {_SQL_TOKS} AS toks,
+        CAST(length({_SQL_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id AS cand_id, lead(doc_id) OVER w AS ref_id,
+        n_tok AS c_len, lead(n_tok) OVER w AS r_len
+      FROM tt WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+    ),
+    p AS (
+      SELECT * FROM pairs
+      WHERE ref_id IS NOT NULL AND c_len >= 2 AND r_len >= 2
+    ),
+    bg AS MATERIALIZED (
+      SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+        FROM (
+          SELECT doc_id, toks,
+            unnest(generate_series(1, length(toks) - 1)) AS i
+          FROM tt WHERE length(toks) >= 2
+        )
+      ) GROUP BY doc_id, gram
+    ),
+    ov AS (
+      SELECT p.cand_id, p.ref_id, p.c_len, p.r_len,
+        CAST(SUM(cg.c) AS BIGINT) AS n_bg_cand,
+        CAST(SUM(least(cg.c, COALESCE(rg.c, 0))) AS BIGINT) AS clipped
+      FROM p
+      JOIN bg cg ON cg.doc_id = p.cand_id
+      LEFT JOIN bg rg ON rg.doc_id = p.ref_id AND rg.gram = cg.gram
+      GROUP BY p.cand_id, p.ref_id, p.c_len, p.r_len
+    )
+    SELECT cand_id, ref_id, n_bg_cand, clipped,
+      CAST(clipped AS DOUBLE) / n_bg_cand AS precision2,
+      least(0.0, 1.0 - CAST(r_len AS DOUBLE) / c_len) AS bp_exponent
+    FROM ov
+    """,
+)
+def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-BLEU building blocks (Papineni et al. '02, public
+    design) over ADJACENT document pairs within each source (candidate
+    = doc, reference = the source's next doc by id): clipped modified
+    bigram precision plus the brevity-penalty exponent — the
+    inter-document similarity signal diversity audits (self-BLEU) and
+    near-template detection build on.
+
+    Cross-engine exactness: clip counts are integer min() sums;
+    precision2 and bp_exponent are single IEEE divisions of identical
+    integers — no exp/log is taken (consumers combine the components;
+    exponentiation last keeps the contract float-exact, the
+    q_retrieval_ndcg lesson).  Pairs where either side has < 2 tokens
+    carry no bigram and are excluded in both engines.
+
+    Scale: pairing is one lead() window per source (sort within
+    source, no global sort); bigram multisets explode to flat codegen
+    rows and hash-aggregate; the clip join is keyed (ref_id, gram) —
+    candidate volume is |adjacent pairs| = |docs|, never all-pairs."""
+    tt = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        X.tokens("text").alias("toks"),
+        F.size(X.tokens("text")).cast("bigint").alias("n_tok"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        tt.select(
+            F.col("doc_id").alias("cand_id"),
+            F.lead("doc_id").over(w).alias("ref_id"),
+            F.col("n_tok").alias("c_len"),
+            F.lead("n_tok").over(w).alias("r_len"),
+        )
+        .filter(
+            F.col("ref_id").isNotNull()
+            & (F.col("c_len") >= 2)
+            & (F.col("r_len") >= 2)
+        )
+    )
+    bg = (
+        tt.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("toks", F.col("i")),
+                F.element_at("toks", F.col("i") + 1),
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cg = bg.withColumnsRenamed({"doc_id": "cg_doc", "c": "c_c"})
+    rg = bg.withColumnsRenamed(
+        {"doc_id": "rg_doc", "gram": "rgram", "c": "c_r"}
+    )
+    ov = (
+        pairs.join(cg, F.col("cg_doc") == F.col("cand_id"))
+        .join(
+            rg,
+            (F.col("rg_doc") == F.col("ref_id"))
+            & (F.col("rgram") == F.col("gram")),
+            "left",
+        )
+        .groupBy("cand_id", "ref_id", "c_len", "r_len")
+        .agg(
+            F.sum("c_c").cast("bigint").alias("n_bg_cand"),
+            F.sum(F.least(F.col("c_c"), F.coalesce(F.col("c_r"), F.lit(0))))
+            .cast("bigint")
+            .alias("clipped"),
+        )
+    )
+    return ov.select(
+        "cand_id",
+        "ref_id",
+        "n_bg_cand",
+        "clipped",
+        (F.col("clipped").cast("double") / F.col("n_bg_cand"))
+        .alias("precision2"),
+        F.least(
+            F.lit(0.0),
+            F.lit(1.0) - F.col("r_len").cast("double") / F.col("c_len"),
+        ).alias("bp_exponent"),
+    )

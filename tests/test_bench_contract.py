@@ -20,22 +20,24 @@ import bench
 from cdc_from_sql_and_nosql_to_data_warehouse_spark import operators as ops
 
 
-def _final_obj(timings: dict[str, float], paired_int: int = 9999) -> dict:
+def _final_obj(timings: dict[str, float], paired_int: int = 9999,
+               benign: bool = True) -> dict:
     # mirrors the PARENT's final shape: child fields plus the probe /
-    # exception summary injected by bench._parent()
+    # exception summary injected by bench._parent().  r12: the child
+    # rounds on-line walls to 2dp, the probe carries only the judgment
+    # fields, and an all-benign exception log compacts to
+    # {n, benign, class} — the slimming that fits 51 headliners.
     total = round(sum(timings.values()), 3)
-    return {
+    obj = {
         "metric": "headline_query_wall_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {n: round(v, 2) for n, v in timings.items()},
         "sf": 0.1,
         "paired": [paired_int] * len(bench.HEADLINE),
         "yard": {"q": bench.YARDSTICK, "w": 123.456},
         "value_paired": 12345.67,
         "probe": {
-            "st0_ms": 1234.5,
-            "st1_ms": 1234.5,
             "eff0": 0.123,
             "eff1": 0.123,
             "best_of": 3,
@@ -43,14 +45,19 @@ def _final_obj(timings: dict[str, float], paired_int: int = 9999) -> dict:
             "clean": False,
         },
         "exc_n": 1234,
-        "exc": {
-            "n": 1234,
-            "classes": {"contextcleaner_accum_race": 1234},
-            "benign": True,
-            "first": "E" * 60,
-        },
+        "exc": (
+            {"n": 1234, "benign": True, "class": "contextcleaner_accum_race"}
+            if benign
+            else {
+                "n": 1234,
+                "classes": {"contextcleaner_accum_race": 1234},
+                "benign": False,
+                "first": "E" * 60,
+            }
+        ),
         "value_norm": 12345.678,
     }
+    return obj
 
 
 def test_headline_names_are_registered():
@@ -81,7 +88,8 @@ def test_clamped_line_always_fits_and_keeps_paired():
     # bring the line under the buffer while KEEPING the paired array
     # (it only drops in the very last step)
     worst = _final_obj(
-        {name: 123.456 for name in bench.HEADLINE}, paired_int=99999
+        {name: 123.456 for name in bench.HEADLINE}, paired_int=99999,
+        benign=False,
     )
     worst["exc"]["classes"] = {f"SomeLongExceptionName{i}": i for i in range(20)}
     line = bench._clamped_line(worst)

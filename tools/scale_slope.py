@@ -229,7 +229,28 @@ def _shifted(df: DataFrame, table: str, i: int) -> DataFrame:
         # prefix-filter candidates) with any other replica
         df = df.withColumn(
             "text", F.regexp_replace(F.col("text"), r"(\w+)", rf"$1q{i}x")
-        ).withColumn("n_chars", F.length("text").cast("long"))
+        )
+        if os.environ.get("SPARK_GRAFT_BLOWUP_MODE") == "gated":
+            # GATED variant (r12, VERDICT r11 next-7): restore the
+            # language-marker/stopword tokens so replicas PASS the
+            # curation pipeline's language + stopword-ratio gates and
+            # the CURATED base actually grows with the blowup (the
+            # plain re-vocabulary fails the lang gate by construction,
+            # which left the curated state scale-invariant in the r11
+            # run).  Non-marker tokens stay replica-unique, so exact
+            # fingerprints differ and replicas survive exact dedup.
+            from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import (
+                text as X,
+            )
+
+            kept = "|".join(sorted(set(X.STOPWORDS_EN)))
+            df = df.withColumn(
+                "text",
+                F.regexp_replace(
+                    F.col("text"), rf"\b({kept})q{i}x\b", r"$1"
+                ),
+            )
+        df = df.withColumn("n_chars", F.length("text").cast("long"))
     return df
 
 

@@ -94,10 +94,30 @@ def main() -> None:
         load_table(spark, sf_dir, t).write.format("noop").mode(
             "overwrite").save()
 
-    rec: dict = {
+    # MERGE into the existing artifact (r12): a partial probe run (one
+    # or two named queries) must refresh only its own rows, never wipe
+    # the other 20 queries' recorded walls
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SF10_PROBE.json",
+    )
+    rec: dict = {"queries": {}}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                rec = json.load(f)
+        except ValueError:
+            pass
+    rec.update({
         "sf_dir": sf_dir,
         "scale": "sf10 (100x of sf0.1; ~60M-row lineitem, ~500k docs)",
-        "queries": {},
+    })
+    rec.setdefault("notes", {})["shuffle_width"] = (
+        f"engine-sized via session.size_shuffle = {width} "
+        "(see SCALE.md round 12 for the sizing rule; no probe-side "
+        "override)"
+    )
+    rec.setdefault("queries", {})
     }
     for name in names:
         best, skews = float("inf"), []
@@ -116,6 +136,9 @@ def main() -> None:
             gc.collect()
         worst_skew = max((s["skew"] for s in skews), default=None)
         rec["queries"][name] = {
+            # keep any orthogonal keys (e.g. sf10_value's "value"
+            # verdict) a previous tool merged onto this query's row
+            **rec["queries"].get(name, {}),
             "wall_sec": round(best, 2),
             "worst_stage_skew": worst_skew,
             **spill,
