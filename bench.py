@@ -723,6 +723,26 @@ def _bench() -> None:
     print(line)
 
 
+def _redirect_offscale_artifacts() -> None:
+    """An off-scale (--sf-dir) run must never clobber the committed
+    sf0.1 artifacts: when the caller didn't pick an out dir, default it
+    to a tmp dir (r12, ADVICE — previously only the env var
+    redirected, so bare `--sf-dir <sf1>` overwrote the repo-root
+    log/sidecar).  The module-level paths were computed at import
+    time, so rebind them for this parent too (the child re-reads the
+    env var at its own import)."""
+    global _OUT_DIR, _LOG_PATH, _SIDECAR
+    if "SPARK_BENCH_OUT_DIR" not in os.environ:
+        import tempfile
+
+        out = os.path.join(tempfile.gettempdir(), "spark_bench_offscale")
+        os.makedirs(out, exist_ok=True)
+        os.environ["SPARK_BENCH_OUT_DIR"] = out
+    _OUT_DIR = os.environ["SPARK_BENCH_OUT_DIR"]
+    _LOG_PATH = os.path.join(_OUT_DIR, "bench_spark_log.txt")
+    _SIDECAR = os.path.join(_OUT_DIR, "bench_secondary.json")
+
+
 def main() -> None:
     if os.environ.get("SPARK_BENCH_CHILD") == "1":
         _bench()
@@ -746,22 +766,7 @@ def main() -> None:
     args = ap.parse_args()
     if args.sf_dir:
         os.environ["SPARK_GRAFT_SF_DIR"] = args.sf_dir
-        # An off-scale run must never clobber the committed sf0.1
-        # artifacts: when the caller didn't pick an out dir, default it
-        # to a tmp dir (r12, ADVICE — previously only the env var
-        # redirected, so bare `--sf-dir <sf1>` overwrote the repo-root
-        # log/sidecar).  The module-level paths were computed at import
-        # time, so rebind them for this parent too.
-        if "SPARK_BENCH_OUT_DIR" not in os.environ:
-            import tempfile
-
-            out = os.path.join(tempfile.gettempdir(), "spark_bench_offscale")
-            os.makedirs(out, exist_ok=True)
-            os.environ["SPARK_BENCH_OUT_DIR"] = out
-        global _OUT_DIR, _LOG_PATH, _SIDECAR
-        _OUT_DIR = os.environ["SPARK_BENCH_OUT_DIR"]
-        _LOG_PATH = os.path.join(_OUT_DIR, "bench_spark_log.txt")
-        _SIDECAR = os.path.join(_OUT_DIR, "bench_secondary.json")
+        _redirect_offscale_artifacts()
     if args.sf:
         os.environ["SPARK_GRAFT_SF_LABEL"] = args.sf
     if args.attempts is not None:

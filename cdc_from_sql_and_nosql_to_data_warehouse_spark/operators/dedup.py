@@ -11,6 +11,8 @@ engine-specific (murmur3/xxhash64), so the driver records rows-only.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1229,7 +1231,15 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # threshold shrinks with 1/SF to hold the oracle bounded while the
 # slice still samples every replica.
 
-_SAMPLE_THR = "10"  # md5 hex prefix: '10'/'100...' ≈ 1/16 of key space
+# md5 hex prefix; '10' ≈ 1/16 of the key space — right for sf1.  Two
+# decades up the slice must SHRINK with 1/SF or the quadratic oracle
+# on the slice grows back to infeasible (r12, measured: 1/16 of 500k
+# sf10 docs is a ~1e9-pair DuckDB join) — SPARK_GRAFT_SAMPLE_THR lets
+# the sweep tool pick the slice at launch ('02' ≈ 1/128 keeps the sf10
+# oracle in DuckDB-minutes); the registered oracle SQL and the engine
+# restriction both read this one constant at import, so the two sides
+# can never disagree on the slice.
+_SAMPLE_THR = os.environ.get("SPARK_GRAFT_SAMPLE_THR", "10")
 
 
 def _sampled_docs_sql(thr: str = _SAMPLE_THR) -> str:

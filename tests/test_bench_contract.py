@@ -314,3 +314,36 @@ def test_paired_compare_skips_zero_encoded_entries(tmp_path):
         json.dumps({"queries": {"q_a": 1.0, "q_b": 2.0}, "paired": [0, 200]})
     )
     assert load_paired(str(p)) == {"q_b": 2.0}
+
+
+def test_offscale_redirect_defaults_out_dir(monkeypatch, tmp_path):
+    # ADVICE r11: a bare `--sf-dir <sf1>` run must not clobber the
+    # repo-root artifacts — with SPARK_BENCH_OUT_DIR unset the
+    # redirect must pick a non-repo dir and rebind the module paths
+    monkeypatch.delenv("SPARK_BENCH_OUT_DIR", raising=False)
+    monkeypatch.setattr(bench, "_OUT_DIR", bench._REPO)
+    bench._redirect_offscale_artifacts()
+    try:
+        assert bench._OUT_DIR != bench._REPO
+        assert bench._LOG_PATH.startswith(bench._OUT_DIR)
+        assert bench._SIDECAR.startswith(bench._OUT_DIR)
+        import os as _os
+        assert _os.environ["SPARK_BENCH_OUT_DIR"] == bench._OUT_DIR
+    finally:
+        import os as _os
+        _os.environ.pop("SPARK_BENCH_OUT_DIR", None)
+        bench._OUT_DIR = bench._REPO
+        bench._LOG_PATH = _os.path.join(bench._REPO, "bench_spark_log.txt")
+        bench._SIDECAR = _os.path.join(bench._REPO, "bench_secondary.json")
+
+
+def test_offscale_redirect_honors_explicit_out_dir(monkeypatch, tmp_path):
+    monkeypatch.setenv("SPARK_BENCH_OUT_DIR", str(tmp_path))
+    bench._redirect_offscale_artifacts()
+    try:
+        assert bench._OUT_DIR == str(tmp_path)
+    finally:
+        import os as _os
+        bench._OUT_DIR = bench._REPO
+        bench._LOG_PATH = _os.path.join(bench._REPO, "bench_spark_log.txt")
+        bench._SIDECAR = _os.path.join(bench._REPO, "bench_secondary.json")

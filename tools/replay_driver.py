@@ -199,6 +199,7 @@ def main() -> None:
                 recs[name] = {"status": "ERR",
                               "error": f"{type(e).__name__}: {e}"[:300]}
                 print(f"{name:36s} ERR  {type(e).__name__}: {e}")
+            _flush_recs()  # per-query: a crash mid-sweep keeps prior rows
         _flush_recs()
         print(json.dumps({"checked": len(names), "failed": bad,
                           "protocol": "sampled"}))
@@ -283,6 +284,7 @@ def main() -> None:
             recs[name] = {"status": "ERR",
                           "error": f"{type(e).__name__}: {e}"[:300]}
             print(f"{name:36s} ERR  {type(e).__name__}: {e}")
+        _flush_recs()  # per-query: a crash mid-sweep keeps prior rows
     _flush_recs()
     print(json.dumps({"checked": len(names), "failed": bad}))
     if bad:

@@ -118,7 +118,6 @@ def main() -> None:
         "override)"
     )
     rec.setdefault("queries", {})
-    }
     for name in names:
         best, skews = float("inf"), []
         spill = {}

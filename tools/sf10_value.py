@@ -42,18 +42,38 @@ ORACLE_TIMEOUT = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "900"))
 PROBE_PATH = os.path.join(_REPO, "SF10_PROBE.json")
 
 
-def _run_replay(extra: list[str], out_path: str) -> dict:
+# Plain queries run in CHUNKS of fresh subprocesses: the first full-run
+# attempt (r12) hit a driver-heap OOM at query #8 — sequential heavy
+# replays accumulate JVM state (collected results, localCheckpoint
+# blocks) that no single query needs — and one wedged JVM must not
+# take the rest of the sweep with it.  Each chunk gets a fresh JVM and
+# its own sidecar; replay_driver also flushes per query now.
+_CHUNK = int(os.environ.get("SPARK_GRAFT_VALUE_CHUNK", "4"))
+
+# The sampled-oracle slice must SHRINK with SF (the registered '10'
+# 1/16 slice is sized for sf1; at sf10 it reaches ~31k docs = a ~1e9
+# pair DuckDB join).  '02' = 1/128 of the key space keeps the slice at
+# the same few-thousand-doc size the sf1 protocol ran at.
+_SAMPLE_THR_SF10 = os.environ.get("SPARK_GRAFT_SAMPLE_THR", "02")
+
+
+def _run_replay(extra: list[str], out_path: str, thr: str | None = None) -> dict:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     env.setdefault("SPARK_GRAFT_DUCKDB_THREADS", "4")
     env.setdefault("SPARK_GRAFT_DUCKDB_TEMP", "/tmp/duckdb_spill")
+    if thr is not None:
+        env["SPARK_GRAFT_SAMPLE_THR"] = thr
     cmd = [sys.executable, os.path.join(_REPO, "tools", "replay_driver.py"),
            "--sf", BLOWUP_DIR, "--json-out", out_path, *extra]
     # exit code 1 just means some query didn't hash-match — the records
     # carry the per-query verdicts either way
     subprocess.run(cmd, cwd=_REPO, env=env, check=False)
-    with open(out_path) as fh:
-        return json.load(fh)
+    try:
+        with open(out_path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
 
 
 def main() -> None:
@@ -66,14 +86,16 @@ def main() -> None:
 
     recs: dict[str, dict] = {}
     with tempfile.TemporaryDirectory() as td:
-        if plain:
+        for ci in range(0, len(plain), _CHUNK):
+            chunk = plain[ci:ci + _CHUNK]
             recs.update(_run_replay(
-                ["--oracle-timeout", str(ORACLE_TIMEOUT), *plain],
-                os.path.join(td, "plain.json")))
+                ["--oracle-timeout", str(ORACLE_TIMEOUT), *chunk],
+                os.path.join(td, f"plain{ci}.json")))
         if sampled:
             recs.update(_run_replay(
                 ["--sampled-oracle", *sampled],
-                os.path.join(td, "sampled.json")))
+                os.path.join(td, "sampled.json"),
+                thr=_SAMPLE_THR_SF10))
 
     with open(PROBE_PATH) as fh:
         probe = json.load(fh)
@@ -85,8 +107,10 @@ def main() -> None:
     summary = {s: statuses.count(s) for s in dict.fromkeys(statuses)}
     probe.setdefault("notes", {})["value_protocol"] = (
         f"r12 tools/sf10_value.py: plain oracle (timeout {ORACLE_TIMEOUT:.0f}s,"
-        " 4-thread DuckDB) + sampled md5-slice for the AllPairs pair joins;"
-        " rows-only recorded as such"
+        f" 4-thread DuckDB, fresh-JVM chunks of {_CHUNK}) + sampled"
+        f" md5-slice (SPARK_GRAFT_SAMPLE_THR '{_SAMPLE_THR_SF10}', SF-sized"
+        " so the slice stays a few thousand docs) for the AllPairs pair"
+        " joins; rows-only recorded as such"
     )
     with open(PROBE_PATH, "w") as fh:
         json.dump(probe, fh, indent=1, sort_keys=True)
