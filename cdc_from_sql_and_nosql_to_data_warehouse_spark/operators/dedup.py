@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import vectors as V
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.normalize import loud_src_n
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.parallelism import spread
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
     SQL_TOKS_EXPR,
     sql_md5_int,
@@ -704,9 +705,27 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     driver-side data loop.  localCheckpoint per round truncates the
     lineage so the plan doesn't grow exponentially with iterations.
     """
+    # double via explode, not union-of-two-selects: each union branch
+    # would re-execute the (expensive) candidate-pair subtree — no
+    # cross-branch CSE — so the matcher ran twice per clustering (r12).
+    # One Generate node emits both directions in a single pass.
     edges = (
-        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+                    F.struct(F.col("b").alias("x"), F.col("a").alias("y")),
+                )
+            ).alias("e")
+        )
+        .select("e.x", "e.y")
+        # keyed repartition (no explicit N) so AQE sizes the
+        # materialized width to the match graph's actual bytes: a
+        # checkpoint freezes its input layout, and freezing the
+        # upstream join's full shuffle width turned every tiny-graph
+        # propagation round into width×stages scheduling overhead
+        # (r12 A/B: er_resolve 8.6 s frozen vs 5.7 s AQE-sized)
+        .repartition(F.col("x"))
         .localCheckpoint(eager=False)
     )
     labels = (
@@ -1612,6 +1631,14 @@ def _linkage_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("blk"),
         )
     )
+    # consumed by the guard's eager aggregate AND both self-join
+    # sides: checkpoint so the block-assignment joins run once, not 3×
+    # (r12 plan audit: customer scanned 4×).  spread FIRST: the
+    # checkpoint freezes its input layout, and the scan-rooted frame
+    # is one partition on single-row-group files — without the
+    # rebalance the expensive levenshtein scoring join runs
+    # single-threaded off the materialized blocks (measured r12).
+    c = spread(c).localCheckpoint(eager=False)
     _guard_er_blocks(c)
     a, b = c.alias("a"), c.alias("b")
     score = (

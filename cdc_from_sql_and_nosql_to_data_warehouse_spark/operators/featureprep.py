@@ -12,6 +12,7 @@ from pyspark.sql.window import Window
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import vectors as V
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.exact import dec
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.parallelism import spread
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import (
     assign_dense_ids,
 )
@@ -114,7 +115,12 @@ def q_robust_scale(
     parquet count (no data pages read)."""
     li = load_table(spark, sf_dir, "lineitem")
     exact = _use_exact(li, exact, source_path=f"{sf_dir}/lineitem.parquet")
-    stats = li.groupBy("l_returnflag").agg(
+    # the exact-percentile partial buffers every group value — spread
+    # the 2-column stats projection so that state splits across tasks
+    # instead of riding the scan's file-layout parallelism (r12)
+    stats = spread(li.select("l_returnflag", "l_extendedprice")).groupBy(
+        "l_returnflag"
+    ).agg(
         F.round(F.expr(_pct("l_extendedprice", 0.5, exact)), 4).alias("med"),
         (
             F.round(F.expr(_pct("l_extendedprice", 0.75, exact)), 4)
@@ -822,7 +828,10 @@ def q_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits ≤ depth·width partials regardless of row count); everything
     downstream operates on the 768-cell grid and
     a probe-bounded truth table."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    # spread the 1-column projection: the ×depth md5 bucket fan-out is
+    # the heavy map work (r12, functions/parallelism.py); both the grid
+    # and the truth table read the same exchange (ReusedExchange)
+    li = spread(load_table(spark, sf_dir, "lineitem").select("l_partkey"))
     depths = F.explode(
         F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])
     ).alias("depth")
@@ -908,8 +917,13 @@ def q_quantile_sample_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     side uses the same path at oracle scale.  Scale: the sample pass
     ships K rows per partition max; the exact twin is here for the
     error columns (a production sketch would skip it)."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_extendedprice").isNotNull()
+    # spread the narrow projection: the per-row md5 sort key and the
+    # exact-percentile partials are the heavy map work, and hash-order
+    # top-K / percentile are partition-count-independent (r12)
+    li = spread(
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select("l_extendedprice", "l_orderkey", "l_linenumber")
     )
     h = md5_unit(
         F.concat(
@@ -1199,8 +1213,12 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice").isNotNull()
     )
-    base = o.select(
-        "o_orderkey", "o_orderpriority", dec("o_totalprice").alias("v")
+    # spread BEFORE the ×B explode: the 15M-row md5 fan-out otherwise
+    # inherits the scan's file-layout-bounded parallelism (r12
+    # measured: 31.4 s on the single-row-group bench file vs 3.1 s
+    # spread; the exchange moves only the narrow pre-fan-out rows)
+    base = spread(
+        o.select("o_orderkey", "o_orderpriority", dec("o_totalprice").alias("v"))
     )
     u = md5_unit(
         F.concat(
@@ -1320,6 +1338,10 @@ def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_returnflag").isNotNull()
     )
     w = (
+        # no spread here (r12 A/B: 3.2 → 3.9 s WITH it): the map side
+        # is one cheap partial aggregate whose value is the ~4×
+        # (flag, cents) domain reduction before the exchange — a
+        # pre-shuffle rebalance just ships the unreduced rows
         li.select(
             F.col("l_returnflag").alias("flag"),
             F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),

@@ -124,15 +124,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(col)), F.lit(0.0), lambda a, x: a + x
         )
 
-    outw = edges.groupBy("src").agg(sorted_sum(F.col("w")).alias("tot"))
-    # e is consumed by every iteration; without a checkpoint Catalyst
-    # re-derives the whole fact join per consumer (no cross-branch CSE
-    # — SCALE.md "Common-subexpression reality").  Post-aggregate it is
-    # ≤ |nation|² rows, so materializing is the measured win
-    # (~4 fact-join replays avoided at 3 iterations).
+    # out-weight normalization as a WINDOW over the ≤|nation|² edge
+    # table, not a groupBy+join-back: the join consumed `edges` twice,
+    # re-running the whole fact join per consumer (no cross-branch
+    # CSE; an edges checkpoint measured slower — materialization plus
+    # stat-less join planning cost more than it saved, r12).  The
+    # window fold is the same sorted sum per src, so every double is
+    # unchanged.  e stays checkpointed: each iteration consumes it.
+    from pyspark.sql.window import Window as W
+
+    tot = F.aggregate(
+        F.array_sort(F.collect_list("w").over(W.partitionBy("src"))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
     e = (
-        edges.join(outw, "src")
-        .select("src", "dst", (F.col("w") / F.col("tot")).alias("p"))
+        edges.select("src", "dst", (F.col("w") / tot).alias("p"))
         .localCheckpoint(eager=False)
     )
 
@@ -300,17 +307,34 @@ _SQL_CO_SUPPLY_CTES = f"""edges AS MATERIALIZED (
     )"""
 
 
-def _co_supply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of _SQL_CO_SUPPLY_CTES.co_pairs: candidate co-supply
-    pairs THROUGH hub-capped parts — (deg, s1, s2), one row per
-    (part, supplier pair).  Per-part fanout is bounded by the
-    _LP_MAX_DEG cap by construction."""
+def _co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (part, supplier) edges — the shared data-scaled prefix
+    of every co-supply operator.  localCheckpoint because each caller
+    consumes it 3-5× (self-join sides, degree tables): Catalyst has no
+    cross-branch CSE, so without the barrier the lineitem scan +
+    distinct re-executes per consumer (r12 measured: 5 scans in
+    q_link_prediction's plan).  Post-aggregate and 2 narrow ints per
+    row — the repo's checkpoint-eligibility rule."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
     )
-    edges = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    return (
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+def _co_supply_pairs(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """Spark twin of _SQL_CO_SUPPLY_CTES.co_pairs: candidate co-supply
+    pairs THROUGH hub-capped parts — (deg, s1, s2), one row per
+    (part, supplier pair).  Per-part fanout is bounded by the
+    _LP_MAX_DEG cap by construction.  Callers that also consume the
+    edge table pass their own ``edges`` so the checkpoint is shared."""
+    if edges is None:
+        edges = _co_supply_edges(spark, sf_dir)
     pdeg = (
         edges.groupBy("p")
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -372,15 +396,10 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ln on an integer degree, rounded 6dp before the
     order-free decimal sum; Jaccard is int-derived and rounded once;
     the (adamic_adar DESC, s1, s2) tie-break is a total order."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
-    )
-    edges = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    edges = _co_supply_edges(spark, sf_dir)
     sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("sd"))
     pairs = (
-        _co_supply_pairs(spark, sf_dir)
+        _co_supply_pairs(spark, sf_dir, edges=edges)
         .groupBy("s1", "s2")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("common_parts"),
@@ -446,6 +465,10 @@ def _lpa_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
         _co_supply_pairs(spark, sf_dir)
         .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("shared"))
+        # consumed by thr AND und: without the barrier the whole
+        # hub-capped pair join re-executes per consumer (r12 — the
+        # plan audit counted 18 lineitem scans in q_label_propagation)
+        .localCheckpoint(eager=False)
     )
     thr = strength.agg(
         F.round(F.expr("percentile(shared, 0.9)"), 4).alias("q90")
@@ -455,9 +478,12 @@ def _lpa_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared") >= F.col("q90"))
         .select("s1", "s2")
     )
-    return und.select(
-        F.col("s1").alias("v"), F.col("s2").alias("u")
-    ).unionAll(und.select(F.col("s2").alias("v"), F.col("s1").alias("u")))
+    return (
+        und.select(F.col("s1").alias("v"), F.col("s2").alias("u"))
+        .unionAll(und.select(F.col("s2").alias("v"), F.col("s1").alias("u")))
+        # consumed by the label init + every LPA iteration
+        .localCheckpoint(eager=False)
+    )
 
 
 @register(
@@ -596,12 +622,7 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier at repo:source/load_s3_files_from_dynamodb_stream_to_redshift_lambda/handler.py
     only feeds the tables; the query tier is downstream Redshift SQL,
     SURVEY §2.2 B-family)."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
-    )
-    edges = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    edges = _co_supply_edges(spark, sf_dir)  # consumed by pdeg + join
     pdeg = (
         edges.groupBy("p")
         .agg(F.count(F.lit(1)).alias("deg"))

@@ -1542,11 +1542,18 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("item_id"),
         )
         .distinct()
+        # consumed by norms + both self-join sides: checkpoint so the
+        # fact join + distinct runs once, not 3× (r12 plan audit:
+        # lineitem/orders each scanned 3×).  Post-aggregate, 2 ints.
+        .localCheckpoint(eager=False)
     )
     norms = inter.groupBy("item_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
     deg_w = Window.partitionBy("user_id")
+    # no checkpoint on capped: its recomputation off the inter
+    # checkpoint is one exchange + window per self-join side, and
+    # materializing it measured slower than recomputing (r12 A/B)
     capped = (
         inter.withColumn("deg", F.count(F.lit(1)).over(deg_w))
         .filter(F.col("deg") <= _CF_MAX_DEGREE)

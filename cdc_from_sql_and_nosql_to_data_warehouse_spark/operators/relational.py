@@ -31,6 +31,7 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.grouping import (
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
     SQL_TOKS_EXPR as _SQL_TOKS,
 )
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.parallelism import spread
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
 
@@ -1876,7 +1877,12 @@ def q_winsorize(
 
     li = load_table(spark, sf_dir, "lineitem")
     exact = use_exact(li, exact, source_path=f"{sf_dir}/lineitem.parquet")
-    th = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+    # spread the 2-column stats projection: the exact-percentile
+    # partial buffers every group value and must not ride the scan's
+    # file-layout parallelism (r12, functions/parallelism.py)
+    th = spread(li.select("l_returnflag", "l_extendedprice")).groupBy(
+        F.col("l_returnflag").alias("flag")
+    ).agg(
         F.round(F.expr(pct("l_extendedprice", 0.05, exact)), 4).alias("lo"),
         F.round(F.expr(pct("l_extendedprice", 0.95, exact)), 4).alias("hi"),
     )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import vectors as V
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.parallelism import spread
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import _sql_cosine
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.readers import load_table
@@ -342,7 +343,11 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-side invariants (row norm, ||c||²/2) are materialized BEFORE
     # the n×k join so neither fold re-runs per pair.
     ranked = (
-        emb.withColumn("nrm", V.norm2("embedding"))
+        # spread before the n×k fan-out: the per-pair dot folds are the
+        # heavy map work and must not inherit the scan's file-layout-
+        # bounded parallelism (r12, functions/parallelism.py)
+        spread(emb)
+        .withColumn("nrm", V.norm2("embedding"))
         .crossJoin(F.broadcast(cents))
         .withColumn(
             "dist", F.col("half_c2") - V.dot("embedding", "centroid") / F.col("nrm")
@@ -353,6 +358,11 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
             ),
         )
+        # both consumers below need only rn ≤ nprobe; one filtered
+        # checkpoint stops the n×k scoring join from re-executing per
+        # consumer (r12 — no cross-branch CSE)
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .localCheckpoint(eager=False)
     )
     # candidates live in exactly their nearest cell; queries PROBE the
     # _IVF_NPROBE nearest cells (the recall knob — candidate volume
@@ -360,7 +370,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # neighbor's true cell)
     assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "cell")
     q = (
-        ranked.filter((F.col("rn") <= _IVF_NPROBE) & (F.col("vec_id") < 20))
+        ranked.filter(F.col("vec_id") < 20)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell")
     )
     c = assigned.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "cell")
