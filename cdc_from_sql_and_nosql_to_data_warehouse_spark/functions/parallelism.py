@@ -43,5 +43,11 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     ``factor`` > 1 suits extreme per-row cost where even one width's
     tasks straggle (rare; measure first).
     """
-    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # sessions that never ran session.tune() can carry a non-numeric
+        # value (e.g. "auto" on some AQE platforms); fall back to the
+        # documented floor rather than failing plan construction
+        width = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(width * factor)

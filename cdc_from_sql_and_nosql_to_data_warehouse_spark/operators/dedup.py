@@ -616,9 +616,20 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     its expression-form reference vectors.hyperplane_signature).
     Cosine is a
     left-fold in doubles on both sides, so the 0.35 threshold compares
-    bit-identical values."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", V.norm2("embedding").alias("nrm")
+    bit-identical values.
+
+    spread (r13): the pair-join's dot folds inherit the scan's
+    file-layout parallelism (1 partition on single-row-group testdata),
+    so the ~200k interpreted folds ran on one core; one narrow
+    round-robin exchange (reused by both join sides) parallelizes them.
+    A/B min-of-5: 2.26 s → 0.46 s.  An Arrow mapInArrow kernel
+    (bit-exact column-loop fold) was built and measured AGAINST this:
+    0.69 s with spread, 2.49 s without — the JVM fold parallelized
+    beats the Python boundary, so the kernel was not adopted."""
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding", V.norm2("embedding").alias("nrm")
+        )
     )
     a, b = emb.alias("a"), emb.alias("b")
     # norms precomputed ONCE per vector (N folds), not per pair (3N²
@@ -662,9 +673,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster-blocked self-join — here ``label``, at 100 TB the trained
     IVF cell from similarity._ivf_centroids); the decision adds ONE
     distinct + ONE left join keyed by vec_id.  Nothing quadratic
-    outside a cluster."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", V.norm2("embedding").alias("nrm")
+    outside a cluster.
+
+    spread (r13): same single-row-group fix as q_dedup_embedding —
+    the pair folds ran single-threaded; A/B min-of-5 2.32 s → 0.94 s
+    (the Arrow-kernel alternative measured slower, see there)."""
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding", V.norm2("embedding").alias("nrm")
+        )
     )
     a, b = emb.alias("a"), emb.alias("b")
     cos = V.dot(F.col("a.embedding"), F.col("b.embedding")) / (

@@ -117,8 +117,12 @@ def q_robust_scale(
     exact = _use_exact(li, exact, source_path=f"{sf_dir}/lineitem.parquet")
     # the exact-percentile partial buffers every group value — spread
     # the 2-column stats projection so that state splits across tasks
-    # instead of riding the scan's file-layout parallelism (r12)
-    stats = spread(li.select("l_returnflag", "l_extendedprice")).groupBy(
+    # instead of riding the scan's file-layout parallelism (r12).
+    # ONLY on the exact path: the approx (>50M-row / 100 TB) partial is
+    # a bounded t-digest sketch, so the rebalance would ship unreduced
+    # rows for nothing (the q_weighted_quantile negative result).
+    proj = li.select("l_returnflag", "l_extendedprice")
+    stats = (spread(proj) if exact else proj).groupBy(
         "l_returnflag"
     ).agg(
         F.round(F.expr(_pct("l_extendedprice", 0.5, exact)), 4).alias("med"),

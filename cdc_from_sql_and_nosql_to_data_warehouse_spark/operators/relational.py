@@ -1877,10 +1877,16 @@ def q_winsorize(
 
     li = load_table(spark, sf_dir, "lineitem")
     exact = use_exact(li, exact, source_path=f"{sf_dir}/lineitem.parquet")
-    # spread the 2-column stats projection: the exact-percentile
-    # partial buffers every group value and must not ride the scan's
-    # file-layout parallelism (r12, functions/parallelism.py)
-    th = spread(li.select("l_returnflag", "l_extendedprice")).groupBy(
+    # spread the 2-column stats projection ONLY on the exact path: the
+    # exact-percentile partial buffers every group value and must not
+    # ride the scan's file-layout parallelism (r12,
+    # functions/parallelism.py).  On the approx (>50M-row / 100 TB)
+    # path the map-side partial is a bounded t-digest sketch — the
+    # exchange would move almost nothing afterwards, so a pre-shuffle
+    # rebalance just ships the unreduced rows (the q_weighted_quantile
+    # negative result, reintroduced here by r12 and gated on review).
+    proj = li.select("l_returnflag", "l_extendedprice")
+    th = (spread(proj) if exact else proj).groupBy(
         F.col("l_returnflag").alias("flag")
     ).agg(
         F.round(F.expr(pct("l_extendedprice", 0.05, exact)), 4).alias("lo"),

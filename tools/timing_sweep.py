@@ -28,6 +28,7 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default=None)
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--warmup-dir", default="/root/testdata/sf0.001")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -56,10 +57,13 @@ def main() -> None:
         return dt
 
     timings: dict[str, float] = {}
+    # skip warmup (rather than fail every query) when the warmup dir is
+    # absent on this host — the target --sf-dir may still be valid
+    warmup = not args.no_warmup and os.path.isdir(args.warmup_dir)
     for i, name in enumerate(names):
         try:
-            if not args.no_warmup:
-                run_once(name, "/root/testdata/sf0.001")
+            if warmup:
+                run_once(name, args.warmup_dir)
             walls = [run_once(name, args.sf_dir) for _ in range(args.runs)]
             timings[name] = round(min(walls), 3)
             print(f"[{i}] {name}: {timings[name]}s", flush=True)
