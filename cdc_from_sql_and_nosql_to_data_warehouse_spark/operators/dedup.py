@@ -224,7 +224,7 @@ _SQL_SHINGLES = f"""
 """
 
 
-def md5_shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+def md5_shingle_rows(docs: DataFrame, n: int = 3, rebalance: bool = False) -> DataFrame:
     """FLAT (id, h) rows of 60-bit md5-derived word-n-gram shingle ids.
 
     The shape matters more than the hash: building per-doc shingle
@@ -236,12 +236,28 @@ def md5_shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     start sequence), matching the oracle's length-guard.  Consumers
     rebuild per-doc sets with collect_set only where sets are really
     needed (the Jaccard verify); MinHash mins consume the flat rows
-    directly — duplicate shingles cannot change a min."""
+    directly — duplicate shingles cannot change a min.
+
+    ``rebalance`` spreads the (id, text) projection before the
+    tokenize+explode so the shingling escapes the scan's file-layout
+    parallelism.  Opt-in per call site because the r13 interleaved A/B
+    split cleanly by consumer shape: the prefix-filter pipelines whose
+    next step is a distinct/checkpoint win (q_setsim_join min-of-5
+    3.47→2.77 s, q_dedup_containment neutral 3.04/3.66 → 3.12/3.39),
+    while the band-key pipelines whose next step is a per-doc min/sum
+    aggregate LOSE ~10% (q_dedup_minhash_md5 1.22→1.31,
+    q_dedup_simhash_md5 1.00→1.12): their map-side partials reduce the
+    exploded rows to one row per doc BEFORE the exchange, and spreading
+    first multiplies the shuffled partial rows by the task count — the
+    q_weighted_quantile trade again."""
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.text import _shingle_starts
 
     toks = X.tokens("text")
+    base = docs.select(F.col("doc_id").alias("id"), "text")
+    if rebalance:
+        base = spread(base)
     return (
-        docs.select(F.col("doc_id").alias("id"), toks.alias("toks"))
+        base.select("id", toks.alias("toks"))
         .select("id", "toks", F.explode(_shingle_starts(F.col("toks"), n)).alias("i"))
         .select(
             "id",
@@ -1041,8 +1057,11 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # flat 60-bit md5 shingle ids in codegen (md5_shingle_rows shape);
     # sub-3-token docs vanish at the explode, matching the oracle's shn
-    # length guard — no empty-empty NULL-jaccard pairs on either side
-    dt = md5_shingle_rows(docs, 3).distinct().localCheckpoint(eager=False)
+    # length guard — no empty-empty NULL-jaccard pairs on either side.
+    # rebalance=True: parallelize the shingling before the distinct
+    # (r13 A/B 3.47→2.77 s; see md5_shingle_rows for the per-consumer
+    # split that keeps the band-key pipelines unspread)
+    dt = md5_shingle_rows(docs, 3, rebalance=True).distinct().localCheckpoint(eager=False)
     sets = (
         dt.groupBy("id")
         .agg(F.collect_set("h").alias("s"))
@@ -1171,9 +1190,12 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     set-fetch joins.  9.3 s → 3.0 s end-to-end (min-of-3).
     """
     docs = load_table(spark, sf_dir, "documents")
-    dt = md5_shingle_rows(docs, 3).distinct().localCheckpoint(
+    dt = md5_shingle_rows(docs, 3, rebalance=True).distinct().localCheckpoint(
         eager=False
-    )  # (id, h) distinct shingle rows; consumed by df-rank, prefix, B side
+    )  # (id, h) distinct shingle rows; consumed by df-rank, prefix, B
+    # side.  rebalance: r13 A/B neutral-to-better locally (min 3.04→
+    # 3.12, med 3.66→3.39) and the explode+distinct parallelizes at
+    # scale — same decision as q_setsim_join
     sets = (
         dt.groupBy("id")
         .agg(F.collect_set("h").alias("s"))
