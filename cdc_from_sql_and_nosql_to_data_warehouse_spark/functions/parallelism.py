@@ -28,6 +28,35 @@ sort-before-repartition is deterministic under retries; no operator
 value depends on partition placement (grep-pinned: no
 spark_partition_id / monotonically_increasing_id downstream of a
 spread call — assign_dense_ids manages its own layout).
+
+THE CHECKPOINT ELIGIBILITY RULE (companion to spread; the r12/r13
+cross-branch-CSE barriers).  ``localCheckpoint(eager=False)`` is used
+to stop Catalyst re-executing a multi-consumer subtree once per
+consumer.  A frame qualifies ONLY if all three hold:
+
+1. **≥2 consumers** whose shared subtree is more expensive to
+   recompute than to materialize (A/B-measured; recomputation of a
+   pruned scan + cheap agg usually WINS — see the reverted pagerank /
+   item_cf-capped / weighted_quantile checkpoints in r12).
+2. **Narrow** — a few int/short-string columns, never payloads
+   (text, embeddings, arrays): blocks land on executor memory/disk.
+3. **Post-aggregate / bounded growth** — the frame must be a strict
+   reduction of its input (distinct keys, per-group aggregates, a
+   calendar- or vocabulary-bounded spine).  Data-scaled-but-reduced
+   frames (distinct (part,supplier) pairs, distinct user-item
+   interactions) are accepted as an explicit trade and noted at the
+   call site; a frame that grows WITH fan-out (exploded shingles,
+   pair joins) is never checkpointed, it is spread and recomputed.
+
+Recovery trade, stated once for every call site: localCheckpoint
+blocks are EXECUTOR-LOCAL and not fault-tolerant — losing an executor
+after materialization fails the job's remaining consumers, which
+rerun the query from the parquet inputs.  That is acceptable here
+because every checkpointed frame is (a) minutes, not hours, to
+rebuild at 100 TB (one pruned scan + one reduction), and (b) scoped
+to a single query invocation — there is no cross-run state to lose.
+Layout gotchas (frozen width, lost stats) and the keyed-repartition /
+spread-first fixes are documented in OPTIMIZATION_r12.md §checkpoint.
 """
 
 from __future__ import annotations

@@ -542,7 +542,14 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache() alone leaves the logical tree exponential (measured:
     # plan-string generation OOMs at 3 iterations).  Same
     # bounded-state class as the repo's accepted bounded collects.
-    games = games.localCheckpoint()
+    # r13: coalesce(1) before each eager checkpoint — the frames are
+    # ≤|types|²-row, but the checkpoint freezes whatever width the
+    # aggregate left (the r12 frozen-layout gotcha), and 3 MM
+    # iterations × multi-task tiny jobs were pure scheduling overhead
+    # (interleaved A/B min-of-5: 2.84 → 1.87 s).  One partition is the
+    # right layout at ANY scale: the matrix is bounded by the type
+    # alphabet, not the data.
+    games = games.coalesce(1).localCheckpoint()
     m = games.select(
         "i", "j", (F.col("w_ij") + F.col("w_ji")).alias("n"),
         F.col("w_ij").alias("w"),
@@ -585,7 +592,7 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # barrier: raw is referenced twice (normalizer + update) —
         # see the games localCheckpoint note above.
-        raw = raw.localCheckpoint()
+        raw = raw.coalesce(1).localCheckpoint()
         total = raw.agg(
             F.sum(F.col("praw").cast("decimal(18,9)")).alias("tot")
         )
@@ -604,7 +611,7 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                     eps,
                 ).alias("pi"),
             )
-        ).localCheckpoint()
+        ).coalesce(1).localCheckpoint()
     return scores.join(wtot, "i").select(
         F.col("i").alias("event_type"),
         F.round("pi", 6).alias("bt_score"),

@@ -10,6 +10,7 @@ from pyspark.sql.window import Window
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import vectors as V
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.exact import dec
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.parallelism import spread
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.ids import (
     assign_dense_ids,
 )
@@ -102,7 +103,16 @@ def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe"),
         V.norm2("embedding").alias("qn"),
     )
-    c = emb.filter(F.col("vec_id") >= _CM_EVAL).select(
+    # r13: the candidate side roots at a single-row-group scan, so the
+    # |cand|×|eval| interpreted cosine folds ran on one core; spread
+    # the narrow projection before the broadcast join (guide §2.5 —
+    # the q_dedup_embedding fix; interleaved A/B min-of-5:
+    # 1.50 → 0.85 s).
+    c = spread(
+        emb.filter(F.col("vec_id") >= _CM_EVAL).select(
+            "vec_id", "label", "embedding"
+        )
+    ).select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("cand_label"),
         F.col("embedding").alias("ce"),

@@ -1677,6 +1677,10 @@ def _linkage_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is one partition on single-row-group files — without the
     # rebalance the expensive levenshtein scoring join runs
     # single-threaded off the materialized blocks (measured r12).
+    # Size note (eligibility rule: functions/parallelism.py): one row
+    # per customer with short normalized strings — linear in the
+    # entity table, far below the pair fan-out it feeds; rebuild on
+    # executor loss is one pruned scan inside this invocation.
     c = spread(c).localCheckpoint(eager=False)
     _guard_er_blocks(c)
     a, b = c.alias("a"), c.alias("b")

@@ -314,7 +314,12 @@ def _co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-branch CSE, so without the barrier the lineitem scan +
     distinct re-executes per consumer (r12 measured: 5 scans in
     q_link_prediction's plan).  Post-aggregate and 2 narrow ints per
-    row — the repo's checkpoint-eligibility rule."""
+    row — the repo's checkpoint-eligibility rule (functions/
+    parallelism.py).  Size/recovery note: distinct (part, supplier)
+    is bounded by the catalog cross-product, not by lineitem rows
+    (TPC-H: 4 suppliers/part ⇒ ~8 B/row × |part|×4 ≈ low GB at
+    100 TB, executor-local); a lost executor reruns one pruned scan +
+    distinct — minutes, within one query invocation."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
     )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.parallelism import spread
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.portable_hash import (
     md5_prefix_int,
     md5_unit,
@@ -1265,6 +1266,13 @@ def q_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x")
         )
     )
+    # r13: all three consumers (init percentile + both E-steps) root at
+    # a single-row-group scan, so the exact-percentile buffer and the
+    # per-row exp/log E-step ran single-threaded; spread the 1-column
+    # projection once so each pass runs at shuffle width (guide §2.5 —
+    # interleaved A/B min-of-5: 3.95 → 2.97 s; a lazy checkpoint on
+    # the spread frame measured no further gain and was not taken).
+    x = spread(x)
     iqr = F.round(
         F.expr("percentile(x, 0.75)") - F.expr("percentile(x, 0.25)"), 4
     )
@@ -1544,7 +1552,11 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # consumed by norms + both self-join sides: checkpoint so the
         # fact join + distinct runs once, not 3× (r12 plan audit:
-        # lineitem/orders each scanned 3×).  Post-aggregate, 2 ints.
+        # lineitem/orders each scanned 3×).  Post-aggregate, 2 ints
+        # (eligibility rule: functions/parallelism.py).  Size note:
+        # distinct user×item is bounded by the interaction universe
+        # (≪ fact rows; 8 B/row), and a lost executor re-runs one
+        # join+distinct inside this invocation — the accepted trade.
         .localCheckpoint(eager=False)
     )
     norms = inter.groupBy("item_id").agg(

@@ -97,6 +97,7 @@ def dup_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_duplicate_rows_oracle_parity(spark, dup_dir):
     failures = replay_oracle_parity(spark, dup_dir, QUERIES)
     assert not failures, failures

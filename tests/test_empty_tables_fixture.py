@@ -31,6 +31,7 @@ def empty_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_empty_tables_oracle_parity(spark, empty_dir):
     failures = replay_oracle_parity(spark, empty_dir, QUERIES)
     assert not failures, failures

@@ -108,6 +108,7 @@ def test_hot_key_fixture_shape(hot_dir):
         con.close()
 
 
+@pytest.mark.slow
 def test_hot_key_oracle_parity(spark, hot_dir):
     failures = replay_oracle_parity(spark, hot_dir, QUERIES)
     assert not failures, failures

@@ -55,6 +55,7 @@ def null_date_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_null_dates_oracle_parity(spark, null_date_dir):
     failures = replay_oracle_parity(spark, null_date_dir, QUERIES)
     assert not failures, failures

@@ -79,6 +79,7 @@ def dirty_dim_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_null_dims_oracle_parity(spark, dirty_dim_dir):
     failures = replay_oracle_parity(spark, dirty_dim_dir, QUERIES)
     assert not failures, failures

@@ -48,6 +48,7 @@ def null_meta_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_null_doc_meta_oracle_parity(spark, null_meta_dir):
     failures = replay_oracle_parity(spark, null_meta_dir, QUERIES)
     assert not failures, failures

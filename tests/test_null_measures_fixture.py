@@ -73,6 +73,7 @@ def dirty_fact_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_null_measures_oracle_parity(spark, dirty_fact_dir):
     failures = replay_oracle_parity(spark, dirty_fact_dir, QUERIES)
     assert not failures, failures

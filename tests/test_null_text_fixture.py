@@ -63,6 +63,7 @@ def dirty_text_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_dirty_text_oracle_parity(spark, dirty_text_dir):
     failures = replay_oracle_parity(spark, dirty_text_dir, QUERIES)
     assert not failures, failures

@@ -5,6 +5,8 @@ TakeOrderedAndProject rather than a global sort."""
 
 from __future__ import annotations
 
+import pytest
+
 from cdc_from_sql_and_nosql_to_data_warehouse_spark import plans
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import REGISTRY
 
@@ -242,6 +244,7 @@ def test_spine_ops_scan_facts_once(spark):
         assert n_scans <= 1, (name, txt)
 
 
+@pytest.mark.slow
 def test_no_cartesian_product_anywhere(spark):
     """Registry-wide guardrail: no query may plan a CartesianProduct.
     (BroadcastNestedLoopJoin is acceptable — it appears only where one

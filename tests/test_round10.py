@@ -11,6 +11,8 @@ with an exact survivor-count fallback that keeps the operator exact
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from pyspark.sql import functions as F
@@ -108,6 +110,7 @@ def test_class_balance_fallback_exactness(spark):
     assert surv.count() == 400  # nothing dropped when keep_frac == 1
 
 
+@pytest.mark.slow
 def test_no_other_nonliteral_rank_cap_window(spark):
     """Registry sweep (round-9 verdict item 1): q_class_balance was the
     only rank-cap window whose cap is a COLUMN (so WindowGroupLimit

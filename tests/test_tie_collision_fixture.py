@@ -63,6 +63,7 @@ def tied_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_tie_collision_oracle_parity(spark, tied_dir):
     failures = replay_oracle_parity(spark, tied_dir, QUERIES)
     assert not failures, failures
