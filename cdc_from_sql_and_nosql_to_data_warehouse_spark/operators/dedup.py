@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import text as X
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions import vectors as V
@@ -759,7 +760,16 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # propagation round into width×stages scheduling overhead
         # (r12 A/B: er_resolve 8.6 s frozen vs 5.7 s AQE-sized)
         .repartition(F.col("x"))
-        .localCheckpoint(eager=False)
+        # DISK_ONLY (r13): edges grows with the MATCH FAN-OUT, not
+        # with a reduction — the one frame here outside the
+        # eligibility rule's bounded-growth clause.  The default
+        # MEMORY_AND_DISK pinned 148.5M rows of storage on the sf10
+        # probe (100× blowup) and starved execution memory into
+        # UNABLE_TO_ACQUIRE_MEMORY inside the first distinct; disk
+        # blocks keep the lineage barrier (each propagation round
+        # still reads the matcher output once, never re-scores) at a
+        # sequential-read cost instead of a heap cost.
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     labels = (
         edges.select(F.col("x").alias("node"))

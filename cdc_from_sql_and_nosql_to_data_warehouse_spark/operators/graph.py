@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import register
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.tpch_shapes import (
@@ -319,14 +320,21 @@ def _co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by the catalog cross-product, not by lineitem rows
     (TPC-H: 4 suppliers/part ⇒ ~8 B/row × |part|×4 ≈ low GB at
     100 TB, executor-local); a lost executor reruns one pruned scan +
-    distinct — minutes, within one query invocation."""
+    distinct — minutes, within one query invocation.
+
+    DISK_ONLY (r13): sf10 fresh-JVM A/B on q_link_prediction read
+    MEMORY_AND_DISK 235.5 s vs DISK_ONLY 142.4 s vs no checkpoint
+    156.1 s (best-of-2 each) — the memory-resident blocks compete
+    with the pair-join aggregates for the unified pool; disk blocks
+    keep the single-scan property at no local cost (the dedup_clusters
+    precedent: DISK_ONLY within noise at sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
     )
     return (
         li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
 
 
@@ -627,14 +635,29 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier at repo:source/load_s3_files_from_dynamodb_stream_to_redshift_lambda/handler.py
     only feeds the tables; the query tier is downstream Redshift SQL,
     SURVEY §2.2 B-family)."""
-    edges = _co_supply_edges(spark, sf_dir)  # consumed by pdeg + join
+    # r13: REVERTED the r12 checkpoints here (shared edges + e).  The
+    # sf10 probe regressed 28.7 → 80.3 s (mem spill 3.3 → 15.9 GB at
+    # equal shuffle volume): a LogicalRDD checkpoint erases size stats,
+    # so all three downstream joins lost their planning information,
+    # and the e blocks competed with the iterations' aggregates for the
+    # unified pool (it even heap-OOMed on a repeat run).  Fresh-JVM
+    # sf10 bisect: e+edges ckpt 148.5 s/OOM, edges-only 62.0 s,
+    # NO checkpoints 41.6 s — recomputing two cheap pruned scans beats
+    # materializing either frame (the eligibility rule's recompute-wins
+    # clause, functions/parallelism.py).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    edges = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
     pdeg = (
         edges.groupBy("p")
         .agg(F.count(F.lit(1)).alias("deg"))
         .filter((F.col("deg") >= 2) & (F.col("deg") <= _LP_MAX_DEG))
         .select("p")
     )
-    e = edges.join(pdeg, "p").localCheckpoint(eager=False)  # consumed 2x
+    e = edges.join(pdeg, "p")
     a1 = e.groupBy("p").agg(F.count(F.lit(1)).alias("a"))
     h1 = (
         e.join(a1, "p")

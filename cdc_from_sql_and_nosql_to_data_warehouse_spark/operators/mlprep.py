@@ -1557,6 +1557,10 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # distinct user×item is bounded by the interaction universe
         # (≪ fact rows; 8 B/row), and a lost executor re-runs one
         # join+distinct inside this invocation — the accepted trade.
+        # DISK_ONLY was tried here (r13, the dedup_clusters-edges fix)
+        # and reverted: sf10 probe 249.6 s / 98.2 GB mem-spill with
+        # MEMORY_AND_DISK vs 282.4 s / 96.3 GB with DISK_ONLY — the
+        # spill lives in the self-join aggregates, not this frame.
         .localCheckpoint(eager=False)
     )
     norms = inter.groupBy("item_id").agg(

@@ -76,6 +76,19 @@ def test_bradley_terry_deterministic_and_sane(spark):
     assert abs(sum(r[1] for r in a) - len(a)) < 1e-3
 
 
+def test_hits_plans_real_scans_not_checkpoint_stubs(spark):
+    # r13 revert of the r12 q_hits checkpoints (sf10: stats-blind
+    # joins + storage pressure regressed 28.7 -> 80.3 s and OOM'd on
+    # repeat).  The plan must root at real parquet scans so the
+    # planner keeps size statistics for the three iteration joins.
+    df = REGISTRY["q_hits"].fn(spark, SF_DIR)
+    text = plans.formatted_plan(df)
+    assert "ExistingRDD" not in text, text
+    assert "Scan parquet" in text, text
+    a, b = _rows(df), _rows(REGISTRY["q_hits"].fn(spark, SF_DIR))
+    assert a == b
+
+
 def test_eval_confusion_spread_plan_and_determinism(spark):
     df = REGISTRY["q_eval_confusion"].fn(spark, SF_DIR)
     text = plans.formatted_plan(df)
